@@ -1,0 +1,135 @@
+"""CDC-domain queries: the reference's two golden analytics plus the
+at-least-once dedup audit. Registered in the engine query registry with
+DuckDB oracles built on the shared deterministic event CTE
+(sources.cdc_generator.CDC_EVENTS_SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.functions.envelope import decode_envelope, op_label
+from change_data_capture_spark.operators.scd2 import change_log, scd2
+from change_data_capture_spark.queries import query
+from change_data_capture_spark.sources.cdc_generator import (
+    CDC_EVENTS_SQL,
+    product_change_events,
+)
+
+
+def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_envelope(product_change_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# flagship: SCD2 reconstruction (reference README.md:86-125)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+events_clean AS (
+    SELECT * FROM cdc_events
+    WHERE lsn IS NOT NULL
+    QUALIFY row_number() OVER (PARTITION BY id, lsn ORDER BY ts_ms) = 1
+)
+SELECT
+    e.id, e.name, e.description,
+    CAST(e.price AS DOUBLE) AS price,
+    epoch_ms(e.ts_ms) AS row_valid_start_timestamp,
+    COALESCE(LEAD(epoch_ms(e.ts_ms)) OVER (PARTITION BY e.id ORDER BY e.lsn),
+             TIMESTAMP '2260-01-01') AS row_valid_expiration_timestamp
+FROM events_clean e
+WHERE e.id IN (SELECT id FROM events_clean GROUP BY id HAVING count(*) > 1)
+"""
+
+
+@query("scd2_products", oracle=_SCD2_ORACLE)
+def scd2_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension rebuilt from the product change log.
+
+    The oracle keeps the reference's IN-subquery formulation
+    (README.md:119); the Spark plan uses the single-shuffle
+    count-over-window rewrite (operators.scd2 docstring). Output is
+    unordered: the driver's value hash is order-insensitive and a global
+    ORDER BY would only add a shuffle (the reference's ORDER BY … LIMIT 200
+    is display sugar — see ``entry()``).
+
+    ``price`` is DECIMAL(10,2) inside the engine (SURVEY.md §1.2) but is
+    emitted as DOUBLE: DuckDB's pandas bridge lowers DECIMAL to float64, so
+    a decimal-typed output can never hash-match through that path.
+    """
+    return scd2(_decoded(spark, sf_dir)).withColumn(
+        "price", F.col("price").cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# change-log exploration (reference README.md:220-243)
+# ---------------------------------------------------------------------------
+
+_CHANGE_LOG_ORACLE = f"""
+WITH {CDC_EVENTS_SQL}
+SELECT
+    id,
+    lsn AS log_seq_num,
+    CASE WHEN op = 'c' THEN 'CREATE'
+         WHEN op = 'd' THEN 'DELETE'
+         WHEN op = 'u' THEN 'UPDATE'
+         WHEN op = 'r' THEN 'SNAPSHOT'
+         ELSE 'INVALID' END AS operation_type,
+    epoch_ms(ts_ms) AS row_valid_start_timestamp,
+    COALESCE(LEAD(epoch_ms(ts_ms)) OVER (PARTITION BY id ORDER BY lsn),
+             TIMESTAMP '2260-01-01') AS row_valid_expiration_timestamp,
+    row_number() OVER (PARTITION BY id ORDER BY lsn) AS op_order
+FROM cdc_events
+WHERE lsn IS NOT NULL
+"""
+
+
+@query("cdc_change_log", oracle=_CHANGE_LOG_ORACLE)
+def cdc_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event audit projection with validity intervals and per-key change
+    ordinal (ROW_NUMBER — reference README.md:240). Replayed duplicates are
+    deliberately retained, as in the reference."""
+    return change_log(_decoded(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# at-least-once transport audit: op mix before/after (id, lsn) dedup
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+deduped AS (
+    SELECT * FROM cdc_events
+    WHERE lsn IS NOT NULL
+    QUALIFY row_number() OVER (PARTITION BY id, lsn ORDER BY ts_ms) = 1
+)
+SELECT
+    CASE WHEN op = 'c' THEN 'CREATE'
+         WHEN op = 'd' THEN 'DELETE'
+         WHEN op = 'u' THEN 'UPDATE'
+         WHEN op = 'r' THEN 'SNAPSHOT'
+         ELSE 'INVALID' END AS operation_type,
+    count(*) AS n_events,
+    count(DISTINCT id) AS n_keys
+FROM deduped
+GROUP BY 1
+"""
+
+
+@query("cdc_dedup_op_counts", oracle=_DEDUP_ORACLE)
+def cdc_dedup_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix audit after exactly-once repair: dedup replayed (id, lsn)
+    events (the reference's transport is at-least-once — SURVEY.md S6), then
+    count events and distinct keys per operation type."""
+    deduped = (
+        _decoded(spark, sf_dir)
+        .where(F.col("lsn").isNotNull())
+        .dropDuplicates(["id", "lsn"])
+    )
+    return deduped.groupBy(op_label(F.col("op")).alias("operation_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("id").alias("n_keys"),
+    )

@@ -1,0 +1,15 @@
+"""Import every query-defining module so registrations land in
+``queries.QUERIES`` / ``queries.ORACLES``."""
+
+from __future__ import annotations
+
+import importlib
+
+_QUERY_MODULES = (
+    "change_data_capture_spark.operators.cdc_queries",
+)
+
+
+def load_all_queries() -> None:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)

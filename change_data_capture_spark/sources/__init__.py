@@ -1,0 +1,3 @@
+from change_data_capture_spark.sources.tables import load_table, load_tables
+
+__all__ = ["load_table", "load_tables"]

@@ -1,0 +1,59 @@
+"""Flagship SCD2 + CDC query tests: oracle parity and invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare
+
+CDC_QUERIES = ["scd2_products", "cdc_change_log", "cdc_dedup_op_counts"]
+
+
+@pytest.mark.parametrize("name", CDC_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    compare(name, spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "id", "name", "description", "price",
+        "row_valid_start_timestamp", "row_valid_expiration_timestamp",
+    ]
+
+
+def test_scd2_interval_invariants(spark, sf_dir):
+    """Property: per id, validity intervals partition time — starts strictly
+    increase, each expiration equals the next start, and exactly one open
+    (sentinel) interval exists per id (SURVEY.md §5 item 4)."""
+    df = entrymod.queries()["scd2_products"](spark, sf_dir)
+
+    bad_order = df.where(
+        F.col("row_valid_expiration_timestamp") <= F.col("row_valid_start_timestamp")
+    ).count()
+    assert bad_order == 0
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("row_valid_start_timestamp")
+    chained = df.select(
+        "id",
+        "row_valid_start_timestamp",
+        "row_valid_expiration_timestamp",
+        F.lead("row_valid_start_timestamp").over(w).alias("next_start"),
+    )
+    broken_chain = chained.where(
+        F.col("next_start").isNotNull()
+        & (F.col("row_valid_expiration_timestamp") != F.col("next_start"))
+    ).count()
+    assert broken_chain == 0
+
+    open_rows = df.where(
+        F.col("row_valid_expiration_timestamp") == F.lit("2260-01-01").cast("timestamp")
+    )
+    per_id = open_rows.groupBy("id").count().where("count != 1").count()
+    assert per_id == 0
