@@ -1,0 +1,318 @@
+"""Event-stream analytics over the ``events`` fixture — the batch
+formulations of the streaming surface (tumbling windows, sessionization,
+as-of enrichment, interval joins). The live Structured Streaming versions of
+these live in ``streaming/``; these batch twins are what the DuckDB oracle
+can check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.queries import query
+from change_data_capture_spark.sources.tables import load_table
+
+
+def _dec(col, p: int = 18, s: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+def _d(c: F.Column) -> F.Column:
+    return c.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# tumbling window aggregation (streaming window, batch twin)
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT
+    date_trunc('hour', ts) AS window_start,
+    event_type,
+    count(*) AS n_events,
+    count(DISTINCT user_id) AS n_users,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_hourly", oracle=_TUMBLING_ORACLE)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregate per event type — ``F.window`` (the
+    same operator Structured Streaming uses with a watermark; epoch-aligned
+    1h windows coincide with date_trunc('hour'))."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    n = F.count(F.lit(1))
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            n.alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _d(F.sum(_dec("value"))).alias("total_value"),
+            (_d(F.sum(_dec("value"))) / n).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap-based) — batch twin of F.session_window
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > {_SESSION_GAP_MS}
+                  OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("events_sessionization", oracle=_SESSION_ORACLE)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min inactivity) via the classic
+    lag→flag→cumsum rewrite. One shuffle on user_id; flag, cumulative sum,
+    and the final per-(user, session) aggregate all reuse that partitioning.
+    Streaming twin: ``F.session_window`` (see streaming/)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts) > _SESSION_GAP_MS)
+    ).cast("int")
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.sum(new_session).over(wcum).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            _d(F.sum(_dec("value"))).alias("session_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join: enrich each event with the user's latest order date
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT max(o.o_orderdate) FROM orders o
+         WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_order_date
+FROM events e
+"""
+
+
+@query("asof_join_last_order", oracle=_ASOF_ORACLE)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each event picks the most recent order date of its user
+    at event time.
+
+    Spark has no native as-of join; the scalable rewrite is the
+    union-and-carry pattern: tag both sides, union on (key, time), and carry
+    the last seen right-side value forward with ``last(..., ignoreNulls)``
+    over one (key, time)-sorted window. Cost: one shuffle on the key —
+    no nested-loop, no per-row subquery, skew handled by AQE. The oracle
+    states the semantics directly as a correlated scalar subquery.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+
+    # pre-reduce the right side: only the max orderdate per (custkey, date)
+    # matters; dedup cuts the union volume (cheap partial agg).
+    o_side = (
+        o.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderdate").alias("order_date"),
+        )
+        .distinct()
+        .withColumn("event_id", F.lit(None).cast("long"))
+        .withColumn("is_event", F.lit(0))
+    )
+    e_side = e.select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("order_date"),
+        "event_id", F.lit(1).alias("is_event"),
+    )
+    # order rows sort before event rows at equal ts (is_event ASC) so an
+    # order dated exactly at the event time counts as "<= ts".
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o_side.unionByName(e_side)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "is_event",
+            F.last("order_date", ignorenulls=True).over(w).alias("last_order_date"),
+        )
+        .where(F.col("is_event") == 1)
+        .select("event_id", "user_id", "ts", "last_order_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join, bucketed for scale
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+SELECT o.o_orderpriority,
+       count(*) AS n_pairs,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <  o.o_orderdate + INTERVAL 3 DAY
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("range_join_ship_window", oracle=_RANGE_ORACLE)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (no equi key): lineitems shipped within 3 days of
+    *any* order's date.
+
+    Naive Spark execution is a BroadcastNestedLoopJoin — O(|O|·|L|), dead at
+    scale. The scale path implemented here is interval bucketing: quantize
+    time into buckets at least as wide as the interval (7 days ≥ 3 days), so
+    each order interval [d, d+3) overlaps at most 2 buckets. Explode orders
+    to those ≤2 bucket rows, equi-join on bucket, post-filter the exact range
+    predicate. Each qualifying pair is produced exactly once (its ship-date
+    bucket matches exactly one of the order's bucket rows). Cost: one
+    shuffle join on a dense int key — survives 100×. (SURVEY.md §7 names
+    this the one genuinely hard physical piece; this is the design.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    bucket_len = 7 * 24 * 3600  # seconds; >= interval length
+    o_b = o.select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("start_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("end_ts"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp("start_ts") / bucket_len).cast("long"),
+                # end is exclusive: the last overlapped bucket is the one
+                # containing the last included instant (end - 1s)
+                ((F.unix_timestamp("end_ts") - 1) / bucket_len).cast("long"),
+            )
+        ),
+    )
+    l_b = l.select("l_quantity", F.col("l_shipdate").alias("ship_ts")).withColumn(
+        "bucket", (F.unix_timestamp("ship_ts") / bucket_len).cast("long")
+    )
+    pairs = o_b.join(l_b, "bucket").where(
+        (F.col("ship_ts") >= F.col("start_ts")) & (F.col("ship_ts") < F.col("end_ts"))
+    )
+    return pairs.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _d(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON / map functions over the props column
+# ---------------------------------------------------------------------------
+
+_PROPS_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+       len(json_keys(props)) AS n_keys,
+       json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
+FROM events
+"""
+
+
+@query("json_map_funcs", oracle=_PROPS_ORACLE)
+def json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON document-column handling (P2/M1 generalized): typed extraction
+    via ``from_json`` to MapType + ``get_json_object`` path probe. Map stays
+    internal (pandas-bridge hazard); outputs are scalars."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.get_json_object("props", "$.missing").isNotNull().alias("has_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# array lambda functions over embeddings
+# ---------------------------------------------------------------------------
+
+_ARRAY_ORACLE = """
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS sum_values,
+       CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS max_value,
+       round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6) AS squared_norm,
+       len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_positive
+FROM embeddings
+"""
+
+
+@query("array_vector_funcs", oracle=_ARRAY_ORACLE)
+def array_vector_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array lambda family (transform/filter/aggregate) over the embedding
+    column — float32 values are widened to double (exact) and folded
+    sequentially, matching DuckDB's list_sum order, so sums agree bit-wise;
+    round(6) guards the boundary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(fold(vec), 6).alias("sum_values"),
+        F.array_max(vec).alias("max_value"),
+        F.round(fold(F.transform(vec, lambda x: x * x)), 6).alias("squared_norm"),
+        F.size(F.filter(vec, lambda x: x > 0)).alias("n_positive"),
+    )

@@ -1,0 +1,511 @@
+"""Relational operator closure over the TPC-H-ish star schema (SURVEY.md §2.B).
+
+Generalizes the operator families the reference exhibits (projection,
+predicates, CASE, aggregation+HAVING, semi join, windows, sort/limit —
+SURVEY.md §2.A) to the full relational surface: multi-way joins with
+broadcast dims, semi/anti joins, rollup, set ops, per-group top-k, running
+windows, and the scalar function families.
+
+Cross-engine determinism rules (see queries.py):
+- sums over DOUBLE columns go through DECIMAL(18,2) casts (exact, associative)
+  and are emitted as DOUBLE;
+- averages are a single IEEE division of exact operands;
+- every ORDER BY … LIMIT has a unique tiebreak column;
+- no DECIMAL / DATE / MAP in final outputs (pandas-bridge hazards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.queries import query
+from change_data_capture_spark.sources.tables import load_table
+
+
+def _dec(col: str | F.Column, p: int = 18, s: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+def _d(c: F.Column) -> F.Column:
+    return c.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: scan + filter pushdown + hash aggregate
+# (generalizes A1; partial/final agg is automatic map-side combine)
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+    l_returnflag, l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+    CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=_Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary. The shipdate filter reaches the
+    parquet scan (PushedFilters) and the aggregate is a two-phase hash agg —
+    the canonical 100 TB-friendly scan+agg shape."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty, price = _dec("l_quantity"), _dec("l_extendedprice")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(8,2)")
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _d(F.sum(qty)).alias("sum_qty"),
+        _d(F.sum(price)).alias("sum_base_price"),
+        _d(F.sum(price * disc1)).alias("sum_disc_price"),
+        _d(F.sum(price * disc1 * tax1)).alias("sum_charge"),
+        (_d(F.sum(qty)) / n).alias("avg_qty"),
+        (_d(F.sum(price)) / n).alias("avg_price"),
+        (_d(F.sum(_dec("l_discount", 8, 2))) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority: 3-way join + agg + deterministic top-k
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT
+    l_orderkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+    o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dims filter early (predicate pushdown on
+    all three scans), join, aggregate, then global top-10 — Spark compiles
+    the sorted LIMIT to TakeOrderedAndProject (no full sort). The tiebreak
+    on l_orderkey makes the cut deterministic."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(l, o.o_orderkey == l.l_orderkey)
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_d(F.sum(rev)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5-style regional revenue: 6-way star join with broadcast dims
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+    n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@query("q5_region_revenue", oracle=_Q5_ORACLE)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join. region/nation/supplier are broadcast
+    explicitly (they stay tiny at any scale factor — classic dimension
+    broadcast), so the only shuffles are the big-side fact joins, and AQE
+    handles their sizing/skew."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return joined.groupBy("n_name").agg(_d(F.sum(rev)).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins (J1 generalized)
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+)
+"""
+
+
+@query("join_left_semi", oracle=_SEMI_ORACLE)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one big order — left-semi join (the explicit
+    form of the reference's IN-subquery, README.md:119; Catalyst's
+    RewritePredicateSubquery produces the same plan from SQL)."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+@query("join_left_anti", oracle=_ANTI_ORACLE)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no big order — left-anti join, the complement of
+    ``join_left_semi``. (NOT IN is null-hostile in SQL; o_custkey is non-null
+    in the fixtures, so anti-join semantics coincide.)"""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k (scale-safe: window + filter, no global sort)
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@query("topk_orders_per_customer", oracle=_TOPK_ORACLE)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price. row_number-over-partition + filter
+    is the per-group top-k that scales (one shuffle; Spark pushes the rank
+    filter into the window sort as a group-limit), vs a global sort which
+    would not."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup + grouping flags
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+    n_name, c_mktsegment,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+    COUNT(*) AS n_customers,
+    GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS lvl
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, c_mktsegment)
+"""
+
+
+@query("rollup_nation_segment", oracle=_ROLLUP_ORACLE)
+def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance rollup over (nation, segment) with grouping flags —
+    hierarchical subtotals in one pass (Catalyst expands to a single Expand +
+    hash agg, not N scans)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            _d(F.sum(_dec("c_acctbal"))).alias("sum_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.grouping("n_name") * 2 + F.grouping("c_mktsegment")).alias("lvl"),
+        )
+        .select("n_name", "c_mktsegment", "sum_acctbal", "n_customers", "lvl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT 'both' AS set_op, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+UNION ALL
+SELECT 'customer_only', nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+UNION ALL
+SELECT 'either', nationkey FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn)
+"""
+
+
+@query("setops_nation_coverage", oracle=_SETOPS_ORACLE)
+def setops_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION-distinct over the nation keys reachable
+    from customers vs suppliers, tagged by set op."""
+    cn = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    sn = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    tag = lambda df, t: df.select(F.lit(t).alias("set_op"), "nationkey")  # noqa: E731
+    return (
+        tag(cn.intersect(sn), "both")
+        .unionAll(tag(cn.subtract(sn), "customer_only"))
+        .unionAll(tag(cn.union(sn).distinct(), "either"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window family over the events stream table
+# ---------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT event_id, user_id, ts, value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value
+FROM events
+"""
+
+
+@query("window_running_total", oracle=_RUNNING_ORACLE)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum in event-time order (frame spec exerciser).
+    DECIMAL accumulation keeps every prefix sum exact — a DOUBLE running sum
+    is not reproducible across engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        _d(F.sum(_dec("value")).over(w)).alias("running_value"),
+    )
+
+
+_LEADLAG_ORACLE = """
+SELECT event_id, user_id, ts,
+       LAG(event_type)  OVER w AS prev_type,
+       LEAD(event_type) OVER w AS next_type,
+       value - LAG(value) OVER w AS value_delta,
+       first_value(event_id) OVER w AS first_event_id,
+       rank()       OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_dense_rank,
+       ntile(4)     OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("window_lead_lag_rank", oracle=_LEADLAG_ORACLE)
+def window_lead_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag/first_value/rank/dense_rank/ntile in one pass. Two window
+    specs share the user_id partitioning → one exchange, two sorts. All
+    rank orders carry a unique tiebreak (event_id) for determinism."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        F.first_value("event_id").over(w).alias("first_event_id"),
+        F.rank().over(wv).alias("value_rank"),
+        F.dense_rank().over(wv).alias("value_dense_rank"),
+        F.ntile(4).over(wv).alias("value_quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function families
+# ---------------------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       length(p_name) AS name_len,
+       substr(p_name, 1, 5) AS name_prefix,
+       concat(p_brand, '-', p_type) AS brand_type,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       regexp_replace(p_name, '\\s+', '_', 'g') AS name_snake,
+       lpad(p_brand, 12, '*') AS brand_padded,
+       trim(concat('  ', p_type, ' ')) AS type_trimmed,
+       (p_type LIKE '%ECO%') AS is_eco,
+       split_part(p_name, ' ', 1) AS first_token
+FROM part
+"""
+
+
+@query("scalar_string_funcs", oracle=_STRING_ORACLE)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (P1/P3 generalized) — pure codegen'd
+    projection, zero shuffles."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"\s+", "_").alias("name_snake"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trimmed"),
+        F.col("p_type").like("%ECO%").alias("is_eco"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_token"),
+    )
+
+
+_DATETIME_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       day(o_orderdate) AS order_day,
+       date_trunc('month', o_orderdate) AS order_month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS order_month_end,
+       datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+       isodow(o_orderdate) AS order_isodow,
+       o_orderdate + INTERVAL 90 DAY AS due_date
+FROM orders
+"""
+
+
+@query("scalar_datetime_funcs", oracle=_DATETIME_ORACLE)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family (P6 generalized). DATE intermediates are
+    cast back to TIMESTAMP in the output (pandas-bridge consistency)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.date_trunc("month", d).alias("order_month_start"),
+        F.last_day(d).cast("timestamp").alias("order_month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias("days_to_2002"),
+        F.unix_timestamp(d).alias("order_epoch"),
+        (F.weekday(d) + 1).alias("order_isodow"),
+        (d + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+    )
+
+
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2)), 2) AS DOUBLE) AS discount_amount,
+       abs(l_extendedprice - l_quantity * 1000) AS price_gap,
+       floor(l_quantity / 10) AS qty_bucket,
+       ceil(l_tax * 100) AS tax_pct_ceil,
+       round(ln(l_extendedprice), 6) AS log_price,
+       round(sqrt(l_quantity), 6) AS sqrt_qty,
+       round(pow(1 + l_discount, 2), 10) AS disc_sq,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       sign(l_extendedprice - 50000) AS above_50k
+FROM lineitem
+"""
+
+
+@query("scalar_math_funcs", oracle=_MATH_ORACLE)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family. Every expression is a single deterministic IEEE
+    op-chain on identical operands, so DOUBLE outputs match bit-wise;
+    transcendentals (ln/sqrt/pow) are rounded to absorb libm variance."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        # decimal multiply, then round: double round ties break differently
+        # across engines (HALF_UP vs half-even); decimal round agrees.
+        _d(F.round(_dec("l_extendedprice") * _dec("l_discount", 8, 2), 2)).alias("discount_amount"),
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000).alias("price_gap"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_bucket"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow(F.lit(1) + F.col("l_discount"), 2), 10).alias("disc_sq"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_extendedprice") - 50000).alias("above_50k"),
+    )

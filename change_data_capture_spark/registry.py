@@ -7,6 +7,8 @@ import importlib
 
 _QUERY_MODULES = (
     "change_data_capture_spark.operators.cdc_queries",
+    "change_data_capture_spark.operators.relational_queries",
+    "change_data_capture_spark.operators.events_queries",
 )
 
 

@@ -39,8 +39,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         dt = df.schema[c].dataType
         if isinstance(dt, LongType):
             # parquet TIMESTAMP(NANOS) read as raw int64 via nanosAsLong:
-            # integer-divide to micros (truncation — matches DuckDB).
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer-divide to micros — `div`, not `/`, because float
+            # division rounds the low microsecond while DuckDB truncates.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif isinstance(dt, TimestampNTZType):
             # NTZ wall-time == UTC instant under a UTC session.
             df = df.withColumn(c, F.col(c).cast("timestamp"))

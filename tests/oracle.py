@@ -27,6 +27,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonical cell text: repr-ish strings, so float/decimal/timestamps with
     # equal values compare equal
+    if df.empty:
+        return df.reset_index(drop=True)
     as_str = df.astype("string").fillna("<NULL>")
     order = as_str.apply(lambda r: "\x1f".join(r), axis=1).sort_values().index
     return df.loc[order].reset_index(drop=True)

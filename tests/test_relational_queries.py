@@ -1,0 +1,29 @@
+"""Oracle parity for the relational operator closure."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare
+
+RELATIONAL = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_left_semi",
+    "join_left_anti",
+    "topk_orders_per_customer",
+    "rollup_nation_segment",
+    "setops_nation_coverage",
+    "window_running_total",
+    "window_lead_lag_rank",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "scalar_math_funcs",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_oracle_parity(spark, sf_dir, name):
+    compare(name, spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
