@@ -1,0 +1,327 @@
+"""Deduplication family (LLM-data tier, SURVEY.md §2.B): exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+The fixture ``documents`` table has no duplicate texts, so each query builds
+a deterministic *augmented corpus* first — the originals plus exact replicas
+(doc_id+100000, every 10th doc) and near-duplicate mutations (doc_id+200000,
+every 7th doc, two junk tokens appended) — the same construction in Spark and
+in the oracle SQL. This gives every dedup operator known-positive dup groups
+to find.
+
+Scale design: everything is explode→shuffle-on-key relational algebra — the
+shapes that survive 100 TB. Exact dedup is a hash groupBy on a fingerprint;
+Jaccard is an inverted-index self-join on shingles (band-limited for MinHash,
+so candidate generation is O(collisions), not O(n²)); signatures are k
+independent min-aggregations over one exploded shingle relation.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.functions.text import (
+    fingerprint,
+    seeded_hash,
+    shingles,
+)
+from change_data_capture_spark.queries import query
+from change_data_capture_spark.sources.tables import load_table
+
+#: shared augmented-corpus CTE (DuckDB side)
+CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000, text || ' qq zz' FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+#: portable seeded 60-bit hash (DuckDB side); seed is a literal int
+_H_SQL = "CAST(('0x' || substr(md5('{seed}|' || {col}), 1, 15)) AS BIGINT)"
+
+N_PERMS = 8          # MinHash permutations
+N_BANDS = 4          # LSH bands (2 rows per band)
+JACCARD_THRESHOLD = 0.6
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of CORPUS_SQL."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+def doc_shingles(c: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) relation — distinct word-k-gram inverted index."""
+    return c.select("doc_id", F.explode(shingles(F.col("text"), k)).alias("shingle"))
+
+
+_SHINGLES_SQL = """
+doc_shingles AS (
+    SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+            i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                 regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                 regexp_split_to_array(trim(text), '\\s+')[i+2]))) AS shingle
+    FROM corpus
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+WITH {CORPUS_SQL}
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       count(*) AS n_copies,
+       min(doc_id) AS canonical_doc_id
+FROM corpus
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep min doc_id as
+    canonical, report dup groups. One hash-agg shuffle on the fingerprint —
+    the cheapest and first dedup pass of any pipeline."""
+    c = corpus(spark, sf_dir)
+    return (
+        c.groupBy(fingerprint(F.col("text")).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dedup (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH {CORPUS_SQL},
+{_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM doc_shingles a JOIN doc_shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by 3-gram Jaccard ≥ 0.6 via the inverted-index
+    self-join (pairs sharing zero shingles are never materialized). At
+    web scale the shingle join is the bottleneck — MinHash+LSH below is the
+    sublinear variant; this exact form is the ground truth."""
+    sh = doc_shingles(corpus(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup (banded candidates, then exact verify)
+# ---------------------------------------------------------------------------
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n           ".join(
+        f"min({_H_SQL.format(seed=i, col='shingle')}) AS h{i}" for i in range(N_PERMS)
+    )
+    return f"signatures AS (\n    SELECT doc_id, {mins}\n    FROM doc_shingles GROUP BY doc_id\n)"
+
+
+def _bands_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(h{2*b}, '_', h{2*b+1}) AS sig FROM signatures"
+        for b in range(N_BANDS)
+    )
+    return f"bands AS ({rows})"
+
+
+_MINHASH_ORACLE = f"""
+WITH {CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM candidates c
+    JOIN doc_shingles sa ON sa.doc_id = c.doc_a
+    JOIN doc_shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 perms) + LSH (4 bands × 2 rows) near-dedup.
+
+    Candidate pairs come from banded signature collisions — the sublinear
+    scale path (shuffle keyed on (band, sig); no all-pairs comparison) —
+    then candidates are verified with exact Jaccard. The seeded-md5 hash
+    family makes signatures identical in the oracle, so even this
+    "approximate" operator is exactly checkable.
+    """
+    sh = doc_shingles(corpus(spark, sf_dir))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(seeded_hash(F.col("shingle"), i)).alias(f"h{i}")
+            for i in range(N_PERMS)
+        ]
+    )
+    bands = reduce(
+        DataFrame.unionAll,
+        [
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", f"h{2*b}", f"h{2*b+1}").alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ],
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (16-bit, token-set based)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    h = _H_SQL.format(seed=0, col="token")
+    bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH {CORPUS_SQL},
+doc_tokens AS (
+    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
+    FROM corpus
+)
+SELECT doc_id, {bits} AS simhash
+FROM doc_tokens
+GROUP BY doc_id
+"""
+
+
+@query("simhash_signatures", oracle=_simhash_sql())
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over the distinct-token set: per bit, majority vote of
+    ±1 weighted by the token hash's bit value. One explode + one grouped
+    aggregation (16 conditional sums) — near-dup docs land at small Hamming
+    distance. Pairing by Hamming ≤ d is done by the pytest property test;
+    the oracle checks the signatures themselves bit-for-bit."""
+    c = corpus(spark, sf_dir)
+    toks = c.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("token"),
+    )
+    h = seeded_hash(F.col("token"), 0)
+    sim = reduce(
+        lambda acc, j: acc
+        + F.when(
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << j),
+        ).otherwise(0),
+        range(1, _SIMHASH_BITS),
+        F.when(
+            F.sum(F.when(h.bitwiseAND(1) == 1, 1).otherwise(-1)) > 0, F.lit(1)
+        ).otherwise(0),
+    )
+    return toks.groupBy("doc_id").agg(sim.alias("simhash"))

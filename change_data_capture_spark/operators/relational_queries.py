@@ -473,15 +473,15 @@ _MATH_ORACLE = """
 SELECT l_orderkey, l_linenumber,
        CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2)), 2) AS DOUBLE) AS discount_amount,
        abs(l_extendedprice - l_quantity * 1000) AS price_gap,
-       floor(l_quantity / 10) AS qty_bucket,
-       ceil(l_tax * 100) AS tax_pct_ceil,
+       CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
+       CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
        round(ln(l_extendedprice), 6) AS log_price,
        round(sqrt(l_quantity), 6) AS sqrt_qty,
        round(pow(1 + l_discount, 2), 10) AS disc_sq,
        CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
        greatest(l_discount, l_tax) AS max_rate,
        least(l_discount, l_tax) AS min_rate,
-       sign(l_extendedprice - 50000) AS above_50k
+       CAST(sign(l_extendedprice - 50000) AS DOUBLE) AS above_50k
 FROM lineitem
 """
 

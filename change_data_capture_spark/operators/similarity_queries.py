@@ -1,0 +1,189 @@
+"""Similarity search over the ``embeddings`` fixture (LLM-data tier):
+brute-force cosine top-k (the exact baseline), threshold near-dup pairs, and
+a random-hyperplane LSH variant (the sublinear scale path, recall-tested
+against the exact baseline in pytest).
+
+Vector math is pure built-in array lambdas over ``array<double>`` — float32
+inputs widen exactly, and both engines fold sums sequentially, so cosines are
+bit-identical (verified against DuckDB's list_cosine_similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.functions.text import seeded_hash
+from change_data_capture_spark.queries import query
+from change_data_capture_spark.sources.tables import load_table
+
+N_QUERY_VECS = 5
+TOP_K = 10
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (exact ANN baseline)
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id, e.label,
+           list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, round(cos, 6) AS cosine
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {TOP_K}
+"""
+
+
+@query("similarity_topk_cosine", oracle=_TOPK_ORACLE)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors: broadcast the tiny
+    query side, score every (query, vector) pair map-side (no shuffle until
+    the per-query top-k window), rank with a unique tiebreak. This is the
+    correct brute-force shape at scale — the corpus is scanned once, never
+    shuffled; only (n_queries × k) rows survive."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "label", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs (threshold join over augmented corpus)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_ORACLE = """
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+    FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+"""
+
+
+@query("embedding_cosine_neardup", oracle=_NEARDUP_ORACLE)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.99). The fixture vectors are
+    near-orthogonal, so the corpus is augmented with ×2-scaled copies
+    (cosine exactly 1 in fp — power-of-two scaling) as known positives.
+    All-pairs is quadratic and only acceptable as ground truth; the
+    ``similarity_lsh_buckets`` query is the scale path."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scaled = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * 2).alias("v"),
+    )
+    vecs = e.unionAll(scaled)
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("c"))
+        .where(F.col("c") >= 0.99)
+        .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH buckets (sublinear ANN scale path)
+# ---------------------------------------------------------------------------
+
+N_HYPERPLANES = 8
+
+
+def _hyperplane(dim: int, h: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from the portable hash
+    family — reproducible anywhere, no RNG state."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        digest = hashlib.md5(f"{h}|dim{i}".encode()).hexdigest()
+        out.append(1.0 if int(digest[:2], 16) % 2 == 0 else -1.0)
+    return out
+
+
+def lsh_bucket_expr(vec: Column, dim: int) -> Column:
+    """Sign-of-projection bitcode over N_HYPERPLANES ±1 hyperplanes."""
+    code = F.lit(0)
+    for h in range(N_HYPERPLANES):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, h)])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, p: x * p), F.lit(0.0), lambda s, x: s + x
+        )
+        code = code + F.when(proj > 0, F.lit(1 << h)).otherwise(0)
+    return code
+
+
+@query("similarity_lsh_buckets")  # rows-only: approximate by design
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH: bucket = 8-bit sign code
+    of projections onto deterministic ±1 hyperplanes; near-dup candidates
+    are pairs sharing a bucket — candidate generation is one shuffle on the
+    bucket key, O(collisions) not O(n²). Approximate by design (no SQL
+    oracle); recall vs the exact baseline is asserted in pytest."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = 64  # fixture embedding dimension (TESTDATA.md)
+    scaled = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * 2).alias("v"),
+    )
+    vecs = e.unionAll(scaled)
+    coded = vecs.select("vec_id", "v", lsh_bucket_expr(F.col("v"), dim).alias("bucket"))
+    a = coded.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = coded.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("bucket", "vec_a", "vec_b", cos.alias("c"))
+        .where(F.col("c") >= 0.99)
+        .select("bucket", "vec_a", "vec_b", F.round("c", 6).alias("cosine"))
+    )

@@ -1,0 +1,170 @@
+"""Text-analysis queries over ``documents`` (LLM-data tier, SURVEY.md §2.B):
+quality stats, BPE-ish token counting, language-ID heuristic, fingerprinting.
+All built-in expressions — a 100 TB corpus scan stays a single codegen'd
+projection (+ one shuffle where grouped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    normalize,
+    tokens,
+)
+from change_data_capture_spark.queries import query
+from change_data_capture_spark.sources.tables import load_table
+
+_SW_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation —
+# the shape GPT-style tokenizers use as the pre-split (public pattern).
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+_TEXT_STATS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, n_chars,
+           regexp_split_to_array(trim(text), '\\s+') AS toks,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+    FROM documents
+)
+SELECT doc_id, lang,
+       n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique_tokens,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+       CAST(n_nonspace AS DOUBLE) / len(toks) AS avg_token_len,
+       len(list_filter(toks, x -> x IN {_SW_SQL})) AS n_stopwords,
+       CAST(len(list_filter(toks, x -> x IN {_SW_SQL})) AS DOUBLE) / len(toks)
+           AS stopword_ratio
+FROM t
+"""
+
+
+@query("text_quality_stats", oracle=_TEXT_STATS_ORACLE)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token counts, type-token ratio, average
+    token length, stopword ratio — the standard cheap filters of an LLM data
+    pipeline. Zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique_tokens"),
+        (n_uniq.cast("double") / n_tok).alias("type_token_ratio"),
+        (n_nonspace.cast("double") / n_tok).alias("avg_token_len"),
+        sw.alias("n_stopwords"),
+        (sw.cast("double") / n_tok).alias("stopword_ratio"),
+    )
+
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_pretokens,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+FROM documents
+"""
+
+
+@query("token_counting", oracle=_TOKEN_COUNT_ORACLE)
+def token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish pre-tokenizer regex,
+    and the chars/4 LLM heuristic."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("n_bpe_pretokens"),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("approx_llm_tokens"),
+    )
+
+
+_LANG_ID_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x IN {_SW_SQL})) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\\s+')) AS sw_ratio
+    FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS predicted_lang,
+       (CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'unk' END) = lang AS agrees
+FROM scored
+"""
+
+
+@query("lang_id_heuristic", oracle=_LANG_ID_ORACLE)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic (n-gram/stopword profiling is the
+    standard cheap lang-ID). The fixture text is synthetic word soup, so the
+    point is the deterministic operator, not model accuracy."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    pred = F.when(sw_ratio >= 0.05, "en").otherwise("unk")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("agrees"),
+    )
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 8)
+           AS fingerprint_prefix
+FROM documents
+"""
+
+
+@query("doc_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-md5 document fingerprint — the join key for exact dedup
+    and incremental re-crawl diffing."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fingerprint_prefix"),
+    )
+
+
+_LANG_ROLLUP_ORACLE = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@query("corpus_lang_source_profile", oracle=_LANG_ROLLUP_ORACLE)
+def corpus_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition profile by (lang, source) — the bookkeeping agg
+    every training-data pipeline runs before sampling."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )

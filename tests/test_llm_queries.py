@@ -1,0 +1,80 @@
+"""Oracle parity + properties for the LLM-data tier (text / dedup /
+similarity / multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare
+
+ORACLE_CHECKED = [
+    "text_quality_stats",
+    "token_counting",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "corpus_lang_source_profile",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "similarity_topk_cosine",
+    "embedding_cosine_neardup",
+    "multimodal_features",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_oracle_parity(spark, sf_dir, name):
+    compare(name, spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
+
+
+def test_dedup_exact_finds_constructed_dups(spark, sf_dir):
+    """Every exact replica group (doc_id%10==0 → +100000) must be found."""
+    df = entrymod.queries()["dedup_exact"](spark, sf_dir)
+    rows = df.collect()
+    assert all(r.n_copies >= 2 for r in rows)
+    assert len(rows) > 0
+
+
+def test_minhash_recall_on_near_dups(spark, sf_dir):
+    """MinHash-LSH must recover a healthy share of the exact-Jaccard pairs
+    (banding is probabilistic; with 4 bands × 2 rows at j≈0.9 the per-pair
+    miss probability is ~(1-0.81)^4 ≈ 0.1%)."""
+    q = entrymod.queries()
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in q["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in q["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert exact, "constructed near-dups must produce exact pairs"
+    assert lsh.issubset(exact), "LSH-verified pairs must be true pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
+
+
+def test_lsh_bucket_recall_on_scaled_copies(spark, sf_dir):
+    """Hyperplane-LSH buckets must co-locate every ×2-scaled copy with its
+    original (identical direction → identical sign code)."""
+    df = entrymod.queries()["similarity_lsh_buckets"](spark, sf_dir)
+    pairs = {(r.vec_a, r.vec_b) for r in df.collect()}
+    # constructed positives: (vec_id, vec_id+100000) for vec_id % 10 == 0
+    from change_data_capture_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings")
+    expected = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in base.where(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+    }
+    missing = {p for p in expected if p not in pairs}
+    assert not missing, f"scaled copies missing from LSH buckets: {sorted(missing)[:5]}"
+
+
+def test_multimodal_real_decode_is_stubbed():
+    from change_data_capture_spark.operators.multimodal import decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
