@@ -1,0 +1,107 @@
+"""Structured Streaming pipeline — Spark-native parity for the reference's
+transport half (SURVEY.md S4-S7, E2):
+
+    Debezium → Kafka topics → Kafka-Connect S3 sink (at-least-once JSONL)
+
+becomes ONE fault domain:
+
+    readStream(file-or-kafka, typed envelope) → watermark + (id,lsn) dedup
+      → writeStream(parquet, checkpoint, partitionBy)   # exactly-once
+
+The reference needs four processes and delivers at-least-once
+(``connectors/s3-sink.json``); the checkpointed file sink here is
+exactly-once, strictly stronger (SURVEY.md §3 E2).
+
+Kafka note: ``format("kafka")`` is the drop-in source for live topics
+(``option("subscribe", "debezium.commerce.*")``); this environment has no
+broker, so tests drive the identical query graph from the file source — the
+transformation/sink code is source-agnostic by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from change_data_capture_spark.functions.envelope import decode_envelope
+from change_data_capture_spark.sources.ndjson import read_envelope_ndjson
+
+
+def kafka_envelope_stream(
+    spark: SparkSession, brokers: str, topics: str
+) -> DataFrame:
+    """S4/S5: consume Debezium topics from Kafka and decode the typed
+    envelope (``value`` is the JSON envelope bytes). Requires a live broker —
+    the file-source twin below has the identical downstream graph."""
+    from change_data_capture_spark.schemas import PRODUCTS_ENVELOPE
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), PRODUCTS_ENVELOPE).alias("v")
+    ).select("v.*")
+
+
+def ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """S6/S7 upgrade: stream the NDJSON change log into partitioned parquet
+    with exactly-once semantics.
+
+    - watermark on event time bounds dedup state (late replays beyond 1 hour
+      age out — at 100 TB unbounded state is the failure mode);
+    - ``dropDuplicatesWithinWatermark`` on (id, lsn) repairs the at-least-once
+      transport;
+    - checkpointed file sink commits atomically per micro-batch (the Spark
+      replacement for Kafka-Connect's offset topics);
+    - ``partitionBy(ingest_date, ingest_hour)`` is the reference's path
+      template (s3-sink.json:14) as real partitions → partition pruning.
+    """
+    env = read_envelope_ndjson(spark, source_dir, streaming=True)
+    decoded = (
+        decode_envelope(env)
+        .withWatermark("source_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["id", "lsn"])
+        .withColumn("ingest_date", F.date_format("source_ts", "yyyy-MM-dd"))
+        .withColumn("ingest_hour", F.date_format("source_ts", "HH"))
+    )
+    writer = (
+        decoded.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("ingest_date", "ingest_hour")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    spark: SparkSession, events: DataFrame, gap: str | None = None
+) -> DataFrame:
+    """Streaming tumbling (1h) or session (gap) window aggregation with a
+    watermark — the streaming twins of ``events_tumbling_hourly`` /
+    ``events_sessionization`` (events_queries.py). Works on any streaming
+    DataFrame with (ts, user_id, event_type, value)."""
+    e = events.withWatermark("ts", "2 hours")
+    if gap is None:
+        win = F.window("ts", "1 hour")
+        keys = [win.alias("w"), F.col("event_type")]
+    else:
+        win = F.session_window("ts", gap)
+        keys = [win.alias("w"), F.col("user_id")]
+    return e.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

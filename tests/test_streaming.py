@@ -1,0 +1,63 @@
+"""Structured Streaming pipeline tests: exactly-once ingest, incremental
+SCD2 equivalence, streaming windows."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare
+
+
+@pytest.mark.parametrize(
+    "name", ["streaming_ingest_exactly_once", "streaming_scd2_incremental"]
+)
+def test_streaming_oracle_parity(spark, sf_dir, name):
+    compare(name, spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
+
+
+def test_incremental_equals_batch(spark, sf_dir):
+    """The incremental (multi-micro-batch) SCD2 state must equal the batch
+    flagship query exactly — batching is an execution detail, not semantics."""
+    q = entrymod.queries()
+    batch = {tuple(r) for r in q["scd2_products"](spark, sf_dir).collect()}
+    inc = {tuple(r) for r in q["streaming_scd2_incremental"](spark, sf_dir).collect()}
+    assert batch == inc
+
+
+def test_ingest_is_exactly_once_under_replay(spark, sf_dir):
+    """Replayed (id,lsn) duplicates in the transport must land exactly once."""
+    df = entrymod.queries()["streaming_ingest_exactly_once"](spark, sf_dir)
+    dups = df.groupBy("id", "lsn").count().where("count > 1").count()
+    assert dups == 0
+
+
+def test_streaming_session_window_runs(spark, sf_dir):
+    """Streaming session windows (F.session_window + watermark) execute and
+    produce plausible sessions from a file-backed stream."""
+    from change_data_capture_spark.sources.tables import load_table
+    from change_data_capture_spark.streaming.pipeline import windowed_event_counts
+
+    ws = tempfile.mkdtemp(prefix="cdc_sess_")
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "value"
+    )
+    events.write.mode("overwrite").parquet(f"{ws}/events")
+
+    stream = spark.readStream.schema(events.schema).parquet(f"{ws}/events")
+    agg = windowed_event_counts(spark, stream, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM sess_test")
+    assert out.count() > 0
+    # session invariant: no session shorter than a single event, all counts >= 1
+    assert out.where(F.col("n_events") < 1).count() == 0
