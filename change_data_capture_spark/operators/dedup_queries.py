@@ -63,8 +63,23 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_shingles(c: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) relation — distinct word-k-gram inverted index."""
-    return c.select("doc_id", F.explode(shingles(F.col("text"), k)).alias("shingle"))
+    """(doc_id, shingle) relation — distinct word-k-gram inverted index.
+
+    Two deliberate physical choices (both measured, see text.py docstring):
+    tokens are materialized into a column before shingling (lambda-inlined
+    split() re-tokenizes per element access), and set semantics come from a
+    post-explode ``distinct`` (hash partial-agg, linear) instead of per-row
+    ``array_distinct`` (quadratic per doc)."""
+    from change_data_capture_spark.functions.text import shingles_from_tokens, tokens
+
+    return (
+        c.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("toks"), k)).alias("shingle"),
+        )
+        .distinct()
+    )
 
 
 _SHINGLES_SQL = """
@@ -139,7 +154,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (pairs sharing zero shingles are never materialized). At
     web scale the shingle join is the bottleneck — MinHash+LSH below is the
     sublinear variant; this exact form is the ground truth."""
-    sh = doc_shingles(corpus(spark, sf_dir))
+    # three consumers (sizes + both join sides) — persist, as in minhash
+    sh = doc_shingles(corpus(spark, sf_dir)).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -218,7 +234,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     family makes signatures identical in the oracle, so even this
     "approximate" operator is exactly checkable.
     """
-    sh = doc_shingles(corpus(spark, sf_dir))
+    # the shingle relation feeds four branches (signatures, sizes, and both
+    # sides of the verification join); without persist Spark would re-derive
+    # it — re-tokenize + re-md5 — once per branch. Same reasoning as the
+    # reference's twice-used CTE (SURVEY.md §4: explicit cache choice).
+    sh = doc_shingles(corpus(spark, sf_dir)).persist()
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(seeded_hash(F.col("shingle"), i)).alias(f"h{i}")

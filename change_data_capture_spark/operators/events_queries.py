@@ -215,18 +215,34 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     *any* order's date.
 
     Naive Spark execution is a BroadcastNestedLoopJoin — O(|O|·|L|), dead at
-    scale. The scale path implemented here is interval bucketing: quantize
-    time into buckets at least as wide as the interval (7 days ≥ 3 days), so
-    each order interval [d, d+3) overlaps at most 2 buckets. Explode orders
-    to those ≤2 bucket rows, equi-join on bucket, post-filter the exact range
-    predicate. Each qualifying pair is produced exactly once (its ship-date
-    bucket matches exactly one of the order's bucket rows). Cost: one
-    shuffle join on a dense int key — survives 100×. (SURVEY.md §7 names
-    this the one genuinely hard physical piece; this is the design.)
+    scale. Two composed scale techniques here (SURVEY.md §7 calls the range
+    join the one genuinely hard physical piece):
+
+    1. **Aggregate pushdown through the range join.** The payload (count,
+       qty-sum) depends only on the ship *day*, so lineitem collapses to one
+       row per day before joining (600k rows → ~2.4k at sf0.1; same ratio at
+       100 TB). The true pair count (~10⁸ at sf0.1) is never materialized —
+       it is reconstructed from day-level partial aggregates.
+    2. **Interval bucketing.** Quantize time into buckets at least as wide
+       as the interval (7 days ≥ 3 days), so each order interval [d, d+3)
+       overlaps ≤ 2 buckets; explode orders to those bucket rows, equi-join
+       on the dense bucket key, post-filter the exact predicate. Each
+       qualifying pair appears exactly once (its day-bucket matches exactly
+       one of the order's bucket rows). No nested loop at any scale.
     """
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
 
+    # (1) collapse lineitem to per-day partial aggregates
+    days = (
+        l.groupBy(F.date_trunc("day", "l_shipdate").alias("ship_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_day"),
+            F.sum(_dec("l_quantity")).alias("qty_day"),
+        )
+    )
+
+    # (2) bucketed range join: orders × day-aggregates
     bucket_len = 7 * 24 * 3600  # seconds; >= interval length
     o_b = o.select(
         "o_orderpriority",
@@ -243,15 +259,15 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    l_b = l.select("l_quantity", F.col("l_shipdate").alias("ship_ts")).withColumn(
+    d_b = days.withColumn(
         "bucket", (F.unix_timestamp("ship_ts") / bucket_len).cast("long")
     )
-    pairs = o_b.join(l_b, "bucket").where(
+    pairs = o_b.join(d_b, "bucket").where(
         (F.col("ship_ts") >= F.col("start_ts")) & (F.col("ship_ts") < F.col("end_ts"))
     )
     return pairs.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        _d(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+        F.sum("n_day").alias("n_pairs"),
+        _d(F.sum("qty_day")).alias("sum_qty"),
     )
 
 

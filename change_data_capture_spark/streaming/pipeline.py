@@ -54,6 +54,7 @@ def ingest_stream(
     sink_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    hourly_partitions: bool = False,
 ) -> StreamingQuery:
     """S6/S7 upgrade: stream the NDJSON change log into partitioned parquet
     with exactly-once semantics.
@@ -63,23 +64,32 @@ def ingest_stream(
     - ``dropDuplicatesWithinWatermark`` on (id, lsn) repairs the at-least-once
       transport;
     - checkpointed file sink commits atomically per micro-batch (the Spark
-      replacement for Kafka-Connect's offset topics);
-    - ``partitionBy(ingest_date, ingest_hour)`` is the reference's path
-      template (s3-sink.json:14) as real partitions → partition pruning.
+      replacement for Kafka-Connect's offset topics).
+
+    Partition layout: the reference uses hour-granularity paths
+    (s3-sink.json:14). Partition count must track data volume, so the
+    default here is **daily** directories with ``ingest_hour`` kept as a
+    data column (hour pruning still works via min/max stats); pass
+    ``hourly_partitions=True`` at volumes where an hour holds file-sized
+    data. The pre-sink ``repartition`` on the partition keys gives one file
+    per partition per micro-batch — the small-files guard; real deployments
+    add a hash-bucket column to that repartition for write parallelism.
     """
     env = read_envelope_ndjson(spark, source_dir, streaming=True)
+    part_cols = ["ingest_date", "ingest_hour"] if hourly_partitions else ["ingest_date"]
     decoded = (
         decode_envelope(env)
         .withWatermark("source_ts", "1 hour")
         .dropDuplicatesWithinWatermark(["id", "lsn"])
         .withColumn("ingest_date", F.date_format("source_ts", "yyyy-MM-dd"))
         .withColumn("ingest_hour", F.date_format("source_ts", "HH"))
+        .repartition(*part_cols)
     )
     writer = (
         decoded.writeStream.format("parquet")
         .option("path", sink_dir)
         .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("ingest_date", "ingest_hour")
+        .partitionBy(*part_cols)
         .outputMode("append")
     )
     if available_now:

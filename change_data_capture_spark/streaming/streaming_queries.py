@@ -23,8 +23,6 @@ from change_data_capture_spark.sources.cdc_generator import (
     CDC_EVENTS_SQL,
     product_change_events,
 )
-from change_data_capture_spark.sources.ndjson import write_envelope_ndjson
-
 _INGEST_ORACLE = f"""
 WITH {CDC_EVENTS_SQL}
 SELECT id, op, lsn, ts_ms, name, CAST(price AS DOUBLE) AS price,
@@ -47,7 +45,11 @@ def streaming_ingest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
     ws = tempfile.mkdtemp(prefix="cdc_ingest_")
     src, sink, ckpt = f"{ws}/log", f"{ws}/landed", f"{ws}/ckpt"
 
-    write_envelope_ndjson(product_change_events(spark, sf_dir), src)
+    # the NDJSON log plays the Kafka topic's role: a handful of append-only
+    # segment files (time-partitioned *landing* happens at the sink — S7)
+    product_change_events(spark, sf_dir).repartition(8).write.mode(
+        "overwrite"
+    ).json(src)
     ingest_stream(spark, src, sink, ckpt, available_now=True).awaitTermination()
 
     landed = spark.read.parquet(sink)
