@@ -26,6 +26,21 @@ def op_label(op: Column) -> Column:
     )
 
 
+def decode_user_envelope(env: DataFrame) -> DataFrame:
+    """Flatten the users-topic envelope (row shape init.sql:17-21)."""
+    v = F.col("value")
+    return env.select(
+        F.coalesce(v["after"]["id"], v["before"]["id"]).alias("id"),
+        v["op"].alias("op"),
+        op_label(v["op"]).alias("op_label"),
+        v["source"]["lsn"].alias("lsn"),
+        v["source"]["ts_ms"].alias("ts_ms"),
+        F.timestamp_millis(v["source"]["ts_ms"]).alias("source_ts"),
+        v["after"]["username"].alias("username"),
+        v["after"]["password"].alias("password"),
+    )
+
+
 def decode_envelope(env: DataFrame) -> DataFrame:
     """Flatten the envelope into the columns the analytic queries consume.
 

@@ -1,0 +1,310 @@
+"""Remaining operator-closure coverage (SURVEY.md §2.B): cube, pivot,
+statistical aggregates, ordered string aggregation, set-op ALL variants,
+outer joins, range window frames, posexplode, approximate distinct counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.queries import query
+from change_data_capture_spark.sources.tables import load_table
+
+
+def _dec(col, p: int = 18, s: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+def _d(c: F.Column) -> F.Column:
+    return c.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# CUBE over (returnflag, linestatus)
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS lvl
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@query("cube_returnflag_status", oracle=_CUBE_ORACLE)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all 2^k grouping sets in one Expand+agg pass)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            _d(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("lvl"),
+        )
+        .select("l_returnflag", "l_linestatus", "sum_qty", "n_items", "lvl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot: event_type columns × daily rows
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = f"""
+SELECT date_trunc('day', ts) AS day,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)},
+       {", ".join(f"CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = '{t}'), 0) AS DOUBLE) AS value_{t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+@query("pivot_daily_event_types", oracle=_PIVOT_ORACLE)
+def pivot_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation). The explicit value list keeps it
+    a single-pass agg — Spark's ``pivot(col)`` without values would scan once
+    extra to discover them (never do that at 100 TB)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    aggs = []
+    for t in _EVENT_TYPES:
+        is_t = F.col("event_type") == t
+        aggs.append(F.count(F.when(is_t, 1)).alias(f"n_{t}"))
+    for t in _EVENT_TYPES:
+        is_t = F.col("event_type") == t
+        aggs.append(
+            _d(F.coalesce(F.sum(F.when(is_t, _dec("value"))), F.lit(0).cast("decimal(18,2)"))).alias(f"value_{t}")
+        )
+    return e.groupBy(day).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n,
+       CAST(min(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(max(c_acctbal) AS DOUBLE) AS max_bal,
+       round(stddev_samp(c_acctbal), 4) AS stddev_bal,
+       round(var_samp(c_acctbal), 4) AS var_bal,
+       CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE) AS median_bal,
+       CAST(quantile_cont(c_acctbal, 0.9) AS DOUBLE) AS p90_bal,
+       count(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
+       bool_or(c_acctbal > 9000) AS any_rich,
+       bool_and(c_acctbal > -10000) AS all_above_floor
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@query("stats_aggregates", oracle=_STATS_ORACLE)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family. stddev/variance accumulate in different
+    partial orders across engines → rounded to 4 decimals; exact percentiles
+    (interpolating selection) are order-free and compare exactly."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        _d(F.min(bal)).alias("min_bal"),
+        _d(F.max(bal)).alias("max_bal"),
+        F.round(F.stddev_samp(bal), 4).alias("stddev_bal"),
+        F.round(F.var_samp(bal), 4).alias("var_bal"),
+        F.percentile(bal, F.lit(0.5)).alias("median_bal"),
+        F.percentile(bal, F.lit(0.9)).alias("p90_bal"),
+        F.count(F.when(bal < 0, 1)).alias("n_negative"),
+        F.bool_or(bal > 9000).alias("any_rich"),
+        F.bool_and(bal > -10000).alias("all_above_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation (collect_list with deterministic order)
+# ---------------------------------------------------------------------------
+
+_STRAGG_ORACLE = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@query("string_agg_nations", oracle=_STRAGG_ORACLE)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set aggregation. Raw collect_list order is partition-dependent
+    (nondeterministic at any scale) — sort the collected array, then join.
+    List-typed outputs don't survive the pandas bridge, so emit the joined
+    string."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set-op ALL variants (multiset semantics)
+# ---------------------------------------------------------------------------
+
+_SETALL_ORACLE = """
+WITH a AS (SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 5000)
+SELECT 'intersect_all' AS set_op, k, count(*) AS n FROM (
+    SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY 2
+UNION ALL
+SELECT 'except_all', k, count(*) FROM (
+    SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY 2
+"""
+
+
+@query("setops_all_variants", oracle=_SETALL_ORACLE)
+def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — multiset semantics (duplicate
+    multiplicities matter), counted per key for a stable output."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_nationkey").alias("k"))
+    b = c.where(F.col("c_acctbal") > 5000).select(F.col("c_nationkey").alias("k"))
+    tag = lambda df, t: (  # noqa: E731
+        df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(F.lit(t).alias("set_op"), "k", "n")
+    )
+    return tag(a.intersectAll(b), "intersect_all").unionAll(tag(a.exceptAll(b), "except_all"))
+
+
+# ---------------------------------------------------------------------------
+# full outer join with COALESCE'd key
+# ---------------------------------------------------------------------------
+
+_OUTER_ORACLE = """
+WITH cust AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+     supp AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT COALESCE(cust.k, supp.k) AS nationkey,
+       COALESCE(n_cust, 0) AS n_customers,
+       COALESCE(n_supp, 0) AS n_suppliers
+FROM cust FULL OUTER JOIN supp ON cust.k = supp.k
+"""
+
+
+@query("join_full_outer", oracle=_OUTER_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of pre-aggregated sides (aggregate-before-join keeps
+    the outer join small), COALESCE'd keys and counts."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = cust.join(supp, cust.k == supp.k, "full_outer")
+    return j.select(
+        F.coalesce(cust.k, supp.k).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame (time-based sliding aggregate)
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS value_last_hour,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+           AS n_last_hour
+FROM events
+"""
+
+
+@query("window_range_frame", oracle=_RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on event-time millis: per event, the trailing-hour
+    sum/count for that user — the batch twin of a sliding streaming window."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        _d(F.sum(_dec("value")).over(w)).alias("value_last_hour"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# posexplode / unnest WITH ORDINALITY
+# ---------------------------------------------------------------------------
+
+_POSEXPLODE_ORACLE = """
+SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, CAST(embedding[i] AS DOUBLE) AS val
+FROM embeddings, UNNEST(range(1, 9)) AS t(i)
+WHERE vec_id < 50
+"""
+
+
+@query("posexplode_embedding_dims", oracle=_POSEXPLODE_ORACLE)
+def posexplode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UNNEST WITH ORDINALITY): first 8 dims of the first 50
+    vectors as (vec_id, pos, val) rows."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    return (
+        e.select("vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v"))
+        .select("vec_id", "pos", F.col("v").cast("double").alias("val"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate distinct counting (HLL) — rows-only + exact companion
+# ---------------------------------------------------------------------------
+
+_EXACT_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_suppkey) AS exact_supps
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("count_distinct_exact", oracle=_EXACT_DISTINCT_ORACLE)
+def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (expand + two-phase agg)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+    )
+
+
+@query("count_distinct_approx")  # rows-only: HLL sketches are engine-specific
+def count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path where exact
+    distinct is a full shuffle of the key universe. Sketch values are
+    engine-specific (no SQL oracle); the pytest property bounds relative
+    error against the exact counts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -9,12 +9,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from change_data_capture_spark.functions.envelope import decode_envelope, op_label
+from change_data_capture_spark.functions.envelope import (
+    decode_envelope,
+    decode_user_envelope,
+    op_label,
+)
 from change_data_capture_spark.operators.scd2 import change_log, scd2
 from change_data_capture_spark.queries import query
 from change_data_capture_spark.sources.cdc_generator import (
     CDC_EVENTS_SQL,
+    USERS_CDC_EVENTS_SQL,
     product_change_events,
+    user_change_events,
 )
 
 
@@ -62,6 +68,35 @@ def scd2_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2(_decoded(spark, sf_dir)).withColumn(
         "price", F.col("price").cast("double")
     )
+
+
+# ---------------------------------------------------------------------------
+# users-topic SCD2 (the reference streams BOTH commerce tables — s3-sink.json:11)
+# ---------------------------------------------------------------------------
+
+_SCD2_USERS_ORACLE = f"""
+WITH {USERS_CDC_EVENTS_SQL},
+events_clean AS (
+    SELECT * FROM user_cdc_events
+    WHERE lsn IS NOT NULL
+    QUALIFY row_number() OVER (PARTITION BY id, lsn ORDER BY ts_ms) = 1
+)
+SELECT
+    e.id, e.username, e.password,
+    epoch_ms(e.ts_ms) AS row_valid_start_timestamp,
+    COALESCE(LEAD(epoch_ms(e.ts_ms)) OVER (PARTITION BY e.id ORDER BY e.lsn),
+             TIMESTAMP '2260-01-01') AS row_valid_expiration_timestamp
+FROM events_clean e
+WHERE e.id IN (SELECT id FROM events_clean GROUP BY id HAVING count(*) > 1)
+"""
+
+
+@query("scd2_users", oracle=_SCD2_USERS_ORACLE)
+def scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over the users topic — same operator, different payload
+    (the ``scd2`` operator is payload-generic)."""
+    decoded = decode_user_envelope(user_change_events(spark, sf_dir))
+    return scd2(decoded, payload=("username", "password"))
 
 
 # ---------------------------------------------------------------------------

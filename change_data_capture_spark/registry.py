@@ -9,6 +9,7 @@ _QUERY_MODULES = (
     "change_data_capture_spark.operators.cdc_queries",
     "change_data_capture_spark.operators.relational_queries",
     "change_data_capture_spark.operators.events_queries",
+    "change_data_capture_spark.operators.advanced_queries",
     "change_data_capture_spark.operators.text_queries",
     "change_data_capture_spark.operators.dedup_queries",
     "change_data_capture_spark.operators.similarity_queries",

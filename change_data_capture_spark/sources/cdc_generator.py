@@ -58,7 +58,7 @@ def _null_img() -> Column:
     )
 
 
-def _envelope(df: DataFrame) -> DataFrame:
+def _envelope(df: DataFrame, table: str = "products") -> DataFrame:
     """Wrap flat (id, op, lsn, ts_ms, before, after) rows in the Debezium
     envelope (sample event: reference README.md:214)."""
     source = F.struct(
@@ -70,7 +70,7 @@ def _envelope(df: DataFrame) -> DataFrame:
         F.lit("postgres").alias("db"),
         F.lit(None).cast("string").alias("sequence"),
         F.lit("commerce").alias("schema"),
-        F.lit("products").alias("table"),
+        F.lit(table).alias("table"),
         (F.col("lsn") + F.lit(500)).alias("txId"),
         F.col("lsn").alias("lsn"),
         F.lit(None).cast("long").alias("xmin"),
@@ -144,6 +144,81 @@ def product_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         flat_events = flat_events.unionAll(b)
     return _envelope(flat_events)
+
+
+def user_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic change log for ``users`` (= customer; FIXTURES.md role
+    map). Same workload shape as products (the reference streams both topics,
+    ``connectors/s3-sink.json:11``); payload is (username, password) per
+    ``postgres/init.sql:17-21``, password = md5(name) so no secrets-looking
+    literals are fabricated."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk"),
+        F.col("c_name").alias("uname0"),
+        F.md5(F.col("c_name")).alias("pw0"),
+    )
+    pk = F.col("pk")
+
+    def img(uname, pw):
+        return F.struct(
+            pk.alias("id"), uname.alias("username"), pw.alias("password")
+        )
+
+    null_img = F.lit(None).cast("struct<id:bigint,username:string,password:string>")
+    img0 = img(F.col("uname0"), F.col("pw0"))
+    img1 = img(F.concat(F.col("uname0"), F.lit(" v2")), F.md5(F.col("pw0")))
+    t0 = F.lit(BASE_TS_MS) + pk * F.lit(60_000)
+
+    def flat(op, lsn, ts, before, after, where=None):
+        out = c.select(
+            pk.alias("id"),
+            op.alias("op"),
+            lsn.cast("long").alias("lsn"),
+            ts.cast("long").alias("ts_ms"),
+            before.alias("before"),
+            after.alias("after"),
+        )
+        return out.where(where) if where is not None else out
+
+    ins_op = F.when(pk % 50 == 7, F.lit("r")).otherwise(F.lit("c"))
+    branches = [
+        flat(ins_op, pk * 10 + 1, t0, null_img, img0),
+        flat(ins_op, pk * 10 + 1, t0, null_img, img0, where=(pk % 25 == 0)),  # replay
+        flat(F.lit("u"), pk * 10 + 2, t0 + 30_000, img0, img1, where=(pk % 9 == 0)),
+        flat(F.lit("d"), pk * 10 + 4, t0 + 50_000,
+             F.when(pk % 9 == 0, img1).otherwise(img0), null_img, where=(pk % 16 == 0)),
+    ]
+    flat_events = branches[0]
+    for b in branches[1:]:
+        flat_events = flat_events.unionAll(b)
+    return _envelope(flat_events, table="users")
+
+
+#: users CTE — lockstep with ``user_change_events``
+USERS_CDC_EVENTS_SQL = """
+usrc AS (
+    SELECT c_custkey AS pk, c_name AS uname0, md5(c_name) AS pw0 FROM customer
+),
+user_cdc_events AS (
+    SELECT pk AS id, CASE WHEN pk % 50 = 7 THEN 'r' ELSE 'c' END AS op,
+           CAST(pk*10+1 AS BIGINT) AS lsn, CAST(1704067200000 + pk*60000 AS BIGINT) AS ts_ms,
+           uname0 AS username, pw0 AS password
+    FROM usrc
+    UNION ALL
+    SELECT pk, CASE WHEN pk % 50 = 7 THEN 'r' ELSE 'c' END,
+           CAST(pk*10+1 AS BIGINT), CAST(1704067200000 + pk*60000 AS BIGINT),
+           uname0, pw0
+    FROM usrc WHERE pk % 25 = 0
+    UNION ALL
+    SELECT pk, 'u', CAST(pk*10+2 AS BIGINT), CAST(1704067200000 + pk*60000 + 30000 AS BIGINT),
+           uname0 || ' v2', md5(pw0)
+    FROM usrc WHERE pk % 9 = 0
+    UNION ALL
+    SELECT pk, 'd', CAST(pk*10+4 AS BIGINT), CAST(1704067200000 + pk*60000 + 50000 AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM usrc WHERE pk % 16 = 0
+)
+"""
 
 
 #: DuckDB CTE producing the *decoded* flat event log equivalent to

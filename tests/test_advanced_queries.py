@@ -1,0 +1,35 @@
+"""Oracle parity + properties for the advanced coverage queries."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare
+
+ADVANCED = [
+    "scd2_users",
+    "cube_returnflag_status",
+    "pivot_daily_event_types",
+    "stats_aggregates",
+    "string_agg_nations",
+    "setops_all_variants",
+    "join_full_outer",
+    "window_range_frame",
+    "posexplode_embedding_dims",
+    "count_distinct_exact",
+]
+
+
+@pytest.mark.parametrize("name", ADVANCED)
+def test_oracle_parity(spark, sf_dir, name):
+    compare(name, spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """HLL estimate must sit within a loose rsd-derived bound of exact."""
+    rows = entrymod.queries()["count_distinct_approx"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
+        assert rel_err < 0.10, f"{r.l_returnflag}: rel err {rel_err:.3f}"

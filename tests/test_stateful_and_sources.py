@@ -1,0 +1,88 @@
+"""applyInPandasWithState current-row tracking + flat-file source round-trips."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_stateful_current_rows_matches_batch(spark, sf_dir):
+    """The streamed current-row view (applyInPandasWithState over real
+    micro-batches) must equal the batch 'latest event per key' reduction."""
+    from change_data_capture_spark.functions.envelope import decode_envelope
+    from change_data_capture_spark.sources.cdc_generator import product_change_events
+    from change_data_capture_spark.streaming.stateful import current_rows_stream
+
+    ws = tempfile.mkdtemp(prefix="cdc_state_")
+    env = product_change_events(spark, sf_dir).repartition(6)
+    env.write.mode("overwrite").json(f"{ws}/log")
+
+    stream = (
+        spark.readStream.schema(env.schema)
+        .option("maxFilesPerTrigger", 2)
+        .json(f"{ws}/log")
+    )
+    q = (
+        current_rows_stream(decode_envelope(stream))
+        .writeStream.format("memory")
+        .queryName("current_rows")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per touched key per batch: latest per key wins
+    got = {
+        r.id: (r.lsn, r.name, r.price, r.deleted)
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY id ORDER BY n_changes DESC) rn
+                 FROM current_rows) WHERE rn = 1"""
+        ).collect()
+    }
+
+    from pyspark.sql import Window
+
+    decoded = decode_envelope(product_change_events(spark, sf_dir))
+    w = Window.partitionBy("id").orderBy(F.col("lsn").desc())
+    latest = (
+        decoded.where(F.col("lsn").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+    )
+    want = {
+        r.id: (
+            r.lsn,
+            None if r.op == "d" else r.name,
+            None if r.op == "d" else (float(r.price) if r.price is not None else None),
+            r.op == "d",
+        )
+        for r in latest.collect()
+    }
+    assert got == want
+
+
+def test_csv_roundtrip(spark, sf_dir):
+    from change_data_capture_spark.schemas import FIXTURE_SCHEMAS
+    from change_data_capture_spark.sources.flat_files import read_csv
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_csv_")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(f"{ws}/nation")
+    back = read_csv(spark, f"{ws}/nation", FIXTURE_SCHEMAS["nation"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_text_scan(spark, sf_dir):
+    from change_data_capture_spark.sources.flat_files import read_text
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_txt_")
+    load_table(spark, sf_dir, "documents").select("text").write.mode(
+        "overwrite"
+    ).text(f"{ws}/docs")
+    lines = read_text(spark, f"{ws}/docs")
+    assert lines.columns == ["value"]
+    assert lines.count() == load_table(spark, sf_dir, "documents").count()
