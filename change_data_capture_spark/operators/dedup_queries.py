@@ -186,7 +186,12 @@ def _minhash_sig_sql() -> str:
     mins = ",\n           ".join(
         f"min({_H_SQL.format(seed=i, col='shingle')}) AS h{i}" for i in range(N_PERMS)
     )
-    return f"signatures AS (\n    SELECT doc_id, {mins}\n    FROM doc_shingles GROUP BY doc_id\n)"
+    # the per-doc shingle count rides along in the same aggregation — one
+    # grouped pass produces signatures AND set sizes
+    return (
+        f"signatures AS (\n    SELECT doc_id, {mins},\n           count(*) AS n"
+        f"\n    FROM doc_shingles GROUP BY doc_id\n)"
+    )
 
 
 def _bands_sql() -> str:
@@ -207,7 +212,7 @@ candidates AS (
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+sizes AS (SELECT doc_id, n FROM signatures),
 inter AS (
     SELECT c.doc_a, c.doc_b, count(*) AS n_common
     FROM candidates c
@@ -239,12 +244,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it — re-tokenize + re-md5 — once per branch. Same reasoning as the
     # reference's twice-used CTE (SURVEY.md §4: explicit cache choice).
     sh = doc_shingles(corpus(spark, sf_dir)).persist()
+    # one grouped pass yields the signature vector AND the set size
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(seeded_hash(F.col("shingle"), i)).alias(f"h{i}")
             for i in range(N_PERMS)
-        ]
-    )
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).persist()  # consumed by 4 band branches + sizes
     bands = reduce(
         DataFrame.unionAll,
         [
@@ -267,7 +274,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sig.select("doc_id", "n")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

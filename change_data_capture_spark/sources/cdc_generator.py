@@ -89,9 +89,11 @@ def _envelope(df: DataFrame, table: str = "products") -> DataFrame:
 def product_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Debezium-envelope change log for ``products`` (= part).
 
-    One narrow scan of ``part`` fans out into six projected branches that are
-    unioned — no shuffle at all (verify: the plan is Union of project-only
-    scans; generation stays embarrassingly parallel at any scale).
+    Physical shape: ONE narrow scan of ``part``; each row conditionally
+    fans out into its events via array-build → filter-nulls → explode (a
+    per-row flatMap, still fully codegen'd). The naive alternative — one
+    UNION branch per event kind — re-scans the source six times; at 100 TB
+    that is five wasted passes.
     """
     p = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pk"),
@@ -116,33 +118,44 @@ def product_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t0 = F.lit(BASE_TS_MS) + pk * F.lit(60_000)
 
-    def flat(op, lsn, ts, before, after, where=None):
-        out = p.select(
-            pk.alias("id"),
+    def ev(op, lsn, ts, before, after):
+        return F.struct(
             op.alias("op"),
             lsn.cast("long").alias("lsn"),
             ts.cast("long").alias("ts_ms"),
             before.alias("before"),
             after.alias("after"),
         )
-        return out.where(where) if where is not None else out
 
-    ins_op = F.when(pk % 50 == 7, F.lit("r")).otherwise(F.lit("c"))
-    last_img = (
-        F.when(pk % 18 == 0, img2).when(pk % 9 == 0, img1).otherwise(img0)
+    null_ev = F.lit(None).cast(
+        "struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "before:struct<id:bigint,name:string,description:string,price:decimal(10,2)>,"
+        "after:struct<id:bigint,name:string,description:string,price:decimal(10,2)>>"
     )
 
-    branches = [
-        flat(ins_op, pk * 10 + 1, t0, _null_img(), img0),
-        flat(ins_op, pk * 10 + 1, t0, _null_img(), img0, where=(pk % 25 == 0)),  # replay
-        flat(F.lit("u"), pk * 10 + 2, t0 + 30_000, img0, img1, where=(pk % 9 == 0)),
-        flat(F.lit("u"), pk * 10 + 3, t0 + 45_000, img1, img2, where=(pk % 18 == 0)),
-        flat(F.lit("d"), pk * 10 + 4, t0 + 50_000, last_img, _null_img(), where=(pk % 16 == 0)),
-        flat(F.lit("u"), F.lit(None).cast("long"), t0 + 55_000, img0, img0, where=(pk % 101 == 3)),
-    ]
-    flat_events = branches[0]
-    for b in branches[1:]:
-        flat_events = flat_events.unionAll(b)
+    def maybe(cond, event):
+        return F.when(cond, event).otherwise(null_ev)
+
+    ins_op = F.when(pk % 50 == 7, F.lit("r")).otherwise(F.lit("c"))
+    last_img = F.when(pk % 18 == 0, img2).when(pk % 9 == 0, img1).otherwise(img0)
+
+    events = F.filter(
+        F.array(
+            ev(ins_op, pk * 10 + 1, t0, _null_img(), img0),
+            maybe(pk % 25 == 0, ev(ins_op, pk * 10 + 1, t0, _null_img(), img0)),  # replay
+            maybe(pk % 9 == 0, ev(F.lit("u"), pk * 10 + 2, t0 + 30_000, img0, img1)),
+            maybe(pk % 18 == 0, ev(F.lit("u"), pk * 10 + 3, t0 + 45_000, img1, img2)),
+            maybe(pk % 16 == 0, ev(F.lit("d"), pk * 10 + 4, t0 + 50_000, last_img, _null_img())),
+            maybe(
+                pk % 101 == 3,
+                ev(F.lit("u"), F.lit(None).cast("long"), t0 + 55_000, img0, img0),
+            ),
+        ),
+        lambda e: e.isNotNull(),
+    )
+    flat_events = p.select(pk.alias("id"), F.explode(events).alias("e")).select(
+        "id", "e.op", "e.lsn", "e.ts_ms", "e.before", "e.after"
+    )
     return _envelope(flat_events)
 
 
