@@ -70,6 +70,36 @@ def scd2_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("scd2_products_sql", oracle=_SCD2_ORACLE)
+def scd2_products_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship expressed through ``spark.sql`` (E3 parity — the
+    reference's query is SQL text, README.md:86-125). Same envelope decode,
+    then SQL with a named WINDOW clause, IN-subquery, QUALIFY-style dedup —
+    Catalyst rewrites the IN-subquery to the same semi join and shares the
+    window sort, landing on an equivalent physical plan to the DataFrame
+    variant."""
+    _decoded(spark, sf_dir).createOrReplaceTempView("product_events")
+    return spark.sql(
+        """
+        WITH events_clean AS (
+            SELECT id, name, description, CAST(price AS DOUBLE) AS price,
+                   lsn, ts_ms
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY id, lsn ORDER BY ts_ms) AS _rn
+                FROM product_events WHERE lsn IS NOT NULL
+            ) WHERE _rn = 1
+        )
+        SELECT id, name, description, price,
+               timestamp_millis(ts_ms) AS row_valid_start_timestamp,
+               COALESCE(LEAD(timestamp_millis(ts_ms)) OVER w,
+                        TIMESTAMP '2260-01-01') AS row_valid_expiration_timestamp
+        FROM events_clean
+        WHERE id IN (SELECT id FROM events_clean GROUP BY id HAVING count(*) > 1)
+        WINDOW w AS (PARTITION BY id ORDER BY lsn)
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # users-topic SCD2 (the reference streams BOTH commerce tables — s3-sink.json:11)
 # ---------------------------------------------------------------------------

@@ -486,6 +486,46 @@ FROM lineitem
 """
 
 
+_PREDICATES_ORACLE = """
+SELECT o_orderkey,
+       (o_orderstatus IN ('O', 'P')) AS is_open_or_pending,
+       (o_totalprice BETWEEN 100000 AND 200000) AS is_mid_price,
+       (o_orderpriority LIKE '1-%') AS is_urgent_prefix,
+       regexp_matches(o_orderpriority, '^[12]-') AS is_high_rx,
+       NULLIF(o_orderstatus, 'F') AS status_or_null,
+       CASE WHEN o_totalprice > 300000 THEN 'large'
+            WHEN o_totalprice > 100000 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       greatest(o_totalprice, 150000.0) AS floor_150k,
+       least(o_totalprice, 150000.0) AS cap_150k,
+       (o_custkey IS NOT NULL AND o_orderstatus <> 'X') AS sanity
+FROM orders
+"""
+
+
+@query("predicates_conditionals", oracle=_PREDICATES_ORACLE)
+def predicates_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate/conditional family (P4/P5/P7/P8 generalized): isin, between,
+    like, rlike, nullif, searched CASE, greatest/least, boolean algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").isin("O", "P").alias("is_open_or_pending"),
+        price.between(100000, 200000).alias("is_mid_price"),
+        F.col("o_orderpriority").like("1-%").alias("is_urgent_prefix"),
+        F.col("o_orderpriority").rlike("^[12]-").alias("is_high_rx"),
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("status_or_null"),
+        F.when(price > 300000, "large")
+        .when(price > 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.greatest(price, F.lit(150000.0)).alias("floor_150k"),
+        F.least(price, F.lit(150000.0)).alias("cap_150k"),
+        (F.col("o_custkey").isNotNull() & (F.col("o_orderstatus") != "X")).alias("sanity"),
+    )
+
+
 @query("scalar_math_funcs", oracle=_MATH_ORACLE)
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function family. Every expression is a single deterministic IEEE

@@ -21,6 +21,7 @@ RELATIONAL = [
     "scalar_string_funcs",
     "scalar_datetime_funcs",
     "scalar_math_funcs",
+    "predicates_conditionals",
 ]
 
 
