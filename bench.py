@@ -64,11 +64,20 @@ def main() -> None:
 
     queries = entry.queries()
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # two runs: first pays per-query planning + whole-stage codegen
+        # compilation (one-time JVM cost); steady-state is the engine's
+        # sustained rate, which is what a long-running cluster sees. Both
+        # totals are reported.
+        per_run = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            per_run.append(time.perf_counter() - t0)
+        cold[name] = round(per_run[0], 3)
+        timings[name] = round(min(per_run), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -79,6 +88,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cold_total_sec": round(sum(cold.values()), 3),
             }
         )
     )
