@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""10× scale smoke: replicate the sf0.1 fixtures to ~sf1 (6M lineitem rows)
+with shifted keys, then run the heavy headline queries. Purpose: catch plans
+that only work at toy scale (pair blow-ups, driver collects, quadratic
+per-row expressions) before a real cluster does. Not part of CI — run
+manually: ``python tools/scale_smoke.py``.
+
+Key shifting keeps referential integrity: all foreign keys of replica *i*
+are offset by i × 10_000_000, so joins fan out exactly as at sf0.1 — data
+volume scales 10× while join selectivity stays constant (what a bigger
+TPC-H sf does).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from change_data_capture_spark.session import get_spark  # noqa: E402
+from change_data_capture_spark.sources.tables import load_table  # noqa: E402
+
+COPIES = 10
+SHIFT = 10_000_000
+
+#: key columns to shift per table (dimension keys stay shared — nation and
+#: region are genuinely low-cardinality at any scale)
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+
+QUERIES = [
+    "scd2_products",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "topk_orders_per_customer",
+    "window_running_total",
+    "events_sessionization",
+    "asof_join_last_order",
+    "range_join_ship_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "text_quality_stats",
+]
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke", master="local[32]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+    out = tempfile.mkdtemp(prefix="sf1_")
+    print(f"replicating {src} x{COPIES} -> {out}", flush=True)
+
+    for t, keys in KEYED.items():
+        base = load_table(spark, src, t)
+        if keys:
+            replicas = []
+            for i in range(COPIES):
+                r = base
+                for k in keys:
+                    r = r.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+                replicas.append(r)
+            big = replicas[0]
+            for r in replicas[1:]:
+                big = big.unionAll(r)
+        else:
+            big = base
+        big.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    print("replicated; running queries", flush=True)
+
+    import __spark_entry__ as entry
+
+    total = 0.0
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        entry.queries()[name](spark, out).write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        total += dt
+        print(f"  {name}: {dt:.2f}s", flush=True)
+    print(f"TOTAL (sf~1, {COPIES}x): {total:.1f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
