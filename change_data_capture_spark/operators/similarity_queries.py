@@ -133,6 +133,75 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # random-hyperplane LSH buckets (sublinear ANN scale path)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cluster probing
+# ---------------------------------------------------------------------------
+
+IVF_CLUSTERS = 8
+IVF_PROBES = 4
+
+
+@query("similarity_ivf_topk")  # rows-only: ANN is approximate by design
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: a seeded k-means coarse quantizer partitions
+    the corpus into inverted lists; each query scores only the ``IVF_PROBES``
+    lists whose centroids are nearest — the classic trade of recall for a
+    ``n_probe/n_clusters`` fraction of the scan.
+
+    Scale shape: training samples the corpus (k-means on a sample is
+    standard); assignment is one model.transform pass; the probed search is
+    an equi-join on cluster id — all shuffle-free or dense-key-join
+    operations. Recall vs the exact baseline is asserted in pytest.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=IVF_CLUSTERS, seed=42, featuresCol="features").fit(
+        feats.select("features")
+    )
+    assigned = model.transform(feats).select(
+        "vec_id", "label", "v", F.col("prediction").alias("cluster")
+    )
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, cv array<double>",
+    )
+    q = assigned.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # rank centroids per query, keep the n_probe nearest lists
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cluster"))
+    probed = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "cluster", cosine(F.col("qv"), F.col("cv")).alias("c_cos"))
+        .withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= IVF_PROBES)
+        .select("query_id", "qv", "cluster")
+    )
+    # search only the probed inverted lists
+    scored = probed.join(assigned, "cluster").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.select(
+            "query_id", "vec_id", "label", cosine(F.col("qv"), F.col("v")).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "label", F.round("cos", 6).alias("cosine"))
+    )
+
+
 N_HYPERPLANES = 8
 
 

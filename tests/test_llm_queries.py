@@ -73,6 +73,22 @@ def test_lsh_bucket_recall_on_scaled_copies(spark, sf_dir):
     assert not missing, f"scaled copies missing from LSH buckets: {sorted(missing)[:5]}"
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with 4/8 probes must recover most of the exact top-10 (random
+    64-d vectors: the true neighbors concentrate in the nearest lists)."""
+    q = entrymod.queries()
+    exact = {}
+    for r in q["similarity_topk_cosine"](spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    ivf = {}
+    for r in q["similarity_ivf_topk"](spark, sf_dir).collect():
+        ivf.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(ivf) == set(exact)
+    recalls = [len(ivf[k] & exact[k]) / len(exact[k]) for k in exact]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.5, f"IVF avg recall {avg:.2f} too low"
+
+
 def test_multimodal_real_decode_is_stubbed():
     from change_data_capture_spark.operators.multimodal import decode_image_real
 
