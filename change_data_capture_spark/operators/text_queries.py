@@ -148,6 +148,20 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("corpus_stratified_sample")  # rows-only: sampling RNGs are engine-specific
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling — the down-sampling step of a training-data
+    mix: keep 100% of low-resource langs, 30% of 'en'. ``sampleBy`` is a
+    per-row Bernoulli draw (no shuffle, no global count) — the only sampling
+    shape that works on an unbounded/100 TB input. Seeded and deterministic
+    per plan; engine-specific RNG → rows-only gate + pytest bounds."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.3, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return d.sampleBy("lang", fractions=fractions, seed=42).select(
+        "doc_id", "lang", "source"
+    )
+
+
 _LANG_ROLLUP_ORACLE = """
 SELECT lang, source,
        count(*) AS n_docs,

@@ -89,6 +89,31 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert avg >= 0.5, f"IVF avg recall {avg:.2f} too low"
 
 
+def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
+    """sampleBy must honor per-stratum fractions (±12% absolute at n=500+)
+    and be reproducible for a fixed seed."""
+    q = entrymod.queries()["corpus_stratified_sample"]
+    a = q(spark, sf_dir).collect()
+    b = q(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)), "seeded sample not stable"
+
+    from change_data_capture_spark.sources.tables import load_table
+
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {}
+    for r in a:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    assert got.get("de", 0) == totals["de"]  # fraction 1.0 keeps everything
+    en_frac = got.get("en", 0) / totals["en"]
+    assert 0.18 <= en_frac <= 0.42, f"en fraction {en_frac:.2f} far from 0.3"
+
+
 def test_multimodal_real_decode_is_stubbed():
     from change_data_capture_spark.operators.multimodal import decode_image_real
 
