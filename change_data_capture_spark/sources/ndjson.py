@@ -35,7 +35,10 @@ def read_envelope_ndjson(
     """
     ensure_runtime_confs(spark)
     reader = spark.readStream if streaming else spark.read
-    return reader.schema(schema).json(path)
+    # PERMISSIVE (explicit): a malformed line yields a null envelope row
+    # instead of failing the task — poison pills are inevitable in a 100 TB
+    # log, and the decode's lsn-not-null gate drops the nulls downstream.
+    return reader.schema(schema).option("mode", "PERMISSIVE").json(path)
 
 
 def read_json_auto(spark: SparkSession, path: str) -> DataFrame:

@@ -97,6 +97,31 @@ def ingest_stream(
     return writer.start()
 
 
+def rate_source_events(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """S8 live twin: a continuous synthetic event stream from the built-in
+    ``rate`` source (the reference's datagen loop, but unbounded and
+    backpressure-aware). Deterministic *per offset*: every attribute derives
+    arithmetically from the rate source's ``value`` counter, so replays
+    produce identical events — the property checkpoint recovery needs."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    v = F.col("value")
+    return rate.select(
+        v.alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (v % 150).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("click", "error", "purchase", "signup", "view")]),
+            (v % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        ((v * 37 % 50000) / F.lit(100.0)).alias("value"),
+        F.to_json(F.struct((v % 100).alias("k"))).alias("props"),
+    )
+
+
 def windowed_event_counts(
     spark: SparkSession, events: DataFrame, gap: str | None = None
 ) -> DataFrame:
