@@ -40,6 +40,10 @@ _RUNTIME_CONFS = {
     # nested-schema pruning for struct columns (envelope decode reads only
     # the paths a query needs — the parquet/JSON scan should too)
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # initial shuffle parallelism sized for local[32]; AQE coalesces below
+    # this as needed, while the stock 200 only multiplies task overhead on
+    # the fixture scales (a real cluster deployment raises it)
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

@@ -72,7 +72,10 @@ class Scd2State:
         partitions present in ``df`` — dynamic partition overwrite."""
         (
             df.withColumn("bucket", self.bucket_of(F.col("id")))
-            .repartition("bucket")
+            # explicit small task count: state writes are many-small-batch
+            # operations; inheriting a 200-partition default multiplies task
+            # overhead without adding parallelism (64 buckets max)
+            .repartition(16, "bucket")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
