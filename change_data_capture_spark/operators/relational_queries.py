@@ -364,7 +364,10 @@ SELECT event_id, user_id, ts,
        first_value(event_id) OVER w AS first_event_id,
        rank()       OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
        dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_dense_rank,
-       ntile(4)     OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_quartile
+       ntile(4)     OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_quartile,
+       round(percent_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id), 8) AS value_pct_rank,
+       round(cume_dist()    OVER (PARTITION BY user_id ORDER BY value DESC, event_id), 8) AS value_cume_dist,
+       nth_value(event_id, 3) OVER w AS third_event_id
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
@@ -389,6 +392,9 @@ def window_lead_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(wv).alias("value_rank"),
         F.dense_rank().over(wv).alias("value_dense_rank"),
         F.ntile(4).over(wv).alias("value_quartile"),
+        F.round(F.percent_rank().over(wv), 8).alias("value_pct_rank"),
+        F.round(F.cume_dist().over(wv), 8).alias("value_cume_dist"),
+        F.nth_value("event_id", 3).over(w).alias("third_event_id"),
     )
 
 
