@@ -85,6 +85,40 @@ def pivot_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# unpivot (melt) — the inverse of pivot
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) FILTER (WHERE c_acctbal >= 0) AS DOUBLE) AS pos_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) FILTER (WHERE c_acctbal < 0) AS DOUBLE) AS neg_bal
+    FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, kind, amount
+FROM wide UNPIVOT (amount FOR kind IN (pos_bal, neg_bal))
+"""
+
+
+@query("unpivot_segment_balances", oracle=_UNPIVOT_ORACLE)
+def unpivot_segment_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide conditional aggregates back to long form —
+    a zero-shuffle Expand over the aggregated (already tiny) relation."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = _dec("c_acctbal")
+    wide = c.groupBy("c_mktsegment").agg(
+        _d(F.sum(F.when(F.col("c_acctbal") >= 0, bal))).alias("pos_bal"),
+        _d(F.sum(F.when(F.col("c_acctbal") < 0, bal))).alias("neg_bal"),
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["pos_bal", "neg_bal"],
+        variableColumnName="kind",
+        valueColumnName="amount",
+    )
+
+
+# ---------------------------------------------------------------------------
 # statistical aggregates
 # ---------------------------------------------------------------------------
 

@@ -18,6 +18,7 @@ ADVANCED = [
     "window_range_frame",
     "posexplode_embedding_dims",
     "count_distinct_exact",
+    "unpivot_segment_balances",
 ]
 
 
