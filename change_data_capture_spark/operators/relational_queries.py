@@ -175,6 +175,91 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q14-style promo revenue ratio: join + conditional aggregation
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS total_revenue,
+    100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE)
+        AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+@query("q14_promo_revenue", oracle=_Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: conditional aggregation ratio over a fact⋈dim join
+    (part broadcasts). The ratio is a fixed chain of IEEE ops over exact
+    decimal sums — deterministic across engines."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return j.agg(
+        _d(F.sum(promo)).alias("promo_revenue"),
+        _d(F.sum(rev)).alias("total_revenue"),
+        (F.lit(100.0) * _d(F.sum(promo)) / _d(F.sum(rev))).alias("promo_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18-style large-volume customers: agg-derived semi join + re-aggregation
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@query("q18_large_orders", oracle=_Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: a HAVING-on-sum derived key set semi-joins the
+    fact, then re-aggregation per order. The big-orders aggregate and the
+    final aggregate share the l_orderkey hash partitioning — AQE reuses the
+    exchange rather than re-shuffling."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+    )
+    return j.groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice").agg(
+        _d(F.sum(_dec("l_quantity"))).alias("total_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
 # semi / anti joins (J1 generalized)
 # ---------------------------------------------------------------------------
 

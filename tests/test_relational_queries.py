@@ -11,6 +11,8 @@ RELATIONAL = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "join_left_semi",
     "join_left_anti",
     "topk_orders_per_customer",
