@@ -284,6 +284,37 @@ FROM events
 """
 
 
+_MAP_TRANSFORM_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+            THEN 1 ELSE 0 END AS n_large_values,
+       2 AS merged_size,
+       'k' AS first_key
+FROM events
+"""
+
+
+@query("map_transform_funcs", oracle=_MAP_TRANSFORM_ORACLE)
+def map_transform_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map lambda family: transform_values, map_filter, map_concat,
+    map_entries — computed on a real MapType column built from the JSON
+    props; outputs are scalars (map types don't survive the pandas bridge),
+    and the oracle states the equivalent scalar arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    doubled = F.transform_values(m, lambda _k, v: v * 2)
+    large = F.map_filter(m, lambda _k, v: v > 50)
+    merged = F.map_concat(m, F.create_map(F.lit("extra"), F.lit(1)))
+    return e.select(
+        "event_id",
+        F.element_at(doubled, "k").alias("k_doubled"),
+        F.size(large).alias("n_large_values"),
+        F.size(merged).alias("merged_size"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    )
+
+
 @query("json_map_funcs", oracle=_PROPS_ORACLE)
 def json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON document-column handling (P2/M1 generalized): typed extraction

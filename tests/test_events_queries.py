@@ -13,6 +13,7 @@ EVENTS = [
     "asof_join_last_order",
     "range_join_ship_window",
     "json_map_funcs",
+    "map_transform_funcs",
     "array_vector_funcs",
 ]
 

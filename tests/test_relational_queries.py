@@ -13,6 +13,7 @@ RELATIONAL = [
     "q5_region_revenue",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q7_nation_volume",
     "join_left_semi",
     "join_left_anti",
     "topk_orders_per_customer",
