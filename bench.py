@@ -28,6 +28,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q7_nation_volume",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "topk_orders_per_customer",
     "rollup_nation_segment",
     # events / windows / joins
