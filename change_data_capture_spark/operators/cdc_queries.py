@@ -161,6 +161,48 @@ def cdc_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD1 current view: latest surviving row per key
+# ---------------------------------------------------------------------------
+
+_CURRENT_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+latest AS (
+    SELECT * FROM cdc_events
+    WHERE lsn IS NOT NULL
+    QUALIFY row_number() OVER (PARTITION BY id ORDER BY lsn DESC) = 1
+)
+SELECT id, name, description, CAST(price AS DOUBLE) AS price,
+       epoch_ms(ts_ms) AS last_changed_at
+FROM latest
+WHERE op <> 'd'
+"""
+
+
+@query("dim_current_products", oracle=_CURRENT_ORACLE)
+def dim_current_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-1 companion to the flagship: the *current* dimension — the
+    highest-LSN surviving (non-deleted) row per key. One window shuffle;
+    the streaming twin is ``streaming/stateful.py`` (applyInPandasWithState
+    keeps this view hot instead of recomputing)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("lsn").desc())
+    return (
+        _decoded(spark, sf_dir)
+        .where(F.col("lsn").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("op") != "d"))
+        .select(
+            "id",
+            "name",
+            "description",
+            F.col("price").cast("double").alias("price"),
+            F.timestamp_millis(F.col("ts_ms")).alias("last_changed_at"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # at-least-once transport audit: op mix before/after (id, lsn) dedup
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,124 @@
+"""Table-maintenance operators: small-file compaction and data profiling.
+
+Both are pipeline chores every 100 TB deployment runs on a schedule:
+streaming sinks accumulate per-micro-batch files until scan planning (file
+listing + footer reads) dominates query time; profiling feeds data-quality
+gates and optimizer-statistics decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.queries import query
+from change_data_capture_spark.sources.tables import load_table
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the new
+    file count.
+
+    Sizing: estimated from the *input* bytes (sum of file sizes), not row
+    counts — compression ratio carries over between rewrites of the same
+    data. ``sort_within_by`` optionally sorts rows within each output file
+    so min/max row-group stats become selective (poor-man's clustering;
+    Z-order on a lakehouse).
+
+    Safety: writes to a sibling temp dir then atomically renames — a reader
+    never sees a half-compacted directory. (On object stores rename is a
+    copy; a lakehouse table format makes this a metadata swap instead.)
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    in_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(in_bytes / target_file_bytes))
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+
+    tmp = f"{path}__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
+def _profile_col(df: DataFrame, col: str, numeric: bool) -> DataFrame:
+    c = F.col(col)
+    min_v: Column = F.min(c.cast("double")) if numeric else F.lit(None).cast("double")
+    max_v: Column = F.max(c.cast("double")) if numeric else F.lit(None).cast("double")
+    return df.agg(
+        F.lit(col).alias("column"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.countDistinct(c).alias("n_distinct"),
+        min_v.alias("min_value"),
+        max_v.alias("max_value"),
+        F.min(F.length(c.cast("string"))).alias("min_len"),
+        F.max(F.length(c.cast("string"))).alias("max_len"),
+    )
+
+
+def profile(df: DataFrame, numeric_cols: list[str], other_cols: list[str]) -> DataFrame:
+    """Per-column profile: null/distinct counts, numeric min/max, rendered
+    lengths. One aggregation job per column (clarity over cleverness; a
+    single-pass variant would pack all columns into one agg — do that when
+    the table is scanned from cold storage and passes are the cost)."""
+    parts = [_profile_col(df, c, True) for c in numeric_cols] + [
+        _profile_col(df, c, False) for c in other_cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_PROFILE_ORACLE_TEMPLATE = """
+SELECT '{col}' AS column,
+       count(*) AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {col}) AS n_distinct,
+       {min_expr} AS min_value,
+       {max_expr} AS max_value,
+       min(length(CAST({col} AS VARCHAR))) AS min_len,
+       max(length(CAST({col} AS VARCHAR))) AS max_len
+FROM orders
+"""
+
+
+def _profile_oracle(col: str, numeric: bool) -> str:
+    return _PROFILE_ORACLE_TEMPLATE.format(
+        col=col,
+        min_expr=f"CAST(min(CAST({col} AS DOUBLE)) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)",
+        max_expr=f"CAST(max(CAST({col} AS DOUBLE)) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)",
+    )
+
+
+_ORDERS_NUMERIC = ["o_orderkey", "o_custkey", "o_totalprice"]
+_ORDERS_OTHER = ["o_orderstatus", "o_orderpriority"]
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    [_profile_oracle(c, True) for c in _ORDERS_NUMERIC]
+    + [_profile_oracle(c, False) for c in _ORDERS_OTHER]
+)
+
+
+@query("profile_orders", oracle=_PROFILE_ORACLE)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table (numeric + categorical
+    columns) — the bookkeeping scan that gates a pipeline run."""
+    o = load_table(spark, sf_dir, "orders")
+    return profile(o, _ORDERS_NUMERIC, _ORDERS_OTHER)

@@ -1,0 +1,72 @@
+"""Compaction, profiling, and envelope schema-evolution tolerance."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare
+
+
+def test_profile_orders_parity(spark, sf_dir):
+    compare("profile_orders", spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir):
+    from change_data_capture_spark.operators.maintenance import compact_parquet
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_compact_")
+    li = load_table(spark, sf_dir, "lineitem")
+    # simulate a streaming sink's debris: many tiny files
+    li.repartition(40).write.mode("overwrite").parquet(f"{ws}/t")
+    before_files = len(glob.glob(f"{ws}/t/*.parquet"))
+    before = li.count()
+
+    compact_parquet(spark, f"{ws}/t", target_file_bytes=64 * 1024 * 1024,
+                    sort_within_by=["l_orderkey"])
+
+    after_files = len(glob.glob(f"{ws}/t/*.parquet"))
+    after = spark.read.parquet(f"{ws}/t").count()
+    assert after == before
+    assert after_files < before_files
+    # clustering: rows within each file are sorted by the cluster key
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(f"{ws}/t/*.parquet"):
+        keys = pq.read_table(f, columns=["l_orderkey"])["l_orderkey"].to_pylist()
+        assert keys == sorted(keys)
+
+
+def test_envelope_tolerates_schema_evolution(spark, sf_dir):
+    """Debezium envelopes gain fields across versions; the pinned-schema
+    reader must ignore unknown fields and keep decoding the known paths."""
+    import json
+    import tempfile as tf
+
+    from change_data_capture_spark.functions.envelope import decode_envelope
+    from change_data_capture_spark.sources.ndjson import read_envelope_ndjson
+
+    ws = tf.mkdtemp(prefix="cdc_evo_")
+    evolved = {
+        "value": {
+            "before": None,
+            "after": {"id": 1, "name": "n", "description": "d", "price": 9.5,
+                      "brand_new_column": "ignored"},
+            "source": {"version": "99.0", "connector": "postgresql", "name": "x",
+                       "ts_ms": 1704067200000, "snapshot": "false", "db": "postgres",
+                       "sequence": None, "schema": "commerce", "table": "products",
+                       "txId": 10, "lsn": 11, "xmin": None,
+                       "new_provenance_field": 42},
+            "op": "c", "ts_ms": 1704067200005, "transaction": None,
+            "envelope_v3_extra": {"nested": True},
+        }
+    }
+    with open(f"{ws}/log.json", "w") as fh:
+        fh.write(json.dumps(evolved) + "\n")
+
+    decoded = decode_envelope(read_envelope_ndjson(spark, ws)).collect()
+    assert len(decoded) == 1
+    r = decoded[0]
+    assert (r.id, r.lsn, r.name, float(r.price)) == (1, 11, "n", 9.5)
