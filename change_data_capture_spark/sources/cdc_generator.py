@@ -164,7 +164,8 @@ def user_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     map). Same workload shape as products (the reference streams both topics,
     ``connectors/s3-sink.json:11``); payload is (username, password) per
     ``postgres/init.sql:17-21``, password = md5(name) so no secrets-looking
-    literals are fabricated."""
+    literals are fabricated. Same single-scan array-explode physical shape
+    as ``product_change_events``."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("pk"),
         F.col("c_name").alias("uname0"),
@@ -182,28 +183,46 @@ def user_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     img1 = img(F.concat(F.col("uname0"), F.lit(" v2")), F.md5(F.col("pw0")))
     t0 = F.lit(BASE_TS_MS) + pk * F.lit(60_000)
 
-    def flat(op, lsn, ts, before, after, where=None):
-        out = c.select(
-            pk.alias("id"),
+    def ev(op, lsn, ts, before, after):
+        return F.struct(
             op.alias("op"),
             lsn.cast("long").alias("lsn"),
             ts.cast("long").alias("ts_ms"),
             before.alias("before"),
             after.alias("after"),
         )
-        return out.where(where) if where is not None else out
+
+    null_ev = F.lit(None).cast(
+        "struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "before:struct<id:bigint,username:string,password:string>,"
+        "after:struct<id:bigint,username:string,password:string>>"
+    )
+
+    def maybe(cond, event):
+        return F.when(cond, event).otherwise(null_ev)
 
     ins_op = F.when(pk % 50 == 7, F.lit("r")).otherwise(F.lit("c"))
-    branches = [
-        flat(ins_op, pk * 10 + 1, t0, null_img, img0),
-        flat(ins_op, pk * 10 + 1, t0, null_img, img0, where=(pk % 25 == 0)),  # replay
-        flat(F.lit("u"), pk * 10 + 2, t0 + 30_000, img0, img1, where=(pk % 9 == 0)),
-        flat(F.lit("d"), pk * 10 + 4, t0 + 50_000,
-             F.when(pk % 9 == 0, img1).otherwise(img0), null_img, where=(pk % 16 == 0)),
-    ]
-    flat_events = branches[0]
-    for b in branches[1:]:
-        flat_events = flat_events.unionAll(b)
+    events = F.filter(
+        F.array(
+            ev(ins_op, pk * 10 + 1, t0, null_img, img0),
+            maybe(pk % 25 == 0, ev(ins_op, pk * 10 + 1, t0, null_img, img0)),  # replay
+            maybe(pk % 9 == 0, ev(F.lit("u"), pk * 10 + 2, t0 + 30_000, img0, img1)),
+            maybe(
+                pk % 16 == 0,
+                ev(
+                    F.lit("d"),
+                    pk * 10 + 4,
+                    t0 + 50_000,
+                    F.when(pk % 9 == 0, img1).otherwise(img0),
+                    null_img,
+                ),
+            ),
+        ),
+        lambda e: e.isNotNull(),
+    )
+    flat_events = c.select(pk.alias("id"), F.explode(events).alias("e")).select(
+        "id", "e.op", "e.lsn", "e.ts_ms", "e.before", "e.after"
+    )
     return _envelope(flat_events, table="users")
 
 

@@ -39,6 +39,39 @@ def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir):
         assert keys == sorted(keys)
 
 
+def test_base64_decimal_wart_yields_null_price(spark):
+    """The reference's sample event carries price as a base64 Debezium
+    'precise decimal' ("DOQ=", reference README.md:214) even though the
+    column is REAL — its own SCD2 query's CAST yields NULL for such events
+    (SURVEY.md §1.2). Our pinned DECIMAL(10,2) schema reproduces exactly
+    that: price decodes to NULL, every other field survives."""
+    import json
+    import tempfile as tf
+
+    from change_data_capture_spark.functions.envelope import decode_envelope
+    from change_data_capture_spark.sources.ndjson import read_envelope_ndjson
+
+    ws = tf.mkdtemp(prefix="cdc_wart_")
+    ev = {
+        "value": {
+            "before": None,
+            "after": {"id": 2, "name": "w", "description": "d", "price": "DOQ="},
+            "source": {"version": "2.2.0.Alpha2", "connector": "postgresql",
+                       "name": "x", "ts_ms": 1704067200000, "snapshot": "false",
+                       "db": "postgres", "sequence": None, "schema": "commerce",
+                       "table": "products", "txId": 9, "lsn": 21, "xmin": None},
+            "op": "c", "ts_ms": 1704067200005, "transaction": None,
+        }
+    }
+    with open(f"{ws}/a.json", "w") as fh:
+        fh.write(json.dumps(ev) + "\n")
+    rows = decode_envelope(read_envelope_ndjson(spark, ws)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.price is None
+    assert (r.id, r.lsn, r.name, r.op_label) == (2, 21, "w", "CREATE")
+
+
 def test_envelope_tolerates_schema_evolution(spark, sf_dir):
     """Debezium envelopes gain fields across versions; the pinned-schema
     reader must ignore unknown fields and keep decoding the known paths."""
