@@ -23,6 +23,7 @@ HEADLINE = [
     # CDC / flagship
     "scd2_products",
     "cdc_change_log",
+    "dim_current_products",
     "streaming_ingest_exactly_once",
     # relational
     "q1_pricing_summary",
@@ -41,6 +42,7 @@ HEADLINE = [
     "range_join_ship_window",
     # LLM-data tier
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
     "text_quality_stats",
