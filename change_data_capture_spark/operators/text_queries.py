@@ -148,6 +148,62 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 40  # 10-token overlap
+
+_CHUNKING_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_id,
+           t[(i * {_CHUNK_STRIDE} + 1):(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE})] AS chunk
+    FROM toks,
+         UNNEST(range(0, CAST(ceil(greatest(len(t) - {_CHUNK_SIZE - _CHUNK_STRIDE}, 1)
+                                   / {_CHUNK_STRIDE}.0) AS BIGINT))) AS r(i)
+)
+SELECT doc_id, chunk_id,
+       len(chunk) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
+@query("document_chunking", oracle=_CHUNKING_ORACLE)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token chunks, 10-token overlap)
+    — the step that turns documents into training sequences. Pure
+    array-lambda flatMap: tokens materialize once per doc, chunk windows
+    explode from a computed index range; zero shuffles, linear in corpus
+    size. Chunk identity is (doc_id, chunk_id) with an md5 over the joined
+    tokens, so the oracle checks the exact chunk contents."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n_chunks = F.ceil(
+        F.greatest(F.size("t") - (_CHUNK_SIZE - _CHUNK_STRIDE), F.lit(1))
+        / F.lit(float(_CHUNK_STRIDE))
+    ).cast("int")
+    chunked = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.slice(
+            F.col("t"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+        ).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+
+
 @query("corpus_stratified_sample")  # rows-only: sampling RNGs are engine-specific
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified corpus sampling — the down-sampling step of a training-data

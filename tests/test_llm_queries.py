@@ -15,6 +15,7 @@ ORACLE_CHECKED = [
     "lang_id_heuristic",
     "doc_fingerprint",
     "corpus_lang_source_profile",
+    "document_chunking",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
