@@ -356,6 +356,61 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORRELATED_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+    SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@query("correlated_above_avg_orders", oracle=_CORRELATED_ORACLE)
+def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery: orders priced >1.5× their own
+    customer's average. The decorrelated plan computes per-customer
+    averages once and joins back — what Catalyst's DecorrelateInnerQuery
+    produces from the SQL form, written explicitly here. Average via exact
+    decimal sum / single division (cross-engine deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (_d(F.sum(_dec("o_totalprice"))) / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        o.join(avgs, o.o_custkey == avgs.k)
+        .where(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_CHURN_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+"""
+
+
+@query("churned_customers", oracle=_CHURN_ORACLE)
+def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi ∧ anti composition: customers who ordered at least once but
+    never since 1998 — the churn cohort. Two passes over orders, both
+    pre-projected to the join key before shuffling."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ever = o.select(F.col("o_custkey").alias("k"))
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("k"))
+    return (
+        c.join(ever, c.c_custkey == ever.k, "left_semi")
+        .join(recent, c.c_custkey == recent.k, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-group top-k (scale-safe: window + filter, no global sort)
 # ---------------------------------------------------------------------------

@@ -15,6 +15,8 @@ RELATIONAL = [
     "q18_large_orders",
     "q7_nation_volume",
     "join_left_semi",
+    "correlated_above_avg_orders",
+    "churned_customers",
     "join_left_anti",
     "topk_orders_per_customer",
     "rollup_nation_segment",
