@@ -16,6 +16,7 @@ RELATIONAL = [
     "q7_nation_volume",
     "join_left_semi",
     "correlated_above_avg_orders",
+    "q4_late_shipments",
     "churned_customers",
     "join_left_anti",
     "topk_orders_per_customer",

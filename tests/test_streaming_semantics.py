@@ -43,6 +43,38 @@ def test_stream_static_join(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    """The streaming tumbling-window aggregate (watermarked) over a drained
+    file stream must equal the batch groupBy-window on the same data."""
+    from change_data_capture_spark.sources.tables import load_table
+    from change_data_capture_spark.streaming.pipeline import windowed_event_counts
+
+    ws = tempfile.mkdtemp(prefix="cdc_tumb_")
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "value"
+    )
+    events.write.mode("overwrite").parquet(f"{ws}/events")
+    stream = spark.readStream.schema(events.schema).parquet(f"{ws}/events")
+    q = (
+        windowed_event_counts(spark, stream)
+        .writeStream.format("memory")
+        .queryName("tumb_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.w.start, r.event_type, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumb_test").collect()
+    }
+    want = {
+        (r.w.start, r.event_type, r.n_events, r.total_value)
+        for r in windowed_event_counts(spark, events).collect()
+    }
+    assert got == want
+
+
 def test_watermark_drops_late_events(spark):
     """Late-data semantics: with a 10-minute watermark, an event arriving in
     a later batch but timestamped far behind the watermark must not create
