@@ -776,3 +776,191 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("l_discount", "l_tax").alias("min_rate"),
         F.signum(F.col("l_extendedprice") - 50000).alias("above_50k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H shapes adapted to the available schema (no
+# commitdate/receiptdate/partsupp in the fixtures): Q12 CASE-bucketed join
+# agg, Q19 disjunctive join predicate, Q21 only-late-supplier, Q22 scalar
+# subquery + anti join, Q2-style correlated MIN.
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+"""
+
+
+@query("q12_priority_shipmode", oracle=_Q12_ORACLE)
+def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: join + CASE-bucketed conditional counts (the
+    shipmode/priority split), adapted to l_shipdate lateness. The CASE sums
+    are map-side partial aggregates; one shuffle on l_returnflag."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 25 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("q19_disjunctive_join", oracle=_Q19_ORACLE)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: disjunction of conjunctive predicates spanning both
+    join sides. part is broadcast; Catalyst extracts the common p_partkey
+    equi-key so the OR stays a post-join filter, and the single-side
+    conjuncts (brand/size on part, quantity on lineitem) are pushed to the
+    scans as a derived OR-of-ranges filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 20))
+        | ((brand == "Brand#23") & size.between(10, 30) & qty.between(10, 35))
+        | ((brand == "Brand#34") & size.between(25, 50) & qty.between(20, 50))
+    )
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).filter(cond)
+    return joined.agg(
+        _d(F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"), 8, 2))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY
+  )
+GROUP BY s_name
+"""
+
+
+@query("q21_waiting_supplier", oracle=_Q21_ORACLE)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: the only supplier late on a multi-supplier order.
+    Instead of the literal EXISTS / NOT-EXISTS pair (two extra self-joins of
+    the fact table), computes per-order supplier/late-supplier distinct
+    counts in ONE extra aggregate over the already-joined lines and filters
+    is_late AND n_suppliers >= 2 AND n_late_suppliers == 1 — same semantics
+    (the sole late supplier is this row's), one shuffle by orderkey instead
+    of two fact-fact joins. supplier is a broadcast dim."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    sole_late = (
+        lo.filter("is_late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q22_ORACLE = """
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+GROUP BY c_nationkey
+"""
+
+
+@query("q22_global_sales_opportunity", oracle=_Q22_ORACLE)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: rich customers (above the positive-balance average,
+    an uncorrelated scalar subquery -> one-row broadcast cross join) with no
+    RECENT order (anti join on a filtered orders scan — the date predicate
+    is pushed into the parquet scan before the anti join), rolled up by
+    nation. The average is a single IEEE division of an exact DECIMAL sum,
+    so the threshold compare is bit-identical across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((_d(F.sum(_dec("c_acctbal"))) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    rich = c.join(F.broadcast(avg_pos)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _d(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
+    )
+
+
+_Q2_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+FROM lineitem l
+WHERE l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+@query("q2_min_cost_per_part", oracle=_Q2_ORACLE)
+def q2_min_cost_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated MIN subquery (min-cost supplier per part,
+    adapted to lineitem since the fixtures have no partsupp): rewritten as a
+    window MIN partitioned by l_partkey — ONE shuffle on the correlation
+    key versus the aggregate-then-self-join plan's two. Ties keep every
+    minimal row, exactly like the correlated =."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    )

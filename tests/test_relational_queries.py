@@ -17,6 +17,11 @@ RELATIONAL = [
     "join_left_semi",
     "correlated_above_avg_orders",
     "q4_late_shipments",
+    "q12_priority_shipmode",
+    "q19_disjunctive_join",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_per_part",
     "churned_customers",
     "join_left_anti",
     "topk_orders_per_customer",
