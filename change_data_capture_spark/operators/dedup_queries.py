@@ -352,3 +352,101 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0),
     )
     return toks.groupBy("doc_id").agg(sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# connected-components dup clustering (iterative min-label propagation)
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {CORPUS_SQL},
+{_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM doc_shingles a JOIN doc_shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node AS doc_id, min(label) AS component_id FROM walk GROUP BY node)
+SELECT c.doc_id, c.component_id, s.n_members
+FROM comp c
+JOIN (SELECT component_id, count(*) AS n_members FROM comp GROUP BY 1) s
+  USING (component_id)
+"""
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the n-gram
+    Jaccard near-dup pair graph, so every document gets a canonical
+    component_id (the minimum doc_id in its cluster) — the step that turns
+    pairwise near-dup evidence into keep/drop decisions in a training-data
+    pipeline.
+
+    Iterative min-label propagation: each round joins the symmetric edge
+    list to current labels and takes the per-node minimum (two shuffles per
+    round), converging in O(diameter) rounds — near-dup clusters are
+    shallow (replicas of one source document), so this beats the O(log n)
+    large-star/small-star alternation that pays its constant factor only on
+    adversarial long-chain graphs. localCheckpoint truncates the iterative
+    lineage so round N's plan doesn't re-derive rounds 1..N-1; on a real
+    cluster this is reliable-checkpoint-to-object-store instead. The
+    convergence probe is a count action per round — inherent to any
+    fixpoint algorithm.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(50):  # backstop; converges in O(diameter) rounds
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionAll(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    comp = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(sizes, "component_id").select(
+        "doc_id", "component_id", "n_members"
+    )

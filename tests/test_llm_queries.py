@@ -19,6 +19,7 @@ ORACLE_CHECKED = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_connected_components",
     "simhash_signatures",
     "similarity_topk_cosine",
     "embedding_cosine_neardup",
@@ -120,3 +121,17 @@ def test_multimodal_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_connected_components_properties(spark, sf_dir):
+    """Every near-dup pair's endpoints share a component; the component id
+    is the minimum doc_id of its members; sizes are consistent."""
+    q = entrymod.queries()
+    comp = {r.doc_id: r.component_id
+            for r in q["dedup_connected_components"](spark, sf_dir).collect()}
+    pairs = q["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    assert all(comp[r.doc_a] == comp[r.doc_b] for r in pairs)
+    by_comp = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, []).append(d)
+    assert all(c == min(members) for c, members in by_comp.items())
