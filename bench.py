@@ -34,6 +34,13 @@ HEADLINE = [
     "q18_large_orders",
     "topk_orders_per_customer",
     "rollup_nation_segment",
+    "q4_late_shipments",
+    "q12_priority_shipmode",
+    "q19_disjunctive_join",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_per_part",
+    "window_distribution_funcs",
     # events / windows / joins
     "window_running_total",
     "events_sessionization",

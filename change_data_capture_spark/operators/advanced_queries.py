@@ -342,3 +342,38 @@ def count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+# ---------------------------------------------------------------------------
+# window distribution functions (percent_rank / cume_dist / nth_value)
+# ---------------------------------------------------------------------------
+
+_WDIST_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       percent_rank() OVER w AS pr,
+       cume_dist()    OVER w AS cd,
+       nth_value(o_orderkey, 2) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+"""
+
+
+@query("window_distribution_funcs", oracle=_WDIST_ORACLE)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-style window functions: percent_rank and cume_dist over
+    the per-customer order sequence, plus nth_value over the full-partition
+    frame. The ordering key (o_orderkey) is unique per partition, so the
+    DOUBLE ratios are the same exact divisions on both engines. One shuffle
+    on o_custkey serves all three functions (same window spec)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_orderkey"),
+    )

@@ -16,6 +16,7 @@ ADVANCED = [
     "setops_all_variants",
     "join_full_outer",
     "window_range_frame",
+    "window_distribution_funcs",
     "posexplode_embedding_dims",
     "count_distinct_exact",
     "unpivot_segment_balances",
