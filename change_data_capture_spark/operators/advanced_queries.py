@@ -377,3 +377,76 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_orderkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# explicit GROUPING SETS (beyond rollup/cube) + correlated LATERAL join
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(GROUPING(c_nationkey) AS INT) AS g_nation,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())
+"""
+
+
+@query("grouping_sets_customer", oracle=_GSETS_ORACLE)
+def grouping_sets_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two disjoint single-column groupings plus
+    the grand total in ONE pass (Catalyst expands to a single Expand +
+    hash-aggregate, not three scans), with GROUPING() flags disambiguating
+    aggregation nulls from data nulls. The DataFrame API only exposes
+    rollup/cube, so this is the SQL surface."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey, c_mktsegment,
+               CAST(GROUPING(c_nationkey) AS INT) AS g_nation,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM gs_customer
+        GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())
+        """
+    )
+
+
+_LATERAL_ORACLE = """
+SELECT n_name, o.o_orderkey, o.o_totalprice
+FROM nation n, LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders, customer
+    WHERE o_custkey = c_custkey AND c_nationkey = n.n_nationkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 3
+) o
+"""
+
+
+@query("lateral_topn_per_nation", oracle=_LATERAL_ORACLE)
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-3 orders by value for each nation.
+    Catalyst decorrelates the LATERAL + LIMIT into a window rank over the
+    orders⋈customer join partitioned by nationkey — the same shuffle-once
+    WindowGroupLimit plan a hand-written top-k uses, so the lateral form
+    costs nothing extra. Tiebreak on o_orderkey keeps the LIMIT
+    deterministic across engines."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT n_name, o.o_orderkey, o.o_totalprice
+        FROM lat_nation n, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM lat_orders, lat_customer
+            WHERE o_custkey = c_custkey AND c_nationkey = n.n_nationkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) o
+        """
+    )

@@ -17,6 +17,8 @@ ADVANCED = [
     "join_full_outer",
     "window_range_frame",
     "window_distribution_funcs",
+    "grouping_sets_customer",
+    "lateral_topn_per_nation",
     "posexplode_embedding_dims",
     "count_distinct_exact",
     "unpivot_segment_balances",

@@ -54,3 +54,47 @@ def test_similarity_broadcasts_queries(spark, sf_dir):
     s = _stats(spark, sf_dir, "similarity_topk_cosine")
     assert s.broadcast_exchanges >= 1, "query vectors must broadcast"
     assert s.has_window_group_limit
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """The OR-of-conjuncts must reach BOTH parquet scans as derived
+    single-side filters (brand/size on part, quantity on lineitem), and the
+    common p_partkey key must keep the join an equi broadcast join."""
+    s = _stats(spark, sf_dir, "q19_disjunctive_join")
+    assert s.broadcast_exchanges >= 1, "part must broadcast"
+    assert not s.has_cartesian and not s.has_bnlj
+    assert any("l_quantity" in p for p in s.pushed_filters), s.pushed_filters
+    assert any("p_brand" in p for p in s.pushed_filters), s.pushed_filters
+
+
+def test_q21_stays_equi_join(spark, sf_dir):
+    """The only-late-supplier rewrite must not degrade to cartesian/BNLJ,
+    and the orderstatus filter must reach the orders scan."""
+    s = _stats(spark, sf_dir, "q21_waiting_supplier")
+    assert not s.has_cartesian and not s.has_bnlj
+    assert any("o_orderstatus" in p for p in s.pushed_filters), s.pushed_filters
+
+
+def test_q2_correlated_min_is_single_shuffle(spark, sf_dir):
+    """Window-MIN rewrite of the correlated subquery: one shuffle on the
+    correlation key, one scan — not the agg+self-join's two of each."""
+    s = _stats(spark, sf_dir, "q2_min_cost_per_part")
+    assert s.shuffle_exchanges == 1, s.text
+    assert s.parquet_scans == 1
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    """GROUPING SETS must expand in one scan + one aggregate exchange, not
+    one scan per grouping set."""
+    s = _stats(spark, sf_dir, "grouping_sets_customer")
+    assert s.shuffle_exchanges == 1, s.text
+    assert s.parquet_scans == 1
+
+
+def test_lateral_decorrelates_to_group_limit(spark, sf_dir):
+    """The correlated LATERAL + LIMIT must decorrelate to a WindowGroupLimit
+    plan (no per-row re-execution, no nested loop)."""
+    s = _stats(spark, sf_dir, "lateral_topn_per_nation")
+    assert s.has_window_group_limit, s.text
+    assert not s.has_cartesian and not s.has_bnlj
+    assert s.shuffle_exchanges == 1, s.text

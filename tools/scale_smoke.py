@@ -49,6 +49,11 @@ QUERIES = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "topk_orders_per_customer",
+    "q12_priority_shipmode",
+    "q19_disjunctive_join",
+    "q21_waiting_supplier",
+    "q2_min_cost_per_part",
+    "dedup_connected_components",
     "window_running_total",
     "events_sessionization",
     "asof_join_last_order",
