@@ -363,3 +363,49 @@ def array_vector_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold(F.transform(vec, lambda x: x * x)), 6).alias("squared_norm"),
         F.size(F.filter(vec, lambda x: x > 0)).alias("n_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) window aggregation — overlapping windows
+# ---------------------------------------------------------------------------
+
+_HOPPING_ORACLE = """
+WITH bucketed AS (
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b, ts, event_type, value
+    FROM events
+),
+assigned AS (
+    SELECT b AS window_start, event_type, value FROM bucketed
+    UNION ALL
+    SELECT b - INTERVAL 30 MINUTE, event_type, value FROM bucketed
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+@query("events_hopping_windows", oracle=_HOPPING_ORACLE)
+def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 30 minutes — each event lands in exactly
+    two overlapping windows (``F.window`` with a slide, the operator
+    Structured Streaming pairs with a watermark for sliding aggregates; the
+    oracle materializes the same two epoch-aligned window starts per event).
+    The window assignment is a flat-map (Expand), so the only shuffle is the
+    aggregate itself."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _d(F.sum(_dec("value"))).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -122,3 +122,28 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns) — the bookkeeping scan that gates a pipeline run."""
     o = load_table(spark, sf_dir, "orders")
     return profile(o, _ORDERS_NUMERIC, _ORDERS_OTHER)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str,
+) -> None:
+    """Persist a relation hash-bucketed (and sorted) on its join key.
+
+    Bucketing is THE co-located-join lever at 100 TB: two tables bucketed
+    the same way on the same key join with ZERO shuffle exchanges (pinned by
+    test_bucketed_join_is_shuffle_free) — at 1000 executors that's the
+    difference between an all-to-all of the fact table per join and a local
+    merge per bucket. Spark's bucket layout is hash(key) % n per-file, read
+    back through the session catalog."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )

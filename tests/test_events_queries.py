@@ -9,6 +9,7 @@ from tests.oracle import compare
 
 EVENTS = [
     "events_tumbling_hourly",
+    "events_hopping_windows",
     "events_sessionization",
     "asof_join_last_order",
     "range_join_ship_window",

@@ -103,3 +103,51 @@ def test_envelope_tolerates_schema_evolution(spark, sf_dir):
     assert len(decoded) == 1
     r = decoded[0]
     assert (r.id, r.lsn, r.name, float(r.price)) == (1, 11, "n", 9.5)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Fact-fact join on the bucket key must need ZERO shuffle exchanges
+    when both sides are bucketed identically — the co-located join layout
+    a 100 TB deployment relies on."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.operators.maintenance import write_bucketed
+    from change_data_capture_spark.plans import plan_stats
+    from change_data_capture_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, str(tmp_path / "li"))
+    write_bucketed(od, "b_orders", ["o_orderkey"], 8, str(tmp_path / "od"))
+    # at fixture scale Spark would broadcast orders (also shuffle-free, but
+    # not the layout under test); disable it to exercise the big-big path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        s = plan_stats(joined)
+        # join needs no exchange; only the final aggregate may shuffle
+        assert s.shuffle_exchanges <= 1, s.text
+        assert "SortMergeJoin" in s.text
+        # and the answer matches the unbucketed plan
+        want = {
+            (r.o_orderpriority, r.n)
+            for r in li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        got = {(r.o_orderpriority, r.n) for r in joined.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -118,3 +118,59 @@ def test_watermark_drops_late_events(spark):
     # event must not have inflated hour 0 beyond 1
     for start, n in rows:
         assert n == 1, f"window {start} counted late data: n={n}"
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream inner join with watermarks on both sides and a time
+    bound (purchase within 1h after a view by the same user) must equal the
+    batch join on the same data once the stream drains."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_ssj_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    events.write.mode("overwrite").parquet(f"{ws}/events")
+
+    def sides(df):
+        views = (
+            df.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "2 hours")
+        )
+        buys = (
+            df.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("buy_id"),
+                F.col("user_id").alias("b_user"),
+                F.col("ts").alias("b_ts"),
+            )
+            .withWatermark("b_ts", "2 hours")
+        )
+        return views.join(
+            buys,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("v_ts"))
+            & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("view_id", "buy_id")
+
+    stream = spark.readStream.schema(events.schema).parquet(f"{ws}/events")
+    q = (
+        sides(stream)
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.view_id, r.buy_id) for r in spark.sql("SELECT * FROM ssj_test").collect()}
+    want = {(r.view_id, r.buy_id) for r in sides(events).collect()}
+    assert want, "fixture must produce at least one view->purchase pair"
+    assert got == want
