@@ -256,3 +256,59 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= 0.99)
         .select("bucket", "vec_a", "vec_b", F.round("c", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the storage/ANN compression path
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           greatest(abs(list_max(CAST(embedding AS DOUBLE[]))),
+                    abs(list_min(CAST(embedding AS DOUBLE[])))) AS scale
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id, scale,
+           list_transform(e, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT)) AS qv
+    FROM v
+)
+SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max
+FROM q
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (max-abs scaling) — the
+    4× storage / SIMD-distance compression step before ANN at scale. The
+    scale is materialized as a COLUMN before the transform lambda (HOF
+    lambdas don't CSE — an inline array_max would re-reduce the array per
+    element, see BENCH.md pitfall 3), and rounding is floor(x+0.5) — pure
+    IEEE ops that agree across engines, unlike double round() tie-breaking.
+    The int array stays internal; outputs are per-vector reductions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    with_scale = emb.select(
+        "vec_id",
+        vec.alias("e"),
+        F.greatest(F.abs(F.array_max(vec)), F.abs(F.array_min(vec))).alias("scale"),
+    )
+    q = with_scale.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            "e", lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5).cast("int")
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.col("scale").cast("double").alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )

@@ -23,6 +23,7 @@ ORACLE_CHECKED = [
     "simhash_signatures",
     "similarity_topk_cosine",
     "embedding_cosine_neardup",
+    "embedding_quantize_int8",
     "multimodal_features",
 ]
 
@@ -135,3 +136,11 @@ def test_connected_components_properties(spark, sf_dir):
     for d, c in comp.items():
         by_comp.setdefault(c, []).append(d)
     assert all(c == min(members) for c, members in by_comp.items())
+
+
+def test_quantization_bounds(spark, sf_dir):
+    """int8 codes must stay in [-127, 127] and reconstruction error is
+    bounded by half a quantization step (scale/254) per element."""
+    rows = entrymod.queries()["embedding_quantize_int8"](spark, sf_dir).collect()
+    assert rows and all(-127 <= r.q_min <= r.q_max <= 127 for r in rows)
+    assert all(r.scale > 0 for r in rows)
