@@ -41,6 +41,11 @@ HEADLINE = [
     "q22_global_sales_opportunity",
     "q2_min_cost_per_part",
     "window_distribution_funcs",
+    "grouping_sets_customer",
+    "lateral_topn_per_nation",
+    "stats_corr_regr",
+    "events_hopping_windows",
+    "embedding_quantize_int8",
     # events / windows / joins
     "window_running_total",
     "events_sessionization",

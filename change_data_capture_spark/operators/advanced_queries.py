@@ -450,3 +450,61 @@ def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# correlation / regression aggregates from exact partial sums
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH s AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 10) AS corr_qty_price,
+       round((n * sxy - sx * sy) / n / n, 6) AS covar_pop,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 10) AS regr_slope,
+       round(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx / n, 6) AS regr_intercept
+FROM s
+"""
+
+
+@query("stats_corr_regr", oracle=_CORR_ORACLE)
+def stats_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation, population covariance, and OLS slope/intercept
+    per return flag — computed from EXACT decimal partial sums (n, Σx, Σy,
+    Σx², Σy², Σxy) combined with closed-form double arithmetic, instead of
+    the built-in corr()/covar_pop() whose float accumulation order differs
+    per engine and partitioning. This is also the scale-correct shape: the
+    five sums are one map-side-combined pass, associative and
+    repartition-invariant; round() guards the final libm boundary."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty, price = _dec("l_quantity"), _dec("l_extendedprice")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _d(F.sum(qty)).alias("sx"),
+        _d(F.sum(price)).alias("sy"),
+        _d(F.sum(qty * qty)).alias("sxx"),
+        _d(F.sum(price * price)).alias("syy"),
+        _d(F.sum(qty * price)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n2 = n * sxy - sx * sy
+    slope = cov_n2 / (n * sxx - sx * sx)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n2 / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 10).alias("corr_qty_price"),
+        F.round(cov_n2 / n / n, 6).alias("covar_pop"),
+        F.round(slope, 10).alias("regr_slope"),
+        F.round(sy / n - slope * sx / n, 6).alias("regr_intercept"),
+    )

@@ -18,6 +18,7 @@ ADVANCED = [
     "window_range_frame",
     "window_distribution_funcs",
     "grouping_sets_customer",
+    "stats_corr_regr",
     "lateral_topn_per_nation",
     "posexplode_embedding_dims",
     "count_distinct_exact",
