@@ -13,6 +13,7 @@ from change_data_capture_spark.functions.text import (
     STOPWORDS,
     fingerprint,
     normalize,
+    seeded_hash,
     tokens,
 )
 from change_data_capture_spark.queries import query
@@ -237,4 +238,50 @@ def corpus_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/eval split (hash partitioning of the corpus)
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH hashed AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+    FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train' ELSE 'eval' END AS split,
+       COUNT(*) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM hashed
+GROUP BY 1, 2
+"""
+
+
+@query("corpus_train_eval_split", oracle=_SPLIT_ORACLE)
+def corpus_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/10 train/eval assignment by a SEEDED CONTENT HASH of the stable
+    document key — the split every training pipeline needs to be (a)
+    deterministic across reruns and engines (no rand()), (b) stable under
+    re-partitioning and appends (a new doc never moves an old one), and
+    (c) joinable (any table keyed by doc_id derives the same split). The
+    md5-based hash family is the same one MinHash/SimHash use, so the
+    oracle reproduces the buckets exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = seeded_hash(F.col("doc_id").cast("string"), seed="split") % 100
+    return (
+        d.select(
+            "lang",
+            F.when(bucket < 90, "train").otherwise("eval").alias("split"),
+            "doc_id",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
     )

@@ -15,6 +15,7 @@ ORACLE_CHECKED = [
     "lang_id_heuristic",
     "doc_fingerprint",
     "corpus_lang_source_profile",
+    "corpus_train_eval_split",
     "document_chunking",
     "dedup_exact",
     "dedup_ngram_jaccard",
