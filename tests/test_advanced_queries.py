@@ -32,9 +32,10 @@ def test_oracle_parity(spark, sf_dir, name):
 
 
 def test_approx_count_distinct_error_bound(spark, sf_dir):
-    """HLL estimate must sit within a loose rsd-derived bound of exact."""
+    """HLL estimate must sit within 3×rsd of exact — the query itself emits
+    the per-group boolean (that is its oracle contract); all must hold."""
     rows = entrymod.queries()["count_distinct_approx"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
-        assert rel_err < 0.10, f"{r.l_returnflag}: rel err {rel_err:.3f}"
+        assert r.approx_within_tol, f"{r.l_returnflag}: HLL outside 3×rsd"
+        assert r.exact_parts > 0
