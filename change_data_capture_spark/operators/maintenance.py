@@ -30,9 +30,13 @@ def compact_parquet(
     so min/max row-group stats become selective (poor-man's clustering;
     Z-order on a lakehouse).
 
-    Safety: writes to a sibling temp dir then atomically renames — a reader
-    never sees a half-compacted directory. (On object stores rename is a
-    copy; a lakehouse table format makes this a metadata swap instead.)
+    Safety: writes to a sibling temp dir, renames the old directory aside,
+    renames the new one into place, then deletes the old — the canonical
+    path is absent only between the two renames (two syscalls), and a crash
+    at any step leaves a complete copy recoverable at ``path``,
+    ``path__old``, or ``path__compacting``; never a half-written table at
+    the canonical path. (On object stores rename is a copy; a lakehouse
+    table format makes this a metadata swap instead.)
     """
     import os
     import shutil
@@ -50,9 +54,13 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
 
     tmp = f"{path}__compacting"
+    old = f"{path}__old"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files
 
 
@@ -153,7 +161,12 @@ def zorder_value(cols: list[Column], mins: list[Column], maxs: list[Column],
                  bits: int = 16) -> Column:
     """Morton (Z-order) key: each column min-max normalized onto a
     2^bits grid, then bit-interleaved. Pure JVM bit arithmetic (shifts and
-    ORs inside whole-stage codegen) — no UDF."""
+    ORs inside whole-stage codegen) — no UDF.
+
+    The interleaved key must fit a signed 64-bit long: bits are clamped so
+    ``bits * len(cols) <= 63`` (Java shiftleft wraps its distance mod 64, so
+    overshooting would silently corrupt sort order rather than error)."""
+    bits = min(bits, 63 // len(cols))
     grid = (1 << bits) - 1
     normed = [
         F.when(mx > mn, ((c.cast("double") - mn) / (mx - mn) * grid))

@@ -70,7 +70,9 @@ def extract_features(df: DataFrame) -> DataFrame:
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       ascii(substr(text, 1, 1)) AS first_byte,
+       CASE WHEN octet_length(encode(text)) = 0 THEN -1
+            ELSE CAST('0x' || substr(hex(encode(text)), 1, 2) AS INTEGER)
+       END AS first_byte,
        md5(text) AS payload_md5,
        'fake/text' AS media_type
 FROM documents

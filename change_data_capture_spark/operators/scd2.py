@@ -48,6 +48,8 @@ def scd2(
     ts_ms_col: str = "ts_ms",
     payload: tuple[str, ...] = ("name", "description", "price"),
     min_events: int = 2,
+    sentinel_ts: str = SENTINEL_TS,
+    dedup_replays: bool = True,
 ) -> DataFrame:
     """Rebuild the SCD2 dimension from a decoded change log.
 
@@ -55,19 +57,36 @@ def scd2(
     are dropped (README.md:105-106), events are totally ordered per key by
     ``order_col`` (LSN, README.md:120), and only keys with ``>= min_events``
     events are emitted (HAVING COUNT(*) > 1, README.md:119).
+
+    Two knobs cover the deliberate deviations from the reference's exact
+    output (both default to this engine's oracle-aligned behavior):
+
+    - ``sentinel_ts``: pass ``"9999-01-01"`` for the reference's literal
+      open-interval sentinel (README.md:115). The default 2260-01-01 is
+      semantically identical but survives pandas/Arrow ns-range round trips.
+    - ``dedup_replays``: pass ``False`` to count replayed ``(key, lsn)``
+      duplicates toward HAVING like the reference does — a key whose only
+      second event is a replay is then emitted (with a zero-width interval)
+      instead of dropped. The default repairs at-least-once transport before
+      counting.
     """
     w_ord = Window.partitionBy(key).orderBy(order_col)
     w_all = Window.partitionBy(key)
 
-    cleaned = (
-        decoded.where(F.col(order_col).isNotNull())
-        # at-least-once replay repair: duplicate (key, lsn) rows are identical
-        # by construction (same source event), so keeping the first of each
-        # adjacent run is an exact dedup — and it reuses the window exchange.
-        .withColumn("_prev_ord", F.lag(order_col).over(w_ord))
-        .where(F.col("_prev_ord").isNull() | (F.col("_prev_ord") != F.col(order_col)))
-        .drop("_prev_ord")
-    )
+    cleaned = decoded.where(F.col(order_col).isNotNull())
+    if dedup_replays:
+        cleaned = (
+            cleaned
+            # at-least-once replay repair: duplicate (key, lsn) rows are
+            # identical by construction (same source event), so keeping the
+            # first of each adjacent run is an exact dedup — and it reuses
+            # the window exchange.
+            .withColumn("_prev_ord", F.lag(order_col).over(w_ord))
+            .where(
+                F.col("_prev_ord").isNull() | (F.col("_prev_ord") != F.col(order_col))
+            )
+            .drop("_prev_ord")
+        )
     return (
         cleaned.select(
             key,
@@ -75,7 +94,7 @@ def scd2(
             F.timestamp_millis(F.col(ts_ms_col)).alias("row_valid_start_timestamp"),
             F.coalesce(
                 F.lead(F.timestamp_millis(F.col(ts_ms_col)), 1).over(w_ord),
-                F.lit(SENTINEL_TS).cast("timestamp"),
+                F.lit(sentinel_ts).cast("timestamp"),
             ).alias("row_valid_expiration_timestamp"),
             F.count(F.lit(1)).over(w_all).alias("_n_events"),
         )

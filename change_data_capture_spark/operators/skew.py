@@ -33,7 +33,17 @@ def salted_join(
     ``rand``-free: the salt derives from a hash of the whole row via
     ``spark_partition_id`` + monotonic id, keeping the operator
     deterministic per execution plan.
+
+    Only inner and left joins are supported: the small side is replicated
+    n_salts×, so right/full outer would emit each unmatched small-side row
+    once per salt (silent duplication).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: the "
+            "replicated small side would duplicate unmatched rows under "
+            "right/full outer"
+        )
     salted_left = skewed.withColumn(
         "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % n_salts)
     )

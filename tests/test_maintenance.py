@@ -201,3 +201,24 @@ def test_zorder_clusters_file_ranges(spark, sf_dir, tmp_path):
     assert clustered < control * 0.5, (clustered, control)
     # row fidelity: clustering is a rewrite, not a transform
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_zorder_bits_clamped_to_long_range(spark):
+    """4 cluster columns at default bits=16 would interleave into bit 63+
+    (sign bit / mod-64 wraparound); the clamp keeps every key positive and
+    strictly monotone in each column at the clamped resolution."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.operators.maintenance import zorder_value
+
+    df = spark.range(1).select(
+        *[F.lit(float(v)).alias(c) for c, v in
+          [("a", 100.0), ("b", 100.0), ("c", 100.0), ("d", 100.0)]]
+    )
+    cols = [F.col(c) for c in "abcd"]
+    mins = [F.lit(0.0)] * 4
+    maxs = [F.lit(100.0)] * 4
+    z_max = df.select(zorder_value(cols, mins, maxs).alias("z")).collect()[0].z
+    # all four coords at grid max → all interleaved bits set; must stay
+    # inside a signed long and below 2^60 (15 bits × 4 cols)
+    assert 0 < z_max < (1 << 60)

@@ -100,3 +100,38 @@ def test_scd2_matches_model(spark, history):
         for r in scd2(df).collect()
     }
     assert got == _model(history)
+
+
+def test_scd2_reference_compat_mode(spark):
+    """sentinel_ts='9999-01-01' + dedup_replays=False reproduce the
+    reference's literal output shape: the far sentinel appears, and a key
+    whose only second event is a replayed duplicate is emitted (zero-width
+    closing interval) instead of dropped."""
+    rows = [
+        # key 1: a real change history
+        (1, 10, 1_000, "a", "d", None),
+        (1, 20, 2_000, "a2", "d", None),
+        # key 2: second event is an exact replay of the first
+        (2, 10, 1_000, "b", "d", None),
+        (2, 10, 1_000, "b", "d", None),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = scd2(df, sentinel_ts="9999-01-01", dedup_replays=False).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.id, []).append(r)
+    # default mode drops key 2 entirely; compat mode keeps it
+    assert set(by_key) == {1, 2}
+    assert len(by_key[2]) == 2
+    zero_width = [
+        r for r in by_key[2]
+        if r.row_valid_start_timestamp == r.row_valid_expiration_timestamp
+    ]
+    assert len(zero_width) == 1
+    sentinels = [
+        r for r in out if r.row_valid_expiration_timestamp.year == 9999
+    ]
+    assert len(sentinels) == 2  # one open interval per key
+    # and the default mode still drops the replay-only key
+    strict = scd2(df).collect()
+    assert {r.id for r in strict} == {1}

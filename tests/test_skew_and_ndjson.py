@@ -85,3 +85,15 @@ def test_ingest_restart_is_exactly_once(spark, sf_dir):
 
     landed = spark.read.parquet(f"{ws}/landed")
     assert landed.groupBy("id", "lsn").count().where("count > 1").count() == 0
+
+
+def test_salted_join_rejects_outer(spark):
+    """Right/full outer would duplicate unmatched small-side rows across
+    salts — the operator must refuse rather than silently multiply."""
+    import pytest
+
+    from change_data_capture_spark.operators.skew import salted_join
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="full")
