@@ -15,6 +15,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def decode_debezium_decimal(col: Column, scale: int) -> Column:
+    """Decode a Debezium `decimal.handling.mode=precise` value.
+
+    Debezium's default wire format for Postgres NUMERIC/DECIMAL is the
+    base64 rendering of the java.math.BigDecimal *unscaled value* as
+    minimal-length big-endian two's-complement bytes — the reference's
+    sample event carries ``"price": "DOQ="`` (reference README.md:214),
+    bytes ``0x0C 0xE4`` = 3300 unscaled, scale 2 → 33.00.
+
+    Pure built-in projection (unbase64 → hex → sign-extend to 64 bits →
+    conv base-16 → fixed-point divide), fully codegen'd — no UDF, valid for
+    values up to 8 bytes (|unscaled| < 2^63, i.e. any DECIMAL(18,s)).
+    Returns DECIMAL(18, scale); NULL in → NULL out.
+    """
+    hx = F.hex(F.unbase64(col))
+    msb_set = F.substring(hx, 1, 1) >= "8"  # hex() is uppercase: '8'<'A'<'F'
+    h16 = F.when(msb_set, F.lpad(hx, 16, "F")).otherwise(F.lpad(hx, 16, "0"))
+    unsigned = F.conv(h16, 16, 10).cast("decimal(20,0)")
+    signed = F.when(
+        msb_set, unsigned - F.lit("18446744073709551616").cast("decimal(20,0)")
+    ).otherwise(unsigned)
+    return (signed / F.lit(10**scale)).cast(f"decimal(18,{scale})")
+
+
+def encode_debezium_decimal(dec: Column, scale: int) -> Column:
+    """Inverse of :func:`decode_debezium_decimal` for non-negative values:
+    base64 of the minimal big-endian unscaled bytes (used by the test
+    generator to emit reference-shaped envelopes; Debezium itself is the
+    producer in production)."""
+    hx = F.hex((dec * F.lit(10**scale)).cast("bigint"))
+    hx = F.when(F.length(hx) % 2 == 1, F.concat(F.lit("0"), hx)).otherwise(hx)
+    # a set msb on the leading byte would read as negative: prepend 0x00,
+    # exactly as BigDecimal.toBigInteger().toByteArray() does
+    hx = F.when(F.substring(hx, 1, 1) >= "8", F.concat(F.lit("00"), hx)).otherwise(hx)
+    return F.base64(F.unhex(hx))
+
+
 def op_label(op: Column) -> Column:
     """Decode the Debezium op code (reference README.md:94-100)."""
     return (

@@ -70,6 +70,27 @@ def scd2_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("scd2_products_b64price", oracle=_SCD2_ORACLE)
+def scd2_products_b64price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship over Debezium's *default* decimal wire format
+    (``decimal.handling.mode=precise``): ``price`` arrives as the base64 of
+    the unscaled big-endian bytes — ``"DOQ=" = 33.00`` in the reference's
+    sample event (README.md:214) — and is decoded in-plan by
+    ``decode_debezium_decimal`` (unbase64 → sign-extend → conv, all
+    codegen'd). Identical output (and oracle) to ``scd2_products``, proving
+    the decode is exact on every event in the log."""
+    from change_data_capture_spark.functions.envelope import decode_debezium_decimal
+    from change_data_capture_spark.sources.cdc_generator import (
+        product_change_events_b64,
+    )
+
+    env = product_change_events_b64(spark, sf_dir)
+    decoded = decode_envelope(env).withColumn(
+        "price", decode_debezium_decimal(F.col("price"), 2)
+    )
+    return scd2(decoded).withColumn("price", F.col("price").cast("double"))
+
+
 @query("scd2_products_sql", oracle=_SCD2_ORACLE)
 def scd2_products_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship expressed through ``spark.sql`` (E3 parity — the

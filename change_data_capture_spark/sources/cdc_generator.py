@@ -159,6 +159,45 @@ def product_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _envelope(flat_events)
 
 
+def product_change_events_b64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same product change log, with ``price`` in Debezium's default
+    ``decimal.handling.mode=precise`` wire form: the base64 rendering of the
+    unscaled big-endian two's-complement bytes (the reference's sample event
+    carries ``"price": "DOQ="`` — README.md:214). A consumer of real Debezium
+    JSON sees exactly this shape; :func:`functions.envelope.
+    decode_debezium_decimal` recovers the DECIMAL(10,2). Pure nested-struct
+    projection over the canonical generator — no second scan."""
+    from change_data_capture_spark.functions.envelope import encode_debezium_decimal
+
+    env = product_change_events(spark, sf_dir)
+    v = F.col("value")
+
+    def img_b64(img: Column) -> Column:
+        return F.when(
+            img.isNotNull(),
+            F.struct(
+                img["id"].alias("id"),
+                img["name"].alias("name"),
+                img["description"].alias("description"),
+                encode_debezium_decimal(img["price"], 2).alias("price"),
+            ),
+        ).otherwise(
+            F.lit(None).cast(
+                "struct<id:bigint,name:string,description:string,price:string>"
+            )
+        )
+
+    value = F.struct(
+        img_b64(v["before"]).alias("before"),
+        img_b64(v["after"]).alias("after"),
+        v["source"].alias("source"),
+        v["op"].alias("op"),
+        v["ts_ms"].alias("ts_ms"),
+        v["transaction"].alias("transaction"),
+    )
+    return env.select(value.alias("value"))
+
+
 def user_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic change log for ``users`` (= customer; FIXTURES.md role
     map). Same workload shape as products (the reference streams both topics,

@@ -57,3 +57,51 @@ def test_scd2_interval_invariants(spark, sf_dir):
     )
     per_id = open_rows.groupBy("id").count().where("count != 1").count()
     assert per_id == 0
+
+
+def test_debezium_decimal_codec(spark):
+    """decode_debezium_decimal recovers the reference's sample wire value
+    ("DOQ=" scale 2 -> 33.00, README.md:214), round-trips the encoder, and
+    handles negative two's-complement values."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.functions.envelope import (
+        decode_debezium_decimal,
+        encode_debezium_decimal,
+    )
+
+    ref = spark.createDataFrame([("DOQ=",)], "b string")
+    assert ref.select(
+        decode_debezium_decimal(F.col("b"), 2).alias("p")
+    ).collect()[0].p == __import__("decimal").Decimal("33.00")
+
+    vals = [("0.00",), ("0.01",), ("33.00",), ("12345.67",), ("999999.99",),
+            ("123456789012345.67",)]
+    d = spark.createDataFrame(vals, "v string").select(
+        F.col("v").cast("decimal(18,2)").alias("v")
+    )
+    rt = d.select(
+        "v",
+        decode_debezium_decimal(
+            encode_debezium_decimal(F.col("v"), 2), 2
+        ).alias("back"),
+    )
+    assert rt.where(F.col("v") != F.col("back")).count() == 0
+    # the reference sample must be reproduced byte-for-byte by the encoder
+    enc = spark.createDataFrame([("33.00",)], "v string").select(
+        encode_debezium_decimal(F.col("v").cast("decimal(10,2)"), 2).alias("b")
+    )
+    assert enc.collect()[0].b == "DOQ="
+
+    neg = spark.createDataFrame(
+        [(base64.b64encode((-128).to_bytes(1, "big", signed=True)).decode(),),
+         (base64.b64encode((-1234567).to_bytes(3, "big", signed=True)).decode(),)],
+        "b string",
+    )
+    got = [r.p for r in neg.select(
+        decode_debezium_decimal(F.col("b"), 2).alias("p")
+    ).collect()]
+    import decimal as _d
+    assert got == [_d.Decimal("-1.28"), _d.Decimal("-12345.67")]
