@@ -393,26 +393,19 @@ JOIN (SELECT component_id, count(*) AS n_members FROM comp GROUP BY 1) s
 """
 
 
-@query("dedup_connected_components", oracle=_CC_ORACLE)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment: connected components over the n-gram
-    Jaccard near-dup pair graph, so every document gets a canonical
-    component_id (the minimum doc_id in its cluster) — the step that turns
-    pairwise near-dup evidence into keep/drop decisions in a training-data
-    pipeline.
+def _connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected (doc_a, doc_b) pair graph.
 
-    Iterative min-label propagation: each round joins the symmetric edge
-    list to current labels and takes the per-node minimum (two shuffles per
-    round), converging in O(diameter) rounds — near-dup clusters are
-    shallow (replicas of one source document), so this beats the O(log n)
-    large-star/small-star alternation that pays its constant factor only on
-    adversarial long-chain graphs. localCheckpoint truncates the iterative
-    lineage so round N's plan doesn't re-derive rounds 1..N-1; on a real
-    cluster this is reliable-checkpoint-to-object-store instead. The
-    convergence probe is a count action per round — inherent to any
-    fixpoint algorithm.
+    Iterative: each round joins the symmetric edge list to current labels
+    and takes the per-node minimum (two shuffles per round), converging in
+    O(diameter) rounds — near-dup clusters are shallow (replicas of one
+    source document), so this beats the O(log n) large-star/small-star
+    alternation that pays its constant factor only on adversarial
+    long-chain graphs. localCheckpoint truncates the iterative lineage so
+    round N's plan doesn't re-derive rounds 1..N-1; on a real cluster this
+    is reliable-checkpoint-to-object-store instead. The convergence probe
+    is a count action per round — inherent to any fixpoint algorithm.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     # materialize the symmetric edge list ONCE, via a single-pass explode —
     # a unionAll of two selects over the lazy pair pipeline evaluates the
     # whole shingle->Jaccard derivation twice, and skipping materialization
@@ -463,4 +456,77 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
     return comp.join(sizes, "component_id").select(
         "doc_id", "component_id", "n_members"
+    )
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the exact
+    n-gram-Jaccard near-dup pair graph, so every document gets a canonical
+    component_id (the minimum doc_id in its cluster) — the step that turns
+    pairwise near-dup evidence into keep/drop decisions in a training-data
+    pipeline. Exact edge generation is quadratic on clique-dense corpora;
+    ``dedup_cc_minhash`` below is the identical clustering riding the
+    banded-LSH candidate path, which is the form to run at 100 TB."""
+    return _connected_components(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+_CC_MINHASH_ORACLE = f"""
+WITH RECURSIVE {CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, n FROM signatures),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM candidates c
+    JOIN doc_shingles sa ON sa.doc_id = c.doc_a
+    JOIN doc_shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common)
+          >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node AS doc_id, min(label) AS component_id FROM walk GROUP BY node)
+SELECT c.doc_id, c.component_id, s.n_members
+FROM comp c
+JOIN (SELECT component_id, count(*) AS n_members FROM comp GROUP BY 1) s
+  USING (component_id)
+"""
+
+
+@query("dedup_cc_minhash", oracle=_CC_MINHASH_ORACLE)
+def dedup_cc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH verified pair graph — the
+    100 TB form of duplicate clustering: edge generation is the banded
+    signature join (O(collisions), one shuffle on (band, sig)), not the
+    exact inverted-index self-join that degenerates quadratically on
+    clique-dense corpora. Candidates are still exact-Jaccard-verified
+    before clustering, so precision is 1; recall is the LSH band recall
+    (seeded hash family → the oracle reproduces the identical candidate
+    set, making even this approximate path hash-checkable)."""
+    return _connected_components(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     )

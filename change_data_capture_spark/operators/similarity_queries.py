@@ -103,27 +103,64 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 """
 
 
+N_BANDS = 4
+
+
 @query("embedding_cosine_neardup", oracle=_NEARDUP_ORACLE)
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.99). The fixture vectors are
     near-orthogonal, so the corpus is augmented with ×2-scaled copies
     (cosine exactly 1 in fp — power-of-two scaling) as known positives.
-    All-pairs is quadratic and only acceptable as ground truth; the
-    ``similarity_lsh_buckets`` query is the scale path."""
+
+    Scale shape: banded random-hyperplane LSH candidate generation — each
+    vector gets ``N_BANDS`` independent 8-bit sign codes; candidates are
+    pairs sharing any (band, code); survivors are exact-verified. One
+    equi-join shuffle on the band key, O(collisions) not O(n²) — no
+    BroadcastNestedLoopJoin anywhere (pinned in test_plans).
+
+    Recall: a sign code is invariant under positive scaling, so true
+    duplicates and scaled copies collide in EVERY band (recall 1.0 — which
+    is why this matches the exact all-pairs oracle on this corpus); merely
+    near pairs at cosine 0.99 collide in ≥1 of 4 bands w.p. ≈0.991
+    ((1-0.69⁴); θ=8.1°, per-plane split θ/π). The all-pairs quadratic form
+    lives only in the pytest recall fixture (tests/test_llm_queries.py)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    dim = 64  # fixture embedding dimension (TESTDATA.md)
     scaled = e.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("v", lambda x: x * 2).alias("v"),
     )
     vecs = e.unionAll(scaled)
-    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    banded = vecs.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        lsh_bucket_expr(F.col("v"), dim, band).alias("code"),
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("vec_id", "v", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+    a = banded.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band", "code")
+    b = banded.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band", "code")
+    # a pair can collide in several bands: dedup on ids (one grouped pass,
+    # vectors ride along via first()) before the exact verification
+    candidates = (
+        a.join(b, ["band", "code"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+    )
     cos = cosine(F.col("va"), F.col("vb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("c"))
+        candidates.select("vec_a", "vec_b", cos.alias("c"))
         .where(F.col("c") >= 0.99)
         .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
     )
@@ -217,11 +254,15 @@ def _hyperplane(dim: int, h: int) -> list[float]:
     return out
 
 
-def lsh_bucket_expr(vec: Column, dim: int) -> Column:
-    """Sign-of-projection bitcode over N_HYPERPLANES ±1 hyperplanes."""
+def lsh_bucket_expr(vec: Column, dim: int, band: int = 0) -> Column:
+    """Sign-of-projection bitcode over N_HYPERPLANES ±1 hyperplanes.
+
+    ``band`` selects a disjoint hyperplane set (indices
+    ``band*N_HYPERPLANES .. band*N_HYPERPLANES+7``) so multiple independent
+    codes can be OR-combined for recall (band 0 is the original code)."""
     code = F.lit(0)
     for h in range(N_HYPERPLANES):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, h)])
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, band * N_HYPERPLANES + h)])
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, p: x * p), F.lit(0.0), lambda s, x: s + x
         )

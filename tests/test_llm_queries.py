@@ -21,6 +21,7 @@ ORACLE_CHECKED = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_connected_components",
+    "dedup_cc_minhash",
     "simhash_signatures",
     "similarity_topk_cosine",
     "embedding_cosine_neardup",
@@ -145,3 +146,38 @@ def test_quantization_bounds(spark, sf_dir):
     rows = entrymod.queries()["embedding_quantize_int8"](spark, sf_dir).collect()
     assert rows and all(-127 <= r.q_min <= r.q_max <= 127 for r in rows)
     assert all(r.scale > 0 for r in rows)
+
+
+def test_neardup_banded_matches_allpairs(spark, sf_dir):
+    """Ground-truth fixture: the quadratic all-pairs scan (kept ONLY here)
+    must agree with the banded-LSH query — i.e. banding loses no pair on
+    this corpus (scaled copies collide in every band)."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.operators.similarity_queries import cosine
+    from change_data_capture_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scaled = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * 2).alias("v"),
+    )
+    vecs = e.unionAll(scaled)
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    allpairs = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("c"))
+        .where(F.col("c") >= 0.99)
+        .collect()
+    }
+    banded = {
+        (r.vec_a, r.vec_b)
+        for r in entrymod.queries()["embedding_cosine_neardup"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert banded == allpairs

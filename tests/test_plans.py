@@ -98,3 +98,11 @@ def test_lateral_decorrelates_to_group_limit(spark, sf_dir):
     assert s.has_window_group_limit, s.text
     assert not s.has_cartesian and not s.has_bnlj
     assert s.shuffle_exchanges == 1, s.text
+
+
+def test_neardup_uses_banded_equi_join(spark, sf_dir):
+    """Candidate generation must be the banded LSH equi-join — a
+    BroadcastNestedLoopJoin/CartesianProduct here is the O(n²) all-pairs
+    plan regressing back in."""
+    s = _stats(spark, sf_dir, "embedding_cosine_neardup")
+    assert not s.has_bnlj and not s.has_cartesian, s.text
