@@ -71,6 +71,16 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_cc_minhash",
     "streaming_scd2_multibatch",
     "count_distinct_approx",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_suppliers",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
 )
 
 

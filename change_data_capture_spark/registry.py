@@ -8,6 +8,7 @@ import importlib
 _QUERY_MODULES = (
     "change_data_capture_spark.operators.cdc_queries",
     "change_data_capture_spark.operators.relational_queries",
+    "change_data_capture_spark.operators.tpch_queries",
     "change_data_capture_spark.operators.events_queries",
     "change_data_capture_spark.operators.advanced_queries",
     "change_data_capture_spark.operators.text_queries",

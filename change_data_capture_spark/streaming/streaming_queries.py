@@ -99,7 +99,12 @@ def streaming_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     final = state.read()
     assert final is not None
-    # flagship semantics: only keys with >1 change event (HAVING > 1)
+    return _flagship_shape(final)
+
+
+def _flagship_shape(final: DataFrame) -> DataFrame:
+    """Project SCD2 state to the flagship output contract: only keys with
+    >1 change event (HAVING > 1), price as DOUBLE."""
     w_all = Window.partitionBy("id")
     return (
         final.withColumn("_n", F.count(F.lit(1)).over(w_all))
@@ -110,3 +115,43 @@ def streaming_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_valid_start_timestamp", "row_valid_expiration_timestamp",
         )
     )
+
+
+@query("streaming_scd2_multibatch", oracle=_SCD2_ORACLE)
+def streaming_scd2_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 under an adversarial *ordered* batch split: three
+    merges where the last batch delivers genuinely LATE events — UPDATE1
+    rows (lsn = pk*10+2) arrive after UPDATE2/DELETE (lsn pk*10+3 / pk*10+4)
+    have already been chained, so their validity interval must be spliced
+    *between closed intervals*, re-opening and re-closing neighbors by LSN
+    order rather than arrival order. Generator replay duplicates land
+    within batch 1 (the dropDuplicates path); the late batch is then
+    re-applied wholesale, exercising the anti-join idempotency path against
+    committed state. Batches are applied directly through the same
+    ``apply_batch`` merge that foreachBatch drives (the checkpointed-stream
+    mechanics are covered by ``streaming_scd2_incremental``; an unordered
+    file stream cannot *guarantee* the late-arrival ordering this query
+    exists to prove). Final state must equal the batch flagship — same
+    oracle SQL."""
+    from change_data_capture_spark.functions.envelope import decode_envelope
+    from change_data_capture_spark.streaming.scd2_stream import Scd2State, apply_batch
+
+    ws = tempfile.mkdtemp(prefix="cdc_scd2_mb_")
+    decoded = decode_envelope(product_change_events(spark, sf_dir))
+    phase = F.col("lsn") % 10
+    batches = [
+        decoded.where(phase == 1),                      # inserts open history
+        decoded.where(phase.isin(3, 4)),                # upd2 + delete close it
+        decoded.where(phase == 2),                      # LATE: upd1 splices in
+    ]
+    state = Scd2State(spark, f"{ws}/state")
+    for b in batches:
+        apply_batch(state, b)
+    # replay the late batch wholesale: committed (id,lsn) rows must anti-join
+    # out and the state hash-identically re-chain (idempotency under
+    # at-least-once delivery)
+    apply_batch(state, batches[2])
+
+    final = state.read()
+    assert final is not None
+    return _flagship_shape(final)

@@ -106,3 +106,27 @@ def test_neardup_uses_banded_equi_join(spark, sf_dir):
     plan regressing back in."""
     s = _stats(spark, sf_dir, "embedding_cosine_neardup")
     assert not s.has_bnlj and not s.has_cartesian, s.text
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    """Q6 is the canonical pushdown probe: shipdate+discount+quantity must
+    all appear in PushedFilters; the whole query is one agg exchange."""
+    s = _stats(spark, sf_dir, "q6_forecast_revenue")
+    joined = " ".join(s.pushed_filters)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in joined, (col, s.pushed_filters)
+    assert s.shuffle_exchanges == 1, s.text
+
+
+def test_q10_uses_take_ordered(spark, sf_dir):
+    s = _stats(spark, sf_dir, "q10_returned_items")
+    assert s.has_take_ordered, "ORDER BY + LIMIT 20 must compile to top-k"
+
+
+def test_q17_correlated_avg_is_single_window_shuffle(spark, sf_dir):
+    """The per-part avg must ride a window over one l_partkey exchange —
+    not the naive agg + re-join (two exchanges on the fact)."""
+    s = _stats(spark, sf_dir, "q17_small_quantity_revenue")
+    # one window exchange + the final singleton agg exchange
+    assert s.shuffle_exchanges <= 2, s.text
+    assert not s.has_bnlj and not s.has_cartesian

@@ -33,6 +33,17 @@ RELATIONAL = [
     "scalar_datetime_funcs",
     "scalar_math_funcs",
     "predicates_conditionals",
+    # round-2 TPC-H widening (operators/tpch_queries.py)
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_suppliers",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
 ]
 
 

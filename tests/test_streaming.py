@@ -13,7 +13,12 @@ from tests.oracle import compare
 
 
 @pytest.mark.parametrize(
-    "name", ["streaming_ingest_exactly_once", "streaming_scd2_incremental"]
+    "name",
+    [
+        "streaming_ingest_exactly_once",
+        "streaming_scd2_incremental",
+        "streaming_scd2_multibatch",
+    ],
 )
 def test_streaming_oracle_parity(spark, sf_dir, name):
     compare(name, spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())

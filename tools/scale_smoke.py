@@ -65,18 +65,12 @@ QUERIES = [
 ]
 
 
-def main() -> None:
-    spark = get_spark("scale-smoke", master="local[32]", shuffle_partitions=64)
-    spark.sparkContext.setLogLevel("ERROR")
-    src = "/root/testdata/sf0.1"
-    out = tempfile.mkdtemp(prefix="sf1_")
-    print(f"replicating {src} x{COPIES} -> {out}", flush=True)
-
+def replicate(spark, src: str, out: str, copies: int) -> None:
     for t, keys in KEYED.items():
         base = load_table(spark, src, t)
         if keys:
             replicas = []
-            for i in range(COPIES):
+            for i in range(copies):
                 r = base
                 for k in keys:
                     r = r.withColumn(k, F.col(k) + F.lit(i * SHIFT))
@@ -87,18 +81,49 @@ def main() -> None:
         else:
             big = base
         big.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
-    print("replicated; running queries", flush=True)
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=COPIES)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset (default: full smoke list)")
+    ap.add_argument("--data-dir", default=None,
+                    help="reuse an existing replicated dir (skips replication)")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="timed runs per query (reports min)")
+    args = ap.parse_args()
+
+    spark = get_spark("scale-smoke", master="local[32]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+    if args.data_dir:
+        out = args.data_dir
+        if not os.path.exists(f"{out}/lineitem.parquet"):
+            print(f"replicating {src} x{args.copies} -> {out}", flush=True)
+            replicate(spark, src, out, args.copies)
+    else:
+        out = tempfile.mkdtemp(prefix=f"sf{args.copies}x_")
+        print(f"replicating {src} x{args.copies} -> {out}", flush=True)
+        replicate(spark, src, out, args.copies)
+    print("data ready; running queries", flush=True)
 
     import __spark_entry__ as entry
 
+    names = args.queries.split(",") if args.queries else QUERIES
     total = 0.0
-    for name in QUERIES:
-        t0 = time.perf_counter()
-        entry.queries()[name](spark, out).write.mode("overwrite").format("noop").save()
-        dt = time.perf_counter() - t0
+    for name in names:
+        times = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            entry.queries()[name](spark, out).write.mode("overwrite").format("noop").save()
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
         total += dt
         print(f"  {name}: {dt:.2f}s", flush=True)
-    print(f"TOTAL (sf~1, {COPIES}x): {total:.1f}s")
+    print(f"TOTAL ({args.copies}x sf0.1): {total:.1f}s")
     spark.stop()
 
 
