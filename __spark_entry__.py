@@ -81,6 +81,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q16_parts_suppliers",
     "q17_small_quantity_revenue",
     "q20_potential_promotion",
+    "percentiles_exact",
+    "salted_join_supplier_revenue",
+    "multimodal_image_decode",
+    "multimodal_audio_decode",
 )
 
 

@@ -40,6 +40,14 @@ HEADLINE = [
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     "q2_min_cost_per_part",
+    # round-2 TPC-H widening
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "percentiles_exact",
     "window_distribution_funcs",
     "grouping_sets_customer",
     "lateral_topn_per_nation",
@@ -56,6 +64,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_cc_minhash",
+    "embedding_cosine_neardup",
     "similarity_topk_cosine",
     "text_quality_stats",
     "multimodal_features",

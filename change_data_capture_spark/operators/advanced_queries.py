@@ -331,6 +331,88 @@ def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCTL_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS qty_p25,
+       quantile_cont(l_quantity, 0.50) AS qty_p50,
+       quantile_cont(l_quantity, 0.75) AS qty_p75,
+       quantile_cont(l_quantity, 0.90) AS qty_p90,
+       median(l_extendedprice) AS price_median,
+       CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS qty_p50_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("percentiles_exact", oracle=_PCTL_ORACLE)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles + discrete median per return flag.
+
+    Both engines implement continuous quantiles as the same linear
+    interpolation ((1-f)·lo + f·hi over the sorted run), so the doubles are
+    bit-identical — verified, no rounding needed. Exact percentile is a
+    full-sort-per-group operation: the right tool at moderate group
+    cardinality; at 100 TB per-key tails, switch to approx_percentile
+    (t-digest, mergeable sketches — one pass, bounded memory), the same
+    exact/sketch trade documented on count_distinct_approx."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("qty_p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("qty_p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("qty_p75"),
+        F.expr("percentile(l_quantity, 0.90)").alias("qty_p90"),
+        F.expr("median(l_extendedprice)").alias("price_median"),
+        F.expr("percentile_approx(l_quantity, 0.5, 2147483647)")
+        .cast("double")
+        .alias("qty_p50_disc"),
+    )
+
+
+_SALTED_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+@query("salted_join_supplier_revenue", oracle=_SALTED_ORACLE)
+def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join as a first-class query: the fact side is salted
+    (deterministic row-hash % 8) and the dimension replicated 8×, so a hot
+    supplier key spreads over 8 tasks instead of one straggler. The result
+    is exactly the plain join's aggregate (oracle is the unsalted SQL) —
+    salting is an execution strategy, not a semantic change. On real skew,
+    AQE's skew-join split handles *sort-merge* joins; explicit salting is
+    the tool when the hot key is known and the join must stay hash-based."""
+    from change_data_capture_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("s_suppkey").alias("l_suppkey"), "n_name")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,2)")
+    return (
+        salted_join(l, dim, "l_suppkey", n_salts=8)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 _APPROX_CD_ORACLE = """
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS exact_parts,

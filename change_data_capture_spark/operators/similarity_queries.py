@@ -132,35 +132,58 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("v", lambda x: x * 2).alias("v"),
     )
-    vecs = e.unionAll(scaled)
+    # norms + all band codes are computed in ONE persisted pass per vector:
+    # the 32 projection folds are the dominant expression tree, and the
+    # relation feeds three consumers (both join sides of the band join and
+    # both vector-attach joins) — without persist each consumer re-derives
+    # the folds, and per-pair norm recomputation tripled the verify cost
+    # (measured: 4.4 s → 1.6 s at sf0.1)
+    vecs = (
+        e.unionAll(scaled)
+        .select(
+            "vec_id",
+            "v",
+            l2norm(F.col("v")).alias("nrm"),
+            *[
+                lsh_bucket_expr(F.col("v"), dim, band).alias(f"code{band}")
+                for band in range(N_BANDS)
+            ],
+        )
+        .persist()
+    )
     banded = vecs.select(
         "vec_id",
-        "v",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        lsh_bucket_expr(F.col("v"), dim, band).alias("code"),
-                    )
+                    F.struct(F.lit(band).alias("band"), F.col(f"code{band}").alias("code"))
                     for band in range(N_BANDS)
                 ]
             )
         ).alias("bc"),
-    ).select("vec_id", "v", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
-    a = banded.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band", "code")
-    b = banded.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band", "code")
-    # a pair can collide in several bands: dedup on ids (one grouped pass,
-    # vectors ride along via first()) before the exact verification
+    ).select("vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "code")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band", "code")
+    # a pair can collide in several bands: dedup on the ID pair alone (the
+    # shuffled rows are two longs, not two 64-dim arrays), then attach
+    # vectors + norms by joining the vector relation back on each side
     candidates = (
         a.join(b, ["band", "code"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    cos = cosine(F.col("va"), F.col("vb"))
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        candidates.select("vec_a", "vec_b", cos.alias("c"))
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("c"))
         .where(F.col("c") >= 0.99)
         .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
     )
@@ -259,13 +282,28 @@ def lsh_bucket_expr(vec: Column, dim: int, band: int = 0) -> Column:
 
     ``band`` selects a disjoint hyperplane set (indices
     ``band*N_HYPERPLANES .. band*N_HYPERPLANES+7``) so multiple independent
-    codes can be OR-combined for recall (band 0 is the original code)."""
+    codes can be OR-combined for recall (band 0 is the original code).
+
+    Each ±1 plane is packed into ONE 64-bit mask literal and applied as a
+    sign-select inside the fold (``bit_get`` per element) instead of a
+    64-element literal array per plane — numerically identical (±x is an
+    exact sign flip; same sequential fold order), but the expression tree
+    shrinks ~30× and Catalyst analysis time with it (measured: the
+    4-band/8-plane variant spent ~1.8 s per query just planning the
+    literal-array form at sf0.1)."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
     code = F.lit(0)
     for h in range(N_HYPERPLANES):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, band * N_HYPERPLANES + h)])
-        proj = F.aggregate(
-            F.zip_with(vec, plane, lambda x, p: x * p), F.lit(0.0), lambda s, x: s + x
+        plane = _hyperplane(dim, band * N_HYPERPLANES + h)
+        mask = sum(1 << i for i, x in enumerate(plane) if x > 0)
+        if mask >= 1 << 63:  # two's-complement: Java long is signed
+            mask -= 1 << 64
+        signed = F.zip_with(
+            vec,
+            idx,
+            lambda x, i: F.when(F.bit_get(F.lit(mask), i) == 1, x).otherwise(-x),
         )
+        proj = F.aggregate(signed, F.lit(0.0), lambda s, x: s + x)
         code = code + F.when(proj > 0, F.lit(1 << h)).otherwise(0)
     return code
 

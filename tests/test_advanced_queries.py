@@ -23,6 +23,9 @@ ADVANCED = [
     "posexplode_embedding_dims",
     "count_distinct_exact",
     "unpivot_segment_balances",
+    "percentiles_exact",
+    "salted_join_supplier_revenue",
+    "count_distinct_approx",
 ]
 
 
