@@ -85,6 +85,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "salted_join_supplier_revenue",
     "multimodal_image_decode",
     "multimodal_audio_decode",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "text_tfidf_top_terms",
+    "text_bigram_counts",
 )
 
 

