@@ -89,6 +89,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_retention_cohorts",
     "text_tfidf_top_terms",
     "text_bigram_counts",
+    "corpus_decontamination",
+    "dq_audit",
 )
 
 

@@ -14,6 +14,7 @@ from change_data_capture_spark.functions.text import (
     fingerprint,
     normalize,
     seeded_hash,
+    shingles_from_tokens,
     tokens,
 )
 from change_data_capture_spark.queries import query
@@ -388,4 +389,84 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (13-gram train/eval overlap)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+           regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, bucket, w,
+           unnest(generate_series(1, len(w) - 12)) AS i
+    FROM toks
+    WHERE len(w) >= 13
+),
+grams AS (
+    SELECT DISTINCT doc_id, bucket,
+           CAST(('0x' || substr(md5('decontam|' || array_to_string(w[i:i+12], ' ')), 1, 15)) AS BIGINT) AS gh
+    FROM pos
+),
+train AS (SELECT DISTINCT gh, doc_id AS train_doc FROM grams WHERE bucket < 90),
+ev    AS (SELECT DISTINCT gh, doc_id FROM grams WHERE bucket >= 90)
+SELECT ev.doc_id,
+       count(DISTINCT gh) AS n_shared_grams,
+       count(DISTINCT train_doc) AS n_train_docs
+FROM ev JOIN train USING (gh)
+GROUP BY ev.doc_id
+"""
+
+
+@query("corpus_decontamination", oracle=_DECONTAM_ORACLE)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag every EVAL document that shares a
+    13-token n-gram with any TRAIN document — the standard benchmark-leakage
+    check run before an LLM training corpus ships. Reuses the seeded-hash
+    90/10 split of ``corpus_train_eval_split`` so the two operators compose.
+
+    Scale shape (the part that matters at 100 TB): grams are reduced to a
+    60-bit seeded hash BEFORE the shuffle, so the overlap join moves two
+    longs per gram instead of ~90 bytes of text; per-doc gram sets are
+    deduped pre-join (one hash-agg) so the join's output cardinality is the
+    true overlap-pair count, not raw positional occurrences. The join keys
+    on the gram hash — perfectly partitionable; hot grams (boilerplate) are
+    the one skew source and would be frequency-capped in production (drop
+    grams present in >0.1% of docs) — not applied here to keep the oracle
+    the exact textbook definition."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = seeded_hash(F.col("doc_id").cast("string"), seed="split") % 100
+    base = d.select(
+        "doc_id",
+        (bucket < 90).alias("is_train"),
+        tokens(F.col("text")).alias("toks"),
+    ).where(F.size("toks") >= 13)
+    grams = (
+        base.select(
+            "doc_id",
+            "is_train",
+            F.explode(shingles_from_tokens(F.col("toks"), k=13)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_train",
+            seeded_hash(F.col("gram"), seed="decontam").alias("gh"),
+        )
+        .dropDuplicates(["doc_id", "gh"])
+    )
+    train = grams.where("is_train").select("gh", F.col("doc_id").alias("train_doc"))
+    ev = grams.where(~F.col("is_train")).select("gh", "doc_id")
+    return (
+        ev.join(train, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_shared_grams"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
     )

@@ -31,6 +31,7 @@ ORACLE_CHECKED = [
     "multimodal_audio_decode",
     "text_tfidf_top_terms",
     "text_bigram_counts",
+    "corpus_decontamination",
 ]
 
 

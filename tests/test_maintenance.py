@@ -13,6 +13,24 @@ def test_profile_orders_parity(spark, sf_dir):
     compare("profile_orders", spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
 
 
+def test_dq_audit_parity(spark, sf_dir):
+    compare("dq_audit", spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
+
+
+def test_dq_audit_catches_injected_violations(spark, sf_dir):
+    """The audit must report non-zero for the fixture's genuine duplicate
+    (l_orderkey, l_linenumber) pairs and zero for the clean checks."""
+    rows = {
+        r["check_name"]: r["n_bad"]
+        for r in entrymod.queries()["dq_audit"](spark, sf_dir).collect()
+    }
+    assert len(rows) == 14
+    assert rows["lineitem_dup_pk"] > 0
+    assert rows["lineitem_orphan_order"] == 0
+    assert rows["orders_orphan_customer"] == 0
+    assert rows["documents_chars_mismatch"] == 0
+
+
 def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir):
     from change_data_capture_spark.operators.maintenance import compact_parquet
     from change_data_capture_spark.sources.tables import load_table
