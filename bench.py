@@ -69,6 +69,12 @@ HEADLINE = [
     "similarity_topk_cosine",
     "text_quality_stats",
     "multimodal_features",
+    "corpus_decontamination",
+    "dq_audit",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "text_tfidf_top_terms",
+    "text_bigram_counts",
 ]
 
 

@@ -391,3 +391,82 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: keep-list over embedding near-dup clusters
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+pairs AS (
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node, min(label) AS component_id FROM walk GROUP BY node),
+sizes AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY 1)
+SELECT u.vec_id,
+       COALESCE(c.component_id, u.vec_id) AS component_id,
+       COALESCE(s.n_members, 1) AS n_members,
+       (u.vec_id = COALESCE(c.component_id, u.vec_id)) AS keep
+FROM vecs u
+LEFT JOIN comp c ON c.node = u.vec_id
+LEFT JOIN sizes s ON s.component_id = c.component_id
+"""
+
+
+@query("semantic_dedup_keeplist", oracle=_SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding near-dup
+    graph (cosine ≥ 0.99 pairs from the banded-LSH path) into connected
+    components and emit a full keep/drop list — every vector appears, with
+    ``keep`` true for exactly one representative per duplicate cluster (the
+    min vec_id, which min-label propagation makes the component id) and for
+    every singleton. This is the composition a 100 TB corpus actually
+    ships: LSH candidate pairs → exact verify → duplicate clusters → one
+    survivor per cluster.
+
+    Scale shape: reuses ``embedding_cosine_neardup``'s one-band-join edge
+    generation and ``_connected_components``'s O(diameter) min-label
+    propagation; the final universe left-join shuffles (id, label) longs
+    only."""
+    from change_data_capture_spark.operators.dedup_queries import (
+        _connected_components,
+    )
+
+    pairs = embedding_cosine_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = _connected_components(pairs).select(
+        F.col("doc_id").alias("node"), "component_id", "n_members"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    universe = e.unionAll(
+        e.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id")
+        )
+    )
+    joined = universe.join(comp, universe.vec_id == comp.node, "left")
+    component_id = F.coalesce(F.col("component_id"), F.col("vec_id"))
+    return joined.select(
+        "vec_id",
+        component_id.alias("component_id"),
+        F.coalesce(F.col("n_members"), F.lit(1).cast("long")).alias("n_members"),
+        (F.col("vec_id") == component_id).alias("keep"),
+    )

@@ -37,6 +37,20 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (PushedFilters + ReadSchema reach the scan; verified by test). Avro is
+    NOT exposed: the spark-avro module jar isn't on this environment's
+    classpath (it is an external module since Spark 2.4)."""
+    ensure_runtime_confs(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (snappy, Spark default)."""
+    df.write.mode(mode).orc(path)
+
+
 def read_jdbc_snapshot(
     spark: SparkSession,
     url: str,

@@ -32,6 +32,7 @@ ORACLE_CHECKED = [
     "text_tfidf_top_terms",
     "text_bigram_counts",
     "corpus_decontamination",
+    "semantic_dedup_keeplist",
 ]
 
 

@@ -86,3 +86,19 @@ def test_text_scan(spark, sf_dir):
     lines = read_text(spark, f"{ws}/docs")
     assert lines.columns == ["value"]
     assert lines.count() == load_table(spark, sf_dir, "documents").count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir):
+    from change_data_capture_spark.sources.flat_files import read_orc, write_orc
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_orc_")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_orc(li, f"{ws}/lineitem")
+    back = read_orc(spark, f"{ws}/lineitem")
+    assert back.count() == li.count()
+    # predicate + projection must reach the ORC scan
+    q = back.where("l_quantity > 45").select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    assert q.count() == li.where("l_quantity > 45").count()
