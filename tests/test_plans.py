@@ -130,3 +130,29 @@ def test_q17_correlated_avg_is_single_window_shuffle(spark, sf_dir):
     # one window exchange + the final singleton agg exchange
     assert s.shuffle_exchanges <= 2, s.text
     assert not s.has_bnlj and not s.has_cartesian
+
+
+def test_decontamination_is_hash_equi_join(spark, sf_dir):
+    """The 13-gram overlap must join on the 60-bit gram hash (equi,
+    partitionable) — never a nested loop; and the tokenizer must not
+    block column pruning (only doc_id + text reach the scan)."""
+    s = _stats(spark, sf_dir, "corpus_decontamination")
+    assert not s.has_bnlj and not s.has_cartesian, s.text
+
+
+def test_dq_audit_single_scan_per_agg_table(spark, sf_dir):
+    """Each per-table check family must collapse into ONE conditional
+    aggregation (no per-check scans): lineitem appears twice (agg + RI
+    anti join), orders three times (agg + both anti-join sides), docs and
+    events once each, customer once — 8 scans total, not 14."""
+    s = _stats(spark, sf_dir, "dq_audit")
+    assert s.parquet_scans <= 8, s.text
+    assert not s.has_bnlj and not s.has_cartesian
+
+
+def test_semantic_dedup_keeps_banded_edges(spark, sf_dir):
+    """The keep-list composes the banded near-dup join + label propagation;
+    the final universe join must stay equi. (The CC fixpoint runs eagerly
+    inside the builder, so the returned plan is the final join.)"""
+    s = _stats(spark, sf_dir, "semantic_dedup_keeplist")
+    assert not s.has_bnlj and not s.has_cartesian, s.text
