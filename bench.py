@@ -71,6 +71,7 @@ HEADLINE = [
     "multimodal_features",
     "corpus_decontamination",
     "dq_audit",
+    "semantic_dedup_keeplist",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "text_tfidf_top_terms",

@@ -50,3 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_sql_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register every fixture table as a temp view so users run plain
+    ``spark.sql(...)`` — the migration surface for anyone coming from the
+    reference's DuckDB analytics step (its queries run verbatim, modulo
+    dialect). Views wrap the normalized loaders, so SQL users inherit the
+    same timestamp/pushdown behavior as the DataFrame API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

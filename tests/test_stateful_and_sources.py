@@ -102,3 +102,18 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
     assert q.count() == li.where("l_quantity > 45").count()
+
+
+def test_register_sql_views_runs_raw_sql(spark, sf_dir):
+    from change_data_capture_spark.sources.tables import register_sql_views
+
+    register_sql_views(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        GROUP BY o_orderpriority
+        """
+    ).collect()
+    assert len(got) > 0 and all(r["n"] > 0 for r in got)
