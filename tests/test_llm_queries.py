@@ -227,3 +227,29 @@ def test_ppm_payloads_decode_roundtrip(spark, sf_dir):
     expect = f"P6\n{w} {h}\n255\n".encode() + rgb * (w * h)
     assert bytes(r.payload) == expect
     assert decode_ppm(expect)[:2] == (w, h)
+
+
+def test_decontamination_flags_injected_overlap(spark, tmp_path):
+    """Constructed-positive check (independent of the oracle): a 13-gram
+    copied from a train doc into an eval doc must be flagged; an eval doc
+    with no 13-token overlap must not. doc_ids 0-4 hash into the train
+    bucket and 8/21 into eval under the seeded split (precomputed)."""
+    shared = " ".join(f"w{i}" for i in range(13))  # the leaked 13-gram
+    other = " ".join(f"x{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro {shared} outro", "en", "web", 1),
+            (1, f"{other} tail piece", "en", "web", 1),
+            (8, f"prefix {shared} suffix words", "en", "web", 1),  # leaked
+            (21, " ".join(f"y{i}" for i in range(20)), "en", "web", 1),  # clean
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_train_docs"])
+        for r in entrymod.queries()["corpus_decontamination"](spark, sf).collect()
+    }
+    assert 8 in out and out[8] == (1, 1), out
+    assert 21 not in out
