@@ -434,20 +434,24 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
-            labels.unionAll(prop)
+        # the previous label rides the SAME aggregate under an is_old tag
+        # (each node carries exactly one tagged copy, so max-over-tagged
+        # recovers it) — convergence detection is then a filter over the
+        # checkpointed result instead of a per-round label-compare join
+        merged = (
+            labels.select("node", "label", F.lit(True).alias("is_old"))
+            .unionAll(prop.select("node", "label", F.lit(False).alias("is_old")))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
+            )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            merged.where(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     comp = labels.select(
