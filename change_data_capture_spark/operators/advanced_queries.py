@@ -610,3 +610,44 @@ def stats_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 10).alias("regr_slope"),
         F.round(sy / n - slope * sx / n, 6).alias("regr_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: monthly calendar spine (date densification / zero-fill)
+# ---------------------------------------------------------------------------
+
+_SPINE_SQL = """
+WITH RECURSIVE bounds AS (
+    SELECT date_trunc('month', min(o_orderdate)) AS lo,
+           date_trunc('month', max(o_orderdate)) AS hi
+    FROM orders
+),
+months(month_start) AS (
+    SELECT lo FROM bounds
+    UNION ALL
+    SELECT month_start + INTERVAL 1 MONTH FROM months, bounds
+    WHERE month_start < hi
+)
+SELECT m.month_start,
+       count(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+           AS revenue
+FROM months m
+LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.month_start
+GROUP BY m.month_start
+"""
+
+
+@query("calendar_spine_monthly", oracle=_SPINE_SQL)
+def calendar_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order activity densified over a recursively generated
+    calendar spine (Spark 4.1 ``WITH RECURSIVE``, identical SQL on both
+    engines) — the warehouse pattern for zero-filled time series where a
+    month with no orders must still appear. Bounded recursion (~80 levels
+    here) stays under Spark's default 100-level limit; note Spark 4.1
+    restricts recursive CTEs to UNION ALL (cyclic graph walks need the
+    iterative DataFrame form — see ``_connected_components``)."""
+    from change_data_capture_spark.sources.tables import register_sql_views
+
+    register_sql_views(spark, sf_dir, names=("orders",))
+    return spark.sql(_SPINE_SQL)

@@ -26,6 +26,7 @@ ADVANCED = [
     "percentiles_exact",
     "salted_join_supplier_revenue",
     "count_distinct_approx",
+    "calendar_spine_monthly",
 ]
 
 
