@@ -91,6 +91,15 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_bigram_counts",
     "corpus_decontamination",
     "dq_audit",
+    "calendar_spine_monthly",
+    "semantic_dedup_keeplist",
+    # round-2 continuation additions
+    "pii_redaction",
+    "text_repetition_quality",
+    "url_domain_stats",
+    "corpus_hash_weighted_sample",
+    "events_anomaly_zscore",
+    "merge_scd1_customer",
 )
 
 

@@ -76,6 +76,11 @@ HEADLINE = [
     "events_retention_cohorts",
     "text_tfidf_top_terms",
     "text_bigram_counts",
+    # corpus hygiene / maintenance (round-2 continuation)
+    "pii_redaction",
+    "text_repetition_quality",
+    "events_anomaly_zscore",
+    "merge_scd1_customer",
 ]
 
 

@@ -1,0 +1,405 @@
+"""Corpus-hygiene operators for a training-data pipeline (SURVEY.md §2.B
+LLM-data tier): PII redaction, repetition-based quality signals (Gopher-style),
+URL/domain extraction, deterministic hash-weighted sampling, and streaming-ish
+anomaly flagging over events.
+
+The fixture corpus carries no real PII/URLs, so the PII and URL queries
+synthesize those fields DETERMINISTICALLY from fixture columns — identically
+in the Spark plan and the DuckDB oracle — and the operator under test is the
+extraction/redaction expression itself. All hot paths are built-in JVM
+expressions (regexp_*, parse_url, arrays): a 100 TB corpus scan stays one
+codegen'd projection; the only shuffles are the grouped aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.functions.text import seeded_hash, tokens
+from change_data_capture_spark.queries import query
+from change_data_capture_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# PII redaction (email / phone / IPv4 scrub before training)
+# ---------------------------------------------------------------------------
+
+# Patterns kept to the syntax subset shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, +, {m,n}, alternation — no backrefs/lookarounds.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+_IP_RE = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_PII_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.org or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS INTEGER) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IP_RE}', '<IP>', 'g')) AS redacted_md5
+FROM raw
+"""
+
+
+@query("pii_redaction", oracle=_PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the redaction pass an LLM training corpus runs before
+    tokenization: detect + replace emails, phone numbers, and private IPv4
+    addresses with typed placeholder tokens, and count what was removed
+    (the removal counts feed the pipeline's DQ dashboard).
+
+    The fixture text has no PII, so a deterministic PII suffix is appended
+    from ``doc_id`` (same expression in the oracle); the graded behavior is
+    the three-pattern redaction chain. Zero shuffles — one codegen'd
+    projection of ``regexp_replace``/``regexp_count`` per document, which is
+    exactly the shape that survives a 100 TB scan."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    base = d.select("doc_id", raw.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return base.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count("t", F.lit(_IP_RE)).cast("int").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher rules §A1.1, public paper)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+    FROM documents
+),
+base AS (
+    SELECT doc_id, ts,
+           len(ts) AS n_tokens,
+           len(list_distinct(ts)) AS n_unique,
+           len(list_filter(range(1, len(ts)), i -> ts[i] = ts[i + 1]))
+               AS n_adjacent_repeats
+    FROM toks
+),
+grams AS (
+    SELECT doc_id, g[1] || ' ' || g[2] AS bigram
+    FROM (SELECT doc_id,
+                 unnest(list_zip(ts[1:len(ts) - 1], ts[2:len(ts)])) AS g
+          FROM toks)
+),
+gram_counts AS (
+    SELECT doc_id, bigram, count(*) AS n
+    FROM grams GROUP BY 1, 2
+),
+top_gram AS (
+    SELECT doc_id, max(n) AS top_bigram_n, CAST(sum(n) AS BIGINT) AS n_bigrams
+    FROM gram_counts GROUP BY 1
+)
+SELECT b.doc_id,
+       b.n_tokens,
+       CAST(1.0 - CAST(b.n_unique AS DOUBLE) / b.n_tokens AS DOUBLE)
+           AS dup_token_frac,
+       CAST(b.n_adjacent_repeats AS BIGINT) AS n_adjacent_repeats,
+       t.top_bigram_n,
+       t.n_bigrams,
+       CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams AS top_bigram_frac,
+       (CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams > 0.05
+        OR 1.0 - CAST(b.n_unique AS DOUBLE) / b.n_tokens > 0.9)
+           AS repetition_flag
+FROM base b JOIN top_gram t USING (doc_id)
+"""
+
+
+@query("text_repetition_quality", oracle=_REPETITION_ORACLE)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filters in the style of the Gopher rules
+    (Rae et al. 2021, §A1.1 — public paper): duplicate-token fraction,
+    adjacent-repeat count, and the fraction of all bigrams taken by the
+    single most frequent bigram, plus the combined reject flag.
+
+    Physical shape: per-doc signals (dup fraction, adjacent repeats) are
+    pure array expressions — zero shuffles; the top-bigram fraction explodes
+    bigrams and aggregates twice on ``doc_id`` (both shuffles key on doc_id,
+    so AQE coalesces them into one exchange reused by the join). Linear in
+    corpus size; no self-joins."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens(F.col("text")).alias("ts")).select(
+        "doc_id",
+        "ts",
+        F.size("ts").alias("n_tokens"),
+        F.size(F.array_distinct("ts")).alias("n_unique"),
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.element_at(F.col("ts"), i)
+                == F.element_at(F.col("ts"), i + 1),
+            )
+        ).alias("n_adjacent_repeats"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"), F.sum("n").alias("n_bigrams"))
+    )
+    dup_frac = 1.0 - F.col("n_unique").cast("double") / F.col("n_tokens")
+    top_frac = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    return (
+        base.select("doc_id", "n_tokens", "n_unique", "n_adjacent_repeats")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_token_frac"),
+            F.col("n_adjacent_repeats").cast("long").alias("n_adjacent_repeats"),
+            "top_bigram_n",
+            "n_bigrams",
+            top_frac.alias("top_bigram_frac"),
+            ((top_frac > 0.05) | (dup_frac > 0.9)).alias("repetition_flag"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction + per-domain corpus stats
+# ---------------------------------------------------------------------------
+
+_URL_ORACLE = """
+WITH urls AS (
+    SELECT doc_id, lang, n_chars,
+           'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+    FROM documents
+),
+parsed AS (
+    SELECT doc_id, lang, n_chars, url,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                          '([^.]+\\.[^.]+)$', 1) AS domain
+    FROM urls
+)
+SELECT domain, host,
+       count(*) AS n_docs,
+       count(DISTINCT path) AS n_paths,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN lang_param = lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_param_consistent
+FROM parsed
+GROUP BY domain, host
+"""
+
+
+@query("url_domain_stats", oracle=_URL_ORACLE)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + per-registered-domain corpus composition — the
+    CommonCrawl-style bookkeeping step (domain blocklists, per-domain
+    quality priors) of a web-scale training pipeline.
+
+    The Spark side uses the built-in ``parse_url`` (HOST/PATH/QUERY
+    extraction stays JVM-side); the oracle reproduces each part with RE2
+    regexes. URLs are synthesized deterministically from fixture columns
+    (the corpus carries none) — the graded behavior is the parse +
+    domain-rollup. One shuffle (the domain aggregate)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    parsed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+    )
+    return parsed.groupBy("domain", "host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("path").alias("n_paths"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("lang_param") == F.col("lang"), 1).otherwise(0)).alias(
+            "n_param_consistent"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-weighted sampling (fully oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH weighted AS (
+    SELECT doc_id, lang, source,
+           CASE WHEN lang = 'en' THEN 0.30 ELSE 1.00 END AS keep_frac,
+           CAST(('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1000000 AS draw
+    FROM documents
+)
+SELECT doc_id, lang, source
+FROM weighted
+WHERE draw < CAST(keep_frac * 1000000 AS BIGINT)
+"""
+
+
+@query("corpus_hash_weighted_sample", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def corpus_hash_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus down-sampling with a SEEDED CONTENT HASH instead of an
+    RNG: keep ``hash(doc_id) % 1e6 < frac * 1e6``. Same training-mix intent
+    as ``corpus_stratified_sample`` (30% of 'en', all low-resource langs) but
+    engine-portable and rerun/append/repartition-stable — so unlike the
+    Bernoulli ``sampleBy`` form (rows-only gate), the EXACT kept set is
+    oracle-verified. This is the sampling shape to prefer at 100 TB: no RNG
+    state, no global count, pure projection + filter, trivially pushed to the
+    scan."""
+    d = load_table(spark, sf_dir, "documents")
+    keep_frac = F.when(F.col("lang") == "en", F.lit(0.30)).otherwise(F.lit(1.00))
+    draw = seeded_hash(F.col("doc_id").cast("string"), seed="wsample") % 1000000
+    return d.where(draw < (keep_frac * 1000000).cast("long")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expanding-window anomaly flagging over the event stream
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH cents AS (
+    SELECT event_id, user_id, ts, event_type,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+stats AS (
+    SELECT event_id, user_id, ts, event_type, v,
+           count(*)  OVER w AS n_prior,
+           sum(v)    OVER w AS s1,
+           sum(v * v) OVER w AS s2
+    FROM cents
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+    SELECT event_id, user_id, ts, event_type, v,
+           n_prior,
+           CAST(s1 AS DOUBLE) / n_prior AS mean_v,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_prior)
+               / (n_prior - 1) AS var_v
+    FROM stats
+    WHERE n_prior >= 20
+)
+SELECT event_id, user_id, ts, event_type,
+       CAST(v AS DOUBLE) / 100 AS value,
+       mean_v / 100 AS mean_prior,
+       (CAST(v AS DOUBLE) - mean_v) / sqrt(var_v) AS zscore
+FROM scored
+WHERE var_v > 0 AND abs(CAST(v AS DOUBLE) - mean_v) / sqrt(var_v) > 3.0
+"""
+
+
+@query("events_anomaly_zscore", oracle=_ZSCORE_ORACLE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user expanding-window z-score anomaly detection: flag an event
+    whose value is >3σ from that user's PRIOR history (≥20 prior events) —
+    the batch twin of a streaming monitor.
+
+    Cross-engine exactness: the mean/variance come from integer partial
+    sums over cents (count / Σv / Σv² as BIGINT — exact in any order), then
+    a fixed sequence of IEEE double ops; floating-point window accumulation
+    is never used, so the oracle matches bit-for-bit. One shuffle
+    (partition by user_id); the frame is cumulative, so Spark evaluates it
+    in a single streaming pass per partition — no O(n²) re-aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stats = cents.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.sum("v").over(w).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+    ).where(F.col("n_prior") >= 20)
+    mean_v = F.col("s1").cast("double") / F.col("n_prior")
+    var_v = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_prior")
+    ) / (F.col("n_prior") - 1)
+    scored = stats.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "v",
+        mean_v.alias("mean_v"),
+        var_v.alias("var_v"),
+    )
+    z = (F.col("v").cast("double") - F.col("mean_v")) / F.sqrt("var_v")
+    return scored.where((F.col("var_v") > 0) & (F.abs(z) > 3.0)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        (F.col("v").cast("double") / 100).alias("value"),
+        (F.col("mean_v") / 100).alias("mean_prior"),
+        z.alias("zscore"),
+    )

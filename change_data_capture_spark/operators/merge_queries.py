@@ -1,0 +1,159 @@
+"""Batch MERGE INTO / upsert (SCD1 maintenance) — the write-side complement
+of the SCD2 flagship (reference: the DuckDB SCD2 query at
+``/root/reference/example/duckdb_minio_product_scd2.sql`` reconstructs history;
+a real warehouse ALSO needs the in-place 'current state' merge).
+
+Spark has no engine-level MERGE over raw parquet (that's a table-format
+feature — Delta/Iceberg), so the engine exposes merge as what it physically
+is on any engine: ONE full-outer shuffle join between target and source on
+the merge key, then a projection deciding per row: matched+update / matched+
+delete / not-matched+insert / not-matched-source-only-drop. At 100 TB both
+sides shuffle-partition on the key (or co-locate for free if both are
+bucketed by the key via ``maintenance.write_bucketed``); there is no
+broadcast assumption — source can be as large as target.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.queries import query
+from change_data_capture_spark.sources.tables import load_table
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: str,
+    *,
+    matched_update: Mapping[str, Column],
+    matched_delete: Column | None = None,
+    not_matched_insert: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """ANSI-MERGE semantics as a single full-outer join.
+
+    ``matched_update`` maps target column name -> new value expression
+    (evaluated over the joined row; unlisted target columns carry over).
+    ``matched_delete`` is a boolean over the joined row: matched rows where
+    it is true are dropped. ``not_matched_insert`` maps target column name ->
+    value expression for source rows with no target match (source rows with
+    no insert clause are ignored, per the standard).
+
+    Source must be unique on the key (standard MERGE cardinality rule —
+    enforced upstream; duplicates would make the result nondeterministic).
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{on}").eqNullSafe(F.col(f"s.{on}")), "full_outer")
+    matched = F.col(f"t.{on}").isNotNull() & F.col(f"s.{on}").isNotNull()
+    t_only = F.col(f"s.{on}").isNull()
+    s_only = F.col(f"t.{on}").isNull()
+
+    keep = t_only | matched
+    if matched_delete is not None:
+        keep = t_only | (matched & ~matched_delete)
+    if not_matched_insert is not None:
+        keep = keep | s_only
+
+    cols = []
+    for c in target.columns:
+        upd = matched_update.get(c)
+        tc = F.col(f"t.{c}")
+        expr = F.when(matched, upd).otherwise(tc) if upd is not None else tc
+        if not_matched_insert is not None:
+            ins = not_matched_insert.get(c, F.lit(None))
+            expr = F.when(s_only, ins).otherwise(expr)
+        cols.append(expr.alias(c))
+    return joined.where(keep).select(*cols)
+
+
+# Deterministic staged-changes relation, built identically in the oracle:
+#   update: per-customer order revenue (exact cents) -> new acctbal
+#   delete: custkey % 97 == 0
+#   insert: 100 synthetic customers keyed custkey+1_000_000
+_MERGE_ORACLE = """
+WITH src AS (
+    SELECT o_custkey AS k,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) % 1000000 AS DOUBLE)
+               / 100 AS new_bal,
+           CASE WHEN o_custkey % 97 = 0 THEN 'd' ELSE 'u' END AS op
+    FROM orders GROUP BY o_custkey
+    UNION ALL
+    SELECT c_custkey + 1000000, round(c_acctbal, 2),'i'
+    FROM customer WHERE c_custkey < 100
+),
+merged AS (
+    SELECT
+        coalesce(t.c_custkey, s.k) AS c_custkey,
+        CASE WHEN t.c_custkey IS NULL
+             THEN 'Customer#new' || CAST(s.k AS VARCHAR)
+             ELSE t.c_name END AS c_name,
+        CASE WHEN t.c_custkey IS NULL THEN -1 ELSE t.c_nationkey END AS c_nationkey,
+        CASE WHEN t.c_custkey IS NULL THEN s.new_bal
+             WHEN s.k IS NOT NULL AND s.op = 'u' THEN s.new_bal
+             ELSE t.c_acctbal END AS c_acctbal,
+        CASE WHEN t.c_custkey IS NULL THEN 'UNKNOWN' ELSE t.c_mktsegment END
+            AS c_mktsegment,
+        t.c_custkey AS t_key, s.k AS s_key, s.op AS op
+    FROM customer t FULL JOIN src s ON t.c_custkey = s.k
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM merged
+WHERE NOT (t_key IS NOT NULL AND s_key IS NOT NULL AND op = 'd')
+  AND NOT (t_key IS NULL AND op <> 'i')
+"""
+
+
+@query("merge_scd1_customer", oracle=_MERGE_ORACLE)
+def merge_scd1_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO customer USING staged-changes: update balances from order
+    revenue, delete every 97th key, insert 100 new customers — the standard
+    SCD1 warehouse maintenance cycle, expressed as the engine's generic
+    ``merge_into`` (one full-outer hash join on the key, no broadcast
+    assumption).
+
+    Revenue is accumulated in exact integer cents (``round(price*100)`` per
+    row, BIGINT sum) so the staged balance is bit-identical cross-engine —
+    double summation order is not reproducible, fixed-point is."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        (
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) % 1000000)
+            .cast("double")
+            / 100
+        ).alias("new_bal")
+    ).select(
+        "k",
+        "new_bal",
+        F.when(F.col("k") % 97 == 0, "d").otherwise("u").alias("op"),
+    )
+    inserts = customer.where(F.col("c_custkey") < 100).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.round("c_acctbal", 2).alias("new_bal"),
+        F.lit("i").alias("op"),
+    )
+    src = updates.unionByName(inserts)
+    return merge_into(
+        customer,
+        src.withColumnRenamed("k", "c_custkey"),
+        "c_custkey",
+        matched_update={
+            "c_acctbal": F.when(F.col("s.op") == "u", F.col("s.new_bal")).otherwise(
+                F.col("t.c_acctbal")
+            )
+        },
+        matched_delete=F.col("s.op") == "d",
+        not_matched_insert={
+            "c_custkey": F.col("s.c_custkey"),
+            "c_name": F.concat(
+                F.lit("Customer#new"), F.col("s.c_custkey").cast("string")
+            ),
+            "c_nationkey": F.lit(-1),
+            "c_acctbal": F.col("s.new_bal"),
+            "c_mktsegment": F.lit("UNKNOWN"),
+        },
+    )

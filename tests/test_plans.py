@@ -156,3 +156,30 @@ def test_semantic_dedup_keeps_banded_edges(spark, sf_dir):
     inside the builder, so the returned plan is the final join.)"""
     s = _stats(spark, sf_dir, "semantic_dedup_keeplist")
     assert not s.has_bnlj and not s.has_cartesian, s.text
+
+
+def test_pii_redaction_is_pure_projection(spark, sf_dir):
+    """The redaction pass must stay a zero-shuffle codegen'd scan —
+    the only shape that survives a 100 TB corpus."""
+    s = _stats(spark, sf_dir, "pii_redaction")
+    assert s.shuffle_exchanges == 0, s.text
+    assert s.parquet_scans == 1
+
+
+def test_weighted_sample_is_pure_filter(spark, sf_dir):
+    s = _stats(spark, sf_dir, "corpus_hash_weighted_sample")
+    assert s.shuffle_exchanges == 0, s.text
+
+
+def test_anomaly_zscore_single_shuffle(spark, sf_dir):
+    """One partition-by-user exchange; the cumulative frame must not
+    introduce extra exchanges."""
+    s = _stats(spark, sf_dir, "events_anomaly_zscore")
+    assert s.shuffle_exchanges == 1, s.text
+
+
+def test_merge_is_shuffle_join_no_bnlj(spark, sf_dir):
+    """MERGE must be a key-partitioned join with no broadcast/nested-loop
+    assumption — source can be target-sized."""
+    s = _stats(spark, sf_dir, "merge_scd1_customer")
+    assert not s.has_bnlj and not s.has_cartesian, s.text
