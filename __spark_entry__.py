@@ -100,6 +100,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "corpus_hash_weighted_sample",
     "events_anomaly_zscore",
     "merge_scd1_customer",
+    "histogram_price_buckets",
+    "timeseries_gapfill_locf",
+    "pagerank_customer_supplier",
+    "incremental_agg_maintenance",
 )
 
 

@@ -81,6 +81,8 @@ HEADLINE = [
     "text_repetition_quality",
     "events_anomaly_zscore",
     "merge_scd1_customer",
+    "histogram_price_buckets",
+    "timeseries_gapfill_locf",
 ]
 
 

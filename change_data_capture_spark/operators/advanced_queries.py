@@ -651,3 +651,55 @@ def calendar_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_sql_views(spark, sf_dir, names=("orders",))
     return spark.sql(_SPINE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Numeric histogram (fixed-width binning)
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+WITH binned AS (
+    SELECT CAST(least(greatest(floor((l_extendedprice - 900.0) / 5205.0), 0), 19)
+               AS INTEGER) AS bucket,
+           l_extendedprice
+    FROM lineitem
+)
+SELECT bucket,
+       count(*) AS n_rows,
+       CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+       CAST(900.0 + bucket * 5205.0 AS DOUBLE) AS bucket_lo
+FROM binned
+GROUP BY bucket
+"""
+
+
+@query("histogram_price_buckets", oracle=_HISTOGRAM_ORACLE)
+def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bucket histogram of line prices — the profiling/
+    binning primitive behind every data dashboard and quantile-sketch
+    sanity check. The bucket id is explicit clamped-floor arithmetic
+    (``floor((x-lo)/width)``, the ``width_bucket`` definition) written
+    identically on both engines — DuckDB 1.0 has no width_bucket builtin,
+    and an identical expression tree is bit-reproducible where two builtin
+    implementations need not be. One codegen'd projection + one agg
+    exchange; map-side partial agg reduces each partition to ≤20 rows
+    before the shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    b = (
+        F.least(
+            F.greatest(F.floor((F.col("l_extendedprice") - 900.0) / 5205.0), F.lit(0)),
+            F.lit(19),
+        )
+        .cast("int")
+    )
+    return (
+        l.select(b.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").cast("double").alias("min_price"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+        )
+        .withColumn("bucket_lo", (F.lit(900.0) + F.col("bucket") * 5205.0).cast("double"))
+    )

@@ -536,3 +536,97 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_wk", "week_offset", "n_users",
         (F.col("n_users").cast("double") / base).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling with last-observation-carried-forward
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH bounds AS (
+    SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+),
+days AS (
+    SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+),
+spine AS (
+    SELECT u.user_id, days.day
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN days
+),
+daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS day_total
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT s.user_id, s.day,
+       coalesce(d.n_events, 0) AS n_events,
+       d.day_total,
+       last_value(d.day_total IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS day_total_locf,
+       (d.user_id IS NULL) AS is_gap
+FROM spine s
+LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+"""
+
+
+@query("timeseries_gapfill_locf", oracle=_GAPFILL_ORACLE)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user activity densified over a generated calendar spine,
+    with gaps zero-filled (counts) and last-observation-carried-forward
+    (totals) — the standard telemetry/feature-store shape ("as of day D,
+    the user's latest known total").
+
+    Physical shape: the day spine is `sequence()` over a 2-row broadcast
+    of global min/max — users × days stays tiny relative to the fact table;
+    the daily aggregate is the only fact-sized shuffle; LOCF is one
+    cumulative window (`last(..., ignoreNulls=True)`) per user partition.
+    Day totals accumulate in integer cents (exact in any order) before one
+    double division — bit-identical cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    users = e.select("user_id").distinct()
+    spine = users.join(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    daily = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100
+            ).alias("day_total"),
+        )
+    )
+    d = daily.alias("d")
+    joined = spine.alias("s").join(
+        d,
+        (F.col("s.user_id") == F.col("d.user_id")) & (F.col("s.day") == F.col("d.day")),
+        "left",
+    )
+    w = (
+        Window.partitionBy("s.user_id")
+        .orderBy("s.day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.day").alias("day"),
+        F.coalesce(F.col("d.n_events"), F.lit(0)).alias("n_events"),
+        F.col("d.day_total").alias("day_total"),
+        F.last("d.day_total", ignorenulls=True).over(w).alias("day_total_locf"),
+        F.col("d.user_id").isNull().alias("is_gap"),
+    )

@@ -55,6 +55,7 @@ def ingest_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     hourly_partitions: bool = False,
+    state_partitions: int | None = None,
 ) -> StreamingQuery:
     """S6/S7 upgrade: stream the NDJSON change log into partitioned parquet
     with exactly-once semantics.
@@ -75,6 +76,15 @@ def ingest_stream(
     per partition per micro-batch — the small-files guard; real deployments
     add a hash-bucket column to that repartition for write parallelism.
     """
+    if state_partitions is not None:
+        # State-store task count is captured from this conf at FIRST stream
+        # start and pinned in the checkpoint thereafter. It should track the
+        # per-batch keyed-state volume: a small CDC topic wants far fewer
+        # than a batch-analytics shuffle (each state partition pays a
+        # per-batch commit), while a 100 TB firehose wants hundreds. Callers
+        # size it per topic; the session-wide shuffle setting is unchanged
+        # after stream start (Spark reads it once per streaming query).
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     env = read_envelope_ndjson(spark, source_dir, streaming=True)
     part_cols = ["ingest_date", "ingest_hour"] if hourly_partitions else ["ingest_date"]
     decoded = (

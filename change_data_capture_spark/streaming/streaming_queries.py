@@ -50,7 +50,17 @@ def streaming_ingest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
     product_change_events(spark, sf_dir).repartition(8).write.mode(
         "overwrite"
     ).json(src)
-    ingest_stream(spark, src, sink, ckpt, available_now=True).awaitTermination()
+    # Size the dedup state store to the topic, not to the session's batch
+    # shuffle width: 8 state partitions for this event volume (each state
+    # partition pays a per-batch commit). Restore the session conf after the
+    # drain — it is read once at stream start.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ingest_stream(
+            spark, src, sink, ckpt, available_now=True, state_partitions=8
+        ).awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     landed = spark.read.parquet(sink)
     # partition-dir values come back type-inferred (date / int); restore the

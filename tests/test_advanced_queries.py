@@ -27,6 +27,7 @@ ADVANCED = [
     "salted_join_supplier_revenue",
     "count_distinct_approx",
     "calendar_spine_monthly",
+    "histogram_price_buckets",
 ]
 
 

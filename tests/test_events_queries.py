@@ -18,6 +18,7 @@ EVENTS = [
     "array_vector_funcs",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "timeseries_gapfill_locf",
 ]
 
 

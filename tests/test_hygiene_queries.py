@@ -88,3 +88,24 @@ def test_merge_into_requires_no_broadcast(spark, sf_dir):
     df = entrymod.queries()["merge_scd1_customer"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+GRAPH_ORACLE_CHECKED = ["pagerank_customer_supplier", "incremental_agg_maintenance",
+                        "histogram_price_buckets", "timeseries_gapfill_locf"]
+
+
+@pytest.mark.parametrize("name", GRAPH_ORACLE_CHECKED)
+def test_graph_and_profiling_oracle_parity(spark, sf_dir, name):
+    compare(name, spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
+
+
+def test_pagerank_mass_and_floor(spark, sf_dir):
+    """Every rank >= base mass (150k micro-units); suppliers (in-link-only
+    nodes) accumulate more than the floor; total mass is bounded above by
+    n_nodes * UNIT (floors only ever lose mass)."""
+    df = entrymod.queries()["pagerank_customer_supplier"](spark, sf_dir).toPandas()
+    assert (df["rank_micro"] >= 150_000).all()
+    n = len(df)
+    assert df["rank_micro"].sum() <= n * 1_000_000
+    suppliers = df[df["node"] >= 100000]
+    assert (suppliers["rank_micro"] > 150_000).any()
