@@ -104,6 +104,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "timeseries_gapfill_locf",
     "pagerank_customer_supplier",
     "incremental_agg_maintenance",
+    "streaming_stream_stream_join",
+    "streaming_anomaly_zscore",
 )
 
 

@@ -83,32 +83,44 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     message-passing shape. Fixed round count (not convergence-probed) keeps
     the plan finite; ``localCheckpoint`` truncates lineage each round so
     round N's plan doesn't re-derive rounds 1..N-1."""
+    from pyspark import StorageLevel
+
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Dedup BEFORE the join: (order, supplier) repeats once per line item —
+    # pre-aggregating cuts the join input ~4× and, more importantly, keeps
+    # the post-join distinct's hash table per-order-group small. (The
+    # join-then-distinct form of this exact plan hit AGGREGATE_OUT_OF_MEMORY
+    # at the 100× scale smoke; this form passes.)
+    li_pairs = li.distinct()
     edges = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(li_pairs, orders.o_orderkey == li_pairs.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
             (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # Static per-iteration relations persist to DISK_ONLY: they are scanned
+    # once per round, and keeping them out of the unified memory pool leaves
+    # execution memory for the round's join+agg (MEMORY_AND_DISK-cached
+    # copies of a fact-sized edge list starve aggregation at scale).
+    edges.persist(StorageLevel.DISK_ONLY)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    nodes.persist(StorageLevel.DISK_ONLY)
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
     # pre-join each edge with its source outdegree once — constant per round
-    e_deg = (
-        edges.join(outdeg, edges.src == outdeg.node)
-        .select("src", "dst", "outdeg")
-        .localCheckpoint(eager=True)
+    e_deg = edges.join(outdeg, edges.src == outdeg.node).select(
+        "src", "dst", "outdeg"
     )
+    e_deg.persist(StorageLevel.DISK_ONLY)
+    e_deg.count()  # materialize once, before the rounds
     ranks = nodes.select("node", F.lit(_UNIT).cast("long").alias("rank"))
     for _ in range(_ITERS):
         contrib = (
@@ -130,6 +142,8 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # round N-1's checkpoint blocks are released by the ContextCleaner
+        # once unreferenced — (node, rank) longs, small either way
     return ranks.select("node", F.col("rank").cast("long").alias("rank_micro"))
 
 

@@ -165,3 +165,192 @@ def streaming_scd2_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = state.read()
     assert final is not None
     return _flagship_shape(final)
+
+
+_SSJ_ORACLE = """
+SELECT v.event_id AS view_id, b.event_id AS buy_id,
+       v.user_id AS user_id
+FROM events v
+JOIN events b
+  ON v.user_id = b.user_id
+ AND b.ts >= v.ts
+ AND b.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+"""
+
+
+@query("streaming_stream_stream_join", oracle=_SSJ_ORACLE)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join, driver-checked: views and
+    purchases stream from the SAME file source, join on user within a
+    1-hour event-time bound (purchase after view), drain with availableNow,
+    and the landed pairs must equal the batch interval join (the oracle).
+
+    Both sides carry a 2-hour watermark: Spark bounds the join state to
+    [watermark - bound] on each side, so state is O(rate × bound), not
+    O(stream) — the property that makes stream-stream joins feasible on an
+    unbounded 100 TB/day firehose. The memory sink is fine here (result is
+    pair ids only); production lands parquet like ``ingest_stream``."""
+    import uuid
+
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_ssj_q_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    events.write.mode("overwrite").parquet(f"{ws}/events")
+
+    stream = spark.readStream.schema(events.schema).parquet(f"{ws}/events")
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    buys = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "2 hours")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("view_id", "buy_id", F.col("v_user").alias("user_id"))
+
+    sink = f"ssj_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "streaming_anomaly_zscore",
+    oracle=None,  # set below — shares the batch query's oracle SQL
+)
+def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_anomaly_zscore``: per-user expanding
+    z-score over a REAL multi-batch stateful streaming execution. Events are
+    landed as four time-sliced files (mtimes increasing — log segments
+    arriving in time order, as a log shipper delivers them);
+    ``maxFilesPerTrigger=1`` forces four micro-batches; per-user
+    ``(n, Σv, Σv²)`` integer state carries across batches through
+    ``applyInPandasWithState`` (RocksDB-backed on a real cluster); each
+    batch emits its >3σ events. The drained output must equal the batch
+    window query — same oracle SQL.
+
+    Determinism across engines AND across the batch/stream boundary: the
+    state is integer cents (exact in any accumulation order); z is the same
+    fixed sequence of IEEE double ops as the batch form. Cumulative math is
+    vectorized (numpy cumsum) — no per-row Python."""
+    import os
+    import time as _time
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_zscore_stream_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # four contiguous TIME slices, written oldest-first (distinct mtimes →
+    # the file source lists them in arrival order). Slicing on event time —
+    # not id — is what guarantees every user's events arrive in ts order
+    # across batches, the invariant the expanding state depends on.
+    with_us = events.withColumn("_us", F.unix_micros("ts"))
+    qs = with_us.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [int(q) for q in qs]
+    us = F.col("_us")
+    slices = [
+        with_us.where(us <= bounds[0]),
+        with_us.where((us > bounds[0]) & (us <= bounds[1])),
+        with_us.where((us > bounds[1]) & (us <= bounds[2])),
+        with_us.where(us > bounds[2]),
+    ]
+    slices = [s.drop("_us") for s in slices]
+    src = f"{ws}/slices"
+    os.makedirs(src)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").parquet(f"{ws}/tmp{i}")
+        part = [f for f in os.listdir(f"{ws}/tmp{i}") if f.endswith(".parquet")][0]
+        os.rename(f"{ws}/tmp{i}/{part}", f"{src}/slice_{i}.parquet")
+        _time.sleep(0.05)  # strictly increasing mtimes
+
+    out_schema = (
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, "
+        "value double, mean_prior double, zscore double"
+    )
+    state_schema = "n bigint, s1 bigint, s2 bigint"
+
+    def flag(key, pdfs, state):
+        n, s1, s2 = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            v = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
+            # prior-exclusive running sums, seeded from carried state
+            n_prior = n + np.arange(len(v))
+            s1_prior = s1 + np.concatenate(([0], np.cumsum(v)[:-1]))
+            s2_prior = s2 + np.concatenate(([0], np.cumsum(v * v)[:-1]))
+            n, s1, s2 = int(n + len(v)), int(s1 + v.sum()), int(s2 + (v * v).sum())
+            ok = n_prior >= 20
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean_v = s1_prior.astype(float) / n_prior
+                var_v = (
+                    s2_prior.astype(float) - s1_prior.astype(float) * s1_prior / n_prior
+                ) / (n_prior - 1)
+                z = (v.astype(float) - mean_v) / np.sqrt(var_v)
+            mask = ok & (var_v > 0) & (np.abs(z) > 3.0)
+            if mask.any():
+                out = pdf.loc[mask, ["event_id", "user_id", "ts", "event_type"]].copy()
+                out["value"] = v[mask].astype(float) / 100
+                out["mean_prior"] = mean_v[mask] / 100
+                out["zscore"] = z[mask]
+                yield out
+        state.update((n, s1, s2))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flagged = stream.groupBy("user_id").applyInPandasWithState(
+        flag, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    sink = f"zscore_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+# the streaming twin shares the batch oracle verbatim
+from change_data_capture_spark.operators.hygiene_queries import _ZSCORE_ORACLE  # noqa: E402
+from change_data_capture_spark.queries import ORACLES  # noqa: E402
+
+ORACLES["streaming_anomaly_zscore"] = _ZSCORE_ORACLE

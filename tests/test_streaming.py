@@ -18,6 +18,8 @@ from tests.oracle import compare
         "streaming_ingest_exactly_once",
         "streaming_scd2_incremental",
         "streaming_scd2_multibatch",
+        "streaming_stream_stream_join",
+        "streaming_anomaly_zscore",
     ],
 )
 def test_streaming_oracle_parity(spark, sf_dir, name):

@@ -96,6 +96,10 @@ def main() -> None:
                     help="timed runs per query (reports min)")
     args = ap.parse_args()
 
+    # A 100×-data local test needs a realistic memory budget: the box has
+    # 128 GiB and a real 32-executor slice would too. 8g (the unit-test
+    # default) starves execution memory and reports false scale failures.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark("scale-smoke", master="local[32]", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     src = "/root/testdata/sf0.1"
