@@ -106,6 +106,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "incremental_agg_maintenance",
     "streaming_stream_stream_join",
     "streaming_anomaly_zscore",
+    "events_variant_props",
 )
 
 

@@ -83,6 +83,9 @@ HEADLINE = [
     "merge_scd1_customer",
     "histogram_price_buckets",
     "timeseries_gapfill_locf",
+    "pagerank_customer_supplier",
+    "incremental_agg_maintenance",
+    "events_variant_props",
 ]
 
 

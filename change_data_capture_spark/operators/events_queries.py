@@ -630,3 +630,45 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("d.day_total", ignorenulls=True).over(w).alias("day_total_locf"),
         F.col("d.user_id").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VariantType over open-ended JSON (driver-gated)
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("events_variant_props", oracle=_VARIANT_ORACLE)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: ``props``
+    is parsed ONCE into a binary variant (`parse_json`), fields extract
+    lazily and typed (`try_variant_get`) — the modern path for open-ended
+    JSON where the envelope's pinned StructType doesn't apply (reference
+    counterpart: the ad-hoc exploration queries in README.md:138-248 that
+    probe event payloads without a declared schema). At 100 TB, variant
+    binary beats per-query JSON string re-parsing (~one decode per field
+    access instead of a full text parse), and shredded-variant parquet
+    pushes typed subfield scans down to the reader. The oracle reads the
+    same fields with DuckDB's JSON functions."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

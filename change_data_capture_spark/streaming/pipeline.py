@@ -76,16 +76,16 @@ def ingest_stream(
     per partition per micro-batch — the small-files guard; real deployments
     add a hash-bucket column to that repartition for write parallelism.
     """
+    env = read_envelope_ndjson(spark, source_dir, streaming=True)
     if state_partitions is not None:
         # State-store task count is captured from this conf at FIRST stream
         # start and pinned in the checkpoint thereafter. It should track the
         # per-batch keyed-state volume: a small CDC topic wants far fewer
         # than a batch-analytics shuffle (each state partition pays a
         # per-batch commit), while a 100 TB firehose wants hundreds. Callers
-        # size it per topic; the session-wide shuffle setting is unchanged
-        # after stream start (Spark reads it once per streaming query).
+        # size it per topic. Set AFTER building the source: the loaders'
+        # ensure_runtime_confs would reset it to the session default.
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    env = read_envelope_ndjson(spark, source_dir, streaming=True)
     part_cols = ["ingest_date", "ingest_hour"] if hourly_partitions else ["ingest_date"]
     decoded = (
         decode_envelope(env)

@@ -19,6 +19,7 @@ EVENTS = [
     "events_funnel_conversion",
     "events_retention_cohorts",
     "timeseries_gapfill_locf",
+    "events_variant_props",
 ]
 
 
