@@ -117,3 +117,35 @@ def test_register_sql_views_runs_raw_sql(spark, sf_dir):
         """
     ).collect()
     assert len(got) > 0 and all(r["n"] > 0 for r in got)
+
+
+def test_python_datasource_matches_builtin_reader(spark, sf_dir):
+    """The custom Python DataSource (Spark 4 extension API) must read the
+    NDJSON envelope log identically to the built-in JSON reader."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.sources.cdc_generator import product_change_events
+    from change_data_capture_spark.sources.ndjson import read_envelope_ndjson
+    from change_data_capture_spark.sources.python_datasource import (
+        CdcNdjsonDataSource,
+    )
+
+    ws = tempfile.mkdtemp(prefix="cdc_pyds_")
+    product_change_events(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).json(ws)
+
+    spark.dataSource.register(CdcNdjsonDataSource)
+    custom = spark.read.format("cdc_ndjson").option("path", ws).load()
+    builtin = read_envelope_ndjson(spark, ws)
+
+    key = lambda df: {  # noqa: E731
+        (r.id, r.lsn)
+        for r in df.select(
+            F.col("value.after.id").alias("id"), F.col("value.source.lsn").alias("lsn")
+        ).collect()
+    }
+    assert custom.count() == builtin.count()
+    assert key(custom) == key(builtin)
