@@ -107,6 +107,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_stream_stream_join",
     "streaming_anomaly_zscore",
     "events_variant_props",
+    "entity_resolution_blocked",
+    "multimodal_video_framesample",
 )
 
 

@@ -86,6 +86,7 @@ HEADLINE = [
     "pagerank_customer_supplier",
     "incremental_agg_maintenance",
     "events_variant_props",
+    "entity_resolution_blocked",
 ]
 
 

@@ -313,3 +313,131 @@ def wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payload"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL video pipeline: Y4M (YUV4MPEG2) assembly + frame-sampling decode
+# ---------------------------------------------------------------------------
+
+_FRAME_STRIDE = 2  # sample every 2nd frame
+
+
+def decode_y4m(payload: bytes, stride: int = _FRAME_STRIDE):
+    """REAL uncompressed-video decode with frame sampling: parse the
+    YUV4MPEG2 stream header (W/H/colorspace), walk the FRAME chunks, keep
+    every ``stride``-th frame, and return
+    (w, h, n_frames, n_sampled, mean_luma_of_sampled). Pure bytes + numpy —
+    Y4M is the one video container that needs no codec, which makes the
+    frame-sampling path (the thing a training pipeline actually does to
+    video) fully real here; compressed codecs stay stubbed
+    (:func:`decode_image_real`)."""
+    import numpy as np
+
+    header, _, rest = payload.partition(b"\n")
+    if not header.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    params = dict(
+        (p[:1], p[1:]) for p in header.split(b" ")[1:] if p
+    )
+    w, h = int(params[b"W"]), int(params[b"H"])
+    if params.get(b"C", b"mono") != b"mono":
+        raise ValueError("only Cmono supported (no chroma planes)")
+    frame_bytes = w * h
+    n_frames, sampled_means = 0, []
+    pos = 0
+    while pos < len(rest):
+        if rest[pos : pos + 6] != b"FRAME\n":
+            raise ValueError("bad FRAME marker")
+        pos += 6
+        if n_frames % stride == 0:
+            luma = np.frombuffer(rest, dtype=np.uint8, count=frame_bytes, offset=pos)
+            sampled_means.append(luma.astype(np.float64).mean())
+        pos += frame_bytes
+        n_frames += 1
+    mean_luma = float(np.mean(sampled_means)) if sampled_means else float("nan")
+    return w, h, n_frames, len(sampled_means), mean_luma
+
+
+_Y4M_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, n_sampled int, "
+    "mean_luma double"
+)
+
+
+def _decode_y4m_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (doc_id, *decode_y4m(payload))
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_frames", "n_sampled", "mean_luma"],
+        )
+
+
+_Y4M_ORACLE = f"""
+SELECT doc_id,
+       CAST(doc_id % 6 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 7 + 3 AS INTEGER) AS height,
+       CAST(doc_id % 5 + 4 AS INTEGER) AS n_frames,
+       CAST((doc_id % 5 + 4 - 1) // {_FRAME_STRIDE} + 1 AS INTEGER) AS n_sampled,
+       list_aggregate(
+           list_transform(range(0, CAST((doc_id % 5 + 4 - 1) // {_FRAME_STRIDE} + 1 AS BIGINT)),
+                          i -> CAST((doc_id * 17 + i * {_FRAME_STRIDE} * 29) % 256 AS DOUBLE)),
+           'avg') AS mean_luma
+FROM documents
+"""
+
+
+@query("multimodal_video_framesample", oracle=_Y4M_ORACLE)
+def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline end to end: Spark assembles a genuine YUV4MPEG2
+    (Y4M, Cmono) stream per document — stream header + per-frame FRAME
+    chunks with solid deterministic luma — entirely JVM-side
+    (aggregate/repeat/unhex over a frame-index sequence), and the
+    Arrow-batched ``mapInPandas`` stage ACTUALLY parses the container and
+    samples every {stride} frames (:func:`decode_y4m`) — frame sampling
+    being the canonical video step of a multimodal training pipeline.
+    Solid frames make the sampled-luma mean closed-form, so the oracle
+    recomputes it arithmetically. Equal-sized frames ⇒ the pixel-weighted
+    mean equals the frame-constant mean; integer-valued float sums are
+    exact at any accumulation order, then both engines do one division.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    w = (did % 6 + 4).cast("int")
+    h = (did % 7 + 3).cast("int")
+    nf = (did % 5 + 4).cast("int")
+    base = d.select("doc_id", w.alias("w"), h.alias("h"), nf.alias("nf"))
+    hdr = F.concat(
+        F.lit("YUV4MPEG2 W"), F.col("w").cast("string"),
+        F.lit(" H"), F.col("h").cast("string"),
+        F.lit(" F25:1 Ip A1:1 Cmono\n"),
+    )
+    # frames concatenated via aggregate over the frame-index sequence; each
+    # FRAME chunk is "FRAME\n" + (w*h) copies of that frame's luma byte
+    payload = F.concat(
+        F.encode(hdr, "utf-8"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.col("nf") - 1),
+            F.encode(F.lit(""), "utf-8"),
+            lambda acc, f: F.concat(
+                acc,
+                F.encode(F.lit("FRAME\n"), "utf-8"),
+                F.unhex(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.sequence(F.lit(1), F.col("w") * F.col("h")),
+                            lambda _: F.lpad(
+                                F.hex((F.col("doc_id") * 17 + f * 29) % 256), 2, "0"
+                            ),
+                        ),
+                    )
+                ),
+            ),
+        ),
+    )
+    payloads = base.select("doc_id", payload.alias("payload"))
+    return payloads.mapInPandas(_decode_y4m_batches, schema=_Y4M_SCHEMA)

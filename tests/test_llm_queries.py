@@ -33,6 +33,8 @@ ORACLE_CHECKED = [
     "text_bigram_counts",
     "corpus_decontamination",
     "semantic_dedup_keeplist",
+    "entity_resolution_blocked",
+    "multimodal_video_framesample",
 ]
 
 
