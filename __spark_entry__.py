@@ -109,6 +109,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_variant_props",
     "entity_resolution_blocked",
     "multimodal_video_framesample",
+    "multimodal_image_resize",
 )
 
 

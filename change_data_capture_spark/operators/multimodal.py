@@ -441,3 +441,117 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = base.select("doc_id", payload.alias("payload"))
     return payloads.mapInPandas(_decode_y4m_batches, schema=_Y4M_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image resize: nearest-neighbor downsample inside the decode stage
+# ---------------------------------------------------------------------------
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, new_w int, new_h int, mean_r double, mean_g double, "
+    "mean_b double"
+)
+
+
+def resize_ppm_2x(payload: bytes):
+    """REAL decode + resize: parse binary-P6 PPM, nearest-neighbor
+    downsample by 2 (``img[::2, ::2]`` — the canonical cheap resize a
+    training pipeline applies before feature extraction), return the new
+    dims + per-channel means of the RESIZED image."""
+    import numpy as np
+
+    header, _, rest = payload.partition(b"\n")
+    if header != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    dims, _, rest = rest.partition(b"\n")
+    maxval, _, pixels = rest.partition(b"\n")
+    w, h = (int(x) for x in dims.split())
+    img = np.frombuffer(pixels, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    small = img[::2, ::2]
+    means = small.reshape(-1, 3).astype(np.float64).mean(axis=0)
+    return small.shape[1], small.shape[0], float(means[0]), float(means[1]), float(means[2])
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (doc_id, *resize_ppm_2x(payload))
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "new_w", "new_h", "mean_r", "mean_g", "mean_b"]
+        )
+
+
+# two-band image: rows [0, h1) are color c1, rows [h1, h) color c2 — so the
+# stride-2 row sample changes the band mix and the resize is OBSERVABLE
+# (solid images would make any resize a no-op on the means).
+_RESIZE_ORACLE = """
+WITH g AS (
+    SELECT doc_id,
+           doc_id % 9 + 8 AS w,
+           doc_id % 7 + 4 AS h,
+           (doc_id % 7 + 4) // 2 AS h1
+    FROM documents
+),
+m AS (
+    SELECT doc_id, w, h, h1,
+           (w + 1) // 2 AS new_w,
+           (h + 1) // 2 AS new_h,
+           (h1 + 1) // 2 AS n1
+    FROM g
+)
+SELECT doc_id,
+       CAST(new_w AS INTEGER) AS new_w,
+       CAST(new_h AS INTEGER) AS new_h,
+       CAST((n1 * (doc_id % 256) + (new_h - n1) * ((doc_id * 7 + 3) % 256))
+            AS DOUBLE) / new_h AS mean_r,
+       CAST((n1 * ((doc_id * 31 + 7) % 256) + (new_h - n1) * ((doc_id * 11 + 5) % 256))
+            AS DOUBLE) / new_h AS mean_g,
+       CAST((n1 * ((doc_id * 97 + 13) % 256) + (new_h - n1) * ((doc_id * 13 + 1) % 256))
+            AS DOUBLE) / new_h AS mean_b
+FROM m
+"""
+
+
+@query("multimodal_image_resize", oracle=_RESIZE_ORACLE)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end to end: Spark assembles a TWO-BAND binary-P6
+    PPM per document (top band color c1, bottom band c2 — banding makes the
+    downsample observable in the channel means), and the Arrow-batched
+    decode stage actually parses and nearest-neighbor-downsamples it by 2
+    (:func:`resize_ppm_2x`). The oracle recomputes the resized band mix
+    arithmetically: stride-2 row sampling keeps ceil(h1/2) c1-rows of
+    ceil(h/2) total; per-row solid color makes column count cancel out of
+    the means; integer-valued float sums are exact, then one division."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    w = (did % 9 + 8).cast("int")
+    h = (did % 7 + 4).cast("int")
+    h1 = (h / 2).cast("int")
+    c1_hex = F.concat(
+        _hex_byte(did % 256),
+        _hex_byte((did * 31 + 7) % 256),
+        _hex_byte((did * 97 + 13) % 256),
+    )
+    c2_hex = F.concat(
+        _hex_byte((did * 7 + 3) % 256),
+        _hex_byte((did * 11 + 5) % 256),
+        _hex_byte((did * 13 + 1) % 256),
+    )
+    hdr = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    with_cols = d.select(
+        "doc_id", w.alias("w"), h.alias("h"), h1.alias("h1"),
+        c1_hex.alias("c1"), c2_hex.alias("c2"), hdr.alias("hdr"),
+    )
+    payloads = with_cols.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.col("hdr"), "utf-8"),
+            F.unhex(F.expr("repeat(c1, w * h1)")),
+            F.unhex(F.expr("repeat(c2, w * (h - h1))")),
+        ).alias("payload"),
+    )
+    return payloads.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)

@@ -35,6 +35,7 @@ ORACLE_CHECKED = [
     "semantic_dedup_keeplist",
     "entity_resolution_blocked",
     "multimodal_video_framesample",
+    "multimodal_image_resize",
 ]
 
 

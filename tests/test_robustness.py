@@ -69,3 +69,22 @@ def test_rate_source_stream_produces_events(spark):
             assert r.event_type in {"click", "error", "purchase", "signup", "view"}
     finally:
         q.stop()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Warehouse schema evolution: an append adds a column; readers with
+    mergeSchema=true see the union schema with nulls for pre-evolution
+    rows — no rewrite of committed files."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(p)
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    old = merged.where(F.col("id") < 5)
+    assert old.where(F.col("v2").isNull()).count() == 5
+    assert merged.count() == 8
