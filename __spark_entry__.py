@@ -66,21 +66,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "similarity_lsh_buckets",
     "embedding_quantize_int8",
     "profile_orders",
-    # round-2 additions
+    # round-2 additions: one row per NEW FAMILY first (if the driver caps
+    # the check set, every distinct capability still gets hard evidence;
+    # the TPC-H widening shapes — a family already multiply-green in r01 —
+    # follow)
     "scd2_products_b64price",
     "dedup_cc_minhash",
     "streaming_scd2_multibatch",
     "count_distinct_approx",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_suppliers",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
     "percentiles_exact",
     "salted_join_supplier_revenue",
     "multimodal_image_decode",
@@ -93,7 +86,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dq_audit",
     "calendar_spine_monthly",
     "semantic_dedup_keeplist",
-    # round-2 continuation additions
+    # round-2 continuation additions (new families, ahead of TPC-H widening)
     "pii_redaction",
     "text_repetition_quality",
     "url_domain_stats",
@@ -110,6 +103,17 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "entity_resolution_blocked",
     "multimodal_video_framesample",
     "multimodal_image_resize",
+    # TPC-H widening (family already evidenced by r01-green q1-q22 subset)
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_suppliers",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
 )
 
 
