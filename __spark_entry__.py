@@ -103,6 +103,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "entity_resolution_blocked",
     "multimodal_video_framesample",
     "multimodal_image_resize",
+    "provenance_file_metadata",
     # TPC-H widening (family already evidenced by r01-green q1-q22 subset)
     "q6_forecast_revenue",
     "q8_market_share",

@@ -137,3 +137,44 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphan_li)
         .unionByName(orphan_ord)
     )
+
+
+# ---------------------------------------------------------------------------
+# scan provenance: hidden _metadata file columns (incident forensics)
+# ---------------------------------------------------------------------------
+
+# The oracle runs over pre-registered views (no path parameter), so it
+# states the fixture-layout invariant directly: every sf dir stores each
+# table as ONE parquet file named <table>.parquet — the Spark side must
+# therefore report exactly that file name from _metadata.
+_PROVENANCE_ORACLE = """
+SELECT 'lineitem.parquet' AS file_name,
+       count(*) AS n_rows,
+       min(l_orderkey) AS min_orderkey,
+       max(l_orderkey) AS max_orderkey
+FROM lineitem
+"""
+
+
+@query("provenance_file_metadata", oracle=_PROVENANCE_ORACLE)
+def provenance_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row→file provenance via Spark's hidden ``_metadata`` column on file
+    sources — the forensics primitive behind "which landed object produced
+    these rows" (the reference's lexically-ordered object names,
+    s3-sink.json:14, exist for exactly this). Zero extra I/O: the metadata
+    struct is constant per split. The oracle replays it with DuckDB's
+    ``filename=true``. Per-file row counts + key ranges are also the
+    inputs a compaction planner (maintenance.compact_parquet) works from."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from change_data_capture_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    return (
+        l.select(F.col("_metadata.file_name").alias("file_name"), "l_orderkey")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+    )

@@ -280,44 +280,92 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = with_us.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
     bounds = [int(q) for q in qs]
     us = F.col("_us")
-    slices = [
-        with_us.where(us <= bounds[0]),
-        with_us.where((us > bounds[0]) & (us <= bounds[1])),
-        with_us.where((us > bounds[1]) & (us <= bounds[2])),
-        with_us.where(us > bounds[2]),
-    ]
-    slices = [s.drop("_us") for s in slices]
+    slice_id = (
+        F.when(us <= bounds[0], 0)
+        .when(us <= bounds[1], 1)
+        .when(us <= bounds[2], 2)
+        .otherwise(3)
+    )
+    # ONE parallel write lands all four slice files (repartitionByRange on
+    # the 4 distinct slice ids → exactly one task, hence one file, per
+    # slice dir — sequential coalesce(1) writes were the 100×-scale
+    # bottleneck of this gate's harness); mtimes are then stamped in slice
+    # order so the file source lists arrival order = time order.
+    staged = f"{ws}/staged"
+    (
+        with_us.withColumn("_slice", slice_id)
+        .drop("_us")
+        .repartitionByRange(4, "_slice")
+        .write.partitionBy("_slice")
+        .mode("overwrite")
+        .parquet(staged)
+    )
     src = f"{ws}/slices"
     os.makedirs(src)
-    for i, sl in enumerate(slices):
-        sl.coalesce(1).write.mode("overwrite").parquet(f"{ws}/tmp{i}")
-        part = [f for f in os.listdir(f"{ws}/tmp{i}") if f.endswith(".parquet")][0]
-        os.rename(f"{ws}/tmp{i}/{part}", f"{src}/slice_{i}.parquet")
-        _time.sleep(0.05)  # strictly increasing mtimes
+    now = _time.time()
+    for i in range(4):
+        d = f"{staged}/_slice={i}"
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"slice {i}: expected one file, got {parts}"
+        dst = f"{src}/slice_{i}.parquet"
+        os.rename(f"{d}/{parts[0]}", dst)
+        os.utime(dst, (now + i, now + i))  # strictly increasing mtimes
 
     out_schema = (
         "event_id bigint, user_id bigint, ts timestamp, event_type string, "
         "value double, mean_prior double, zscore double"
     )
-    state_schema = "n bigint, s1 bigint, s2 bigint"
+    # KEY-GROUP STATE COMPACTION (the Flink-style keyed-state sharding):
+    # grouping by raw user_id costs one Python invocation per (user, batch)
+    # — measured 177 s at the 100× smoke (5k users × 4 batches of worker
+    # round-trips). Grouping by user_id % N_BUCKETS keeps per-user state in
+    # a dict-of-arrays per bucket: invocations drop to O(buckets × batches)
+    # while state stays logically per-user and output stays identical.
+    n_buckets = 64
+    state_schema = (
+        "user_ids array<bigint>, ns array<bigint>, "
+        "s1s array<bigint>, s2s array<bigint>"
+    )
 
     def flag(key, pdfs, state):
-        n, s1, s2 = state.get if state.exists else (0, 0, 0)
+        if state.exists:
+            uids, ns, s1s, s2s = state.get
+            st = {u: (n, a, b) for u, n, a, b in zip(uids, ns, s1s, s2s)}
+        else:
+            st = {}
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+            # fully vectorized across the bucket's users: grouped cumsums
+            # give prior-exclusive running sums per user in C, no per-user
+            # Python loop (the loop form cost ~2× at the 100× smoke)
+            pdf = pdf.sort_values(["user_id", "ts", "event_id"])
             v = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
-            # prior-exclusive running sums, seeded from carried state
-            n_prior = n + np.arange(len(v))
-            s1_prior = s1 + np.concatenate(([0], np.cumsum(v)[:-1]))
-            s2_prior = s2 + np.concatenate(([0], np.cumsum(v * v)[:-1]))
-            n, s1, s2 = int(n + len(v)), int(s1 + v.sum()), int(s2 + (v * v).sum())
+            vv = v * v
+            grp = pd.DataFrame(
+                {"u": pdf["user_id"].to_numpy(), "v": v, "vv": vv}
+            ).groupby("u", sort=False)
+            idx = grp.cumcount().to_numpy()
+            c1 = grp["v"].cumsum().to_numpy() - v
+            c2 = grp["vv"].cumsum().to_numpy() - vv
+            seed = pdf["user_id"].map(lambda u: st.get(u, (0, 0, 0)))
+            n0 = seed.map(lambda t: t[0]).to_numpy()
+            s10 = seed.map(lambda t: t[1]).to_numpy()
+            s20 = seed.map(lambda t: t[2]).to_numpy()
+            n_prior = n0 + idx
+            s1_prior = s10 + c1
+            s2_prior = s20 + c2
+            # fold this batch's per-user totals into the carried state
+            totals = grp.agg(n=("v", "size"), s1=("v", "sum"), s2=("vv", "sum"))
+            for uid, row in totals.iterrows():
+                n, s1, s2 = st.get(uid, (0, 0, 0))
+                st[uid] = (n + int(row["n"]), s1 + int(row["s1"]), s2 + int(row["s2"]))
             ok = n_prior >= 20
             with np.errstate(invalid="ignore", divide="ignore"):
                 mean_v = s1_prior.astype(float) / n_prior
                 var_v = (
-                    s2_prior.astype(float) - s1_prior.astype(float) * s1_prior / n_prior
+                    s2_prior.astype(float)
+                    - s1_prior.astype(float) * s1_prior / n_prior
                 ) / (n_prior - 1)
                 z = (v.astype(float) - mean_v) / np.sqrt(var_v)
             mask = ok & (var_v > 0) & (np.abs(z) > 3.0)
@@ -327,15 +375,27 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_prior"] = mean_v[mask] / 100
                 out["zscore"] = z[mask]
                 yield out
-        state.update((n, s1, s2))
+        users = sorted(st)
+        state.update(
+            (
+                users,
+                [st[u][0] for u in users],
+                [st[u][1] for u in users],
+                [st[u][2] for u in users],
+            )
+        )
 
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    flagged = stream.groupBy("user_id").applyInPandasWithState(
-        flag, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    flagged = (
+        stream.withColumn("_kg", F.col("user_id") % n_buckets)
+        .groupBy("_kg")
+        .applyInPandasWithState(
+            flag, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
     )
     sink = f"zscore_gate_{uuid.uuid4().hex[:8]}"
     q = (

@@ -240,3 +240,10 @@ def test_zorder_bits_clamped_to_long_range(spark):
     # all four coords at grid max → all interleaved bits set; must stay
     # inside a signed long and below 2^60 (15 bits × 4 cols)
     assert 0 < z_max < (1 << 60)
+
+
+def test_provenance_metadata_parity(spark, sf_dir):
+    compare(
+        "provenance_file_metadata", spark, sf_dir,
+        entrymod.queries(), entrymod.oracle_sql(),
+    )
