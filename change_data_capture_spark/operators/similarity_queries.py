@@ -470,3 +470,147 @@ def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_members"), F.lit(1).cast("long")).alias("n_members"),
         (F.col("vec_id") == component_id).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point k-means with a bit-exact cross-engine oracle
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ROUNDS = 3  # assignment rounds (2 centroid updates between)
+
+
+def _km_round_sql(i: int) -> str:
+    """One unrolled Lloyd's round (DuckDB): assign against c{i}, update to
+    c{i+1} (empty clusters keep their previous centroid)."""
+    return f"""
+assign{i} AS (
+    SELECT v.vec_id, c.cid,
+           CAST(SUM((v.val - c.cval) * (v.val - c.cval)) AS BIGINT) AS dist
+    FROM vl v JOIN c{i} c ON v.dim = c.dim
+    GROUP BY v.vec_id, c.cid
+),
+best{i} AS (
+    SELECT vec_id, cid, dist
+    FROM assign{i}
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+c{i + 1} AS (
+    SELECT b.cid, v.dim,
+           CAST(floor(CAST(SUM(v.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+    FROM best{i} b JOIN vl v ON v.vec_id = b.vec_id
+    GROUP BY b.cid, v.dim
+    UNION ALL
+    SELECT p.cid, p.dim, p.cval
+    FROM c{i} p
+    WHERE p.cid NOT IN (SELECT DISTINCT cid FROM best{i})
+)"""
+
+
+_KMEANS_ORACLE = (
+    f"""
+WITH vl AS (
+    SELECT vec_id, i AS dim,
+           CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS val
+    FROM embeddings, unnest(range(0, len(embedding))) AS r(i)
+),
+c0 AS (
+    SELECT CAST(vec_id // 7 AS INTEGER) AS cid, dim, val AS cval
+    FROM vl WHERE vec_id IN (0, 7, 14, 21)
+),
+"""
+    + ",".join(_km_round_sql(i) for i in range(_KM_ROUNDS))
+    + f"""
+SELECT b.vec_id,
+       b.cid AS cluster_id,
+       b.dist AS dist_sq_scaled,
+       s.n AS cluster_size
+FROM best{_KM_ROUNDS - 1} b
+JOIN (SELECT cid, count(*) AS n FROM best{_KM_ROUNDS - 1} GROUP BY cid) s
+  ON s.cid = b.cid
+"""
+)
+
+
+@query("kmeans_fixed_point", oracle=_KMEANS_ORACLE)
+def kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 3 assignment rounds) in FIXED-POINT arithmetic,
+    fully oracle-checked — the upgrade of the rows-only IVF gate: every
+    assignment and centroid is bit-identical cross-engine because nothing
+    float-accumulates. Vectors quantize once to integer micro-units
+    (``floor(x·1e6 + 0.5)`` — pure IEEE ops); distances are integer
+    sums of squared diffs (exact in any order); argmin ties break on
+    cluster id; centroid update is floor(Σ/n) — one double division of
+    exact operands per (cluster, dim). The oracle unrolls the same three
+    rounds as CTEs.
+
+    Scale shape: everything is relational on the LONG FORM (vec, dim, val)
+    — assignment is a join on ``dim`` (k·d rows broadcast) + one
+    (vec, cluster) aggregate; update is one (cluster, dim) aggregate.
+    No driver-side math: centroids stay a 256-row DataFrame, broadcast
+    per round, localCheckpoint'd so round N's plan doesn't re-derive
+    rounds 1..N-1. Empty clusters carry their previous centroid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vl = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x") * 1000000 + 0.5).cast("long").alias("val"),
+    )
+    vl = vl.localCheckpoint(eager=True)  # scanned 2× per round
+    cent = (
+        vl.where(F.col("vec_id").isin(0, 7, 14, 21))
+        .select(
+            (F.col("vec_id") / 7).cast("int").alias("cid"),
+            "dim",
+            F.col("val").alias("cval"),
+        )
+    )
+    best = None
+    for _ in range(_KM_ROUNDS):
+        dist = (
+            vl.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                # (val-cval)*(val-cval) stays LONG end to end (** would go
+                # through pow() and return DOUBLE — exact here, but the
+                # driver's value hash compares string forms, and 7.7e13
+                # must render as an integer like the oracle's BIGINT)
+                F.sum(
+                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        best = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        updated = (
+            best.join(vl, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cval")
+            )
+        )
+        kept = cent.join(
+            best.select("cid").distinct(), "cid", "left_anti"
+        )
+        cent = updated.unionByName(kept).localCheckpoint(eager=True)
+    sizes = best.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        best.join(F.broadcast(sizes), "cid")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("dist").alias("dist_sq_scaled"),
+            F.col("n").alias("cluster_size"),
+        )
+    )

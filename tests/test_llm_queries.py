@@ -36,6 +36,7 @@ ORACLE_CHECKED = [
     "entity_resolution_blocked",
     "multimodal_video_framesample",
     "multimodal_image_resize",
+    "kmeans_fixed_point",
 ]
 
 
