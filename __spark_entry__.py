@@ -105,6 +105,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_image_resize",
     "provenance_file_metadata",
     "kmeans_fixed_point",
+    "sequence_packing_bins",
     # TPC-H widening (family already evidenced by r01-green q1-q22 subset)
     "q6_forecast_revenue",
     "q8_market_share",

@@ -87,6 +87,8 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "events_variant_props",
     "entity_resolution_blocked",
+    "kmeans_fixed_point",
+    "multimodal_video_framesample",
 ]
 
 

@@ -403,3 +403,66 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mean_v") / 100).alias("mean_prior"),
         z.alias("zscore"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: bin documents into fixed-capacity training sequences
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512
+
+_PACKING_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           least(len(regexp_split_to_array(trim(text), '\\s+')), {_PACK_CAP})
+               AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // {_PACK_CAP} AS BIGINT) AS bin_id
+    FROM toks
+)
+SELECT bin_id,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed
+GROUP BY bin_id
+"""
+
+
+@query("sequence_packing_bins", oracle=_PACKING_ORACLE)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step that concatenates documents into
+    fixed-capacity training sequences (cap {cap} tokens; oversized docs
+    truncate to one full sequence). Deterministic SEQUENTIAL packing: docs
+    in stable doc_id order, bin = exclusive-prefix-sum // cap — one
+    window cumsum, no greedy bin search, reproducible across engines and
+    reruns (greedy best-fit packs ~1% tighter but is inherently
+    order-sensitive and unparallelizable). The global ORDER BY window is
+    the one non-partitioned operator in the repo: at 100 TB you run it
+    per-shard (hash bucket = packing domain) exactly like the train/eval
+    split; the fixture-sized global form keeps the oracle simple."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.least(F.size(tokens(F.col("text"))), F.lit(_PACK_CAP)).alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.select(
+        "doc_id",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_CAP)
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

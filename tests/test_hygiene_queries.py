@@ -11,6 +11,7 @@ import __spark_entry__ as entrymod
 from tests.oracle import compare
 
 ORACLE_CHECKED = [
+    "sequence_packing_bins",
     "pii_redaction",
     "text_repetition_quality",
     "url_domain_stats",
