@@ -106,6 +106,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "provenance_file_metadata",
     "kmeans_fixed_point",
     "sequence_packing_bins",
+    "contrastive_negative_pairs",
     # TPC-H widening (family already evidenced by r01-green q1-q22 subset)
     "q6_forecast_revenue",
     "q8_market_share",

@@ -466,3 +466,84 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling (deterministic, hash-derived)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 3
+
+_NEG_SAMPLING_ORACLE = f"""
+WITH n AS (SELECT count(*) AS n_docs, max(doc_id) AS max_id FROM documents),
+anchors AS (
+    SELECT d.doc_id, d.lang, n.n_docs
+    FROM documents d CROSS JOIN n
+),
+pairs AS (
+    SELECT a.doc_id AS anchor_id,
+           CAST(j.j AS INTEGER) AS neg_rank,
+           (a.doc_id + 1 +
+            CAST(('0x' || substr(md5('neg|' || CAST(a.doc_id AS VARCHAR) || '|'
+                                  || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT)
+              % (a.n_docs - 1)) % a.n_docs AS negative_id
+    FROM anchors a, unnest(range(0, {_NEG_K})) AS j(j)
+)
+SELECT p.anchor_id, p.neg_rank, p.negative_id,
+       a.lang AS anchor_lang, b.lang AS negative_lang,
+       (a.lang = b.lang) AS same_lang
+FROM pairs p
+JOIN documents a ON a.doc_id = p.anchor_id
+JOIN documents b ON b.doc_id = p.negative_id
+"""
+
+
+@query("contrastive_negative_pairs", oracle=_NEG_SAMPLING_ORACLE)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for contrastive training: each anchor document gets
+    k={k} negatives drawn by a SEEDED HASH over (anchor, rank), mapped into
+    the id space with a +1 offset mod n so a doc never samples itself —
+    deterministic, rerun-stable, and joinable (the exact pair set is
+    oracle-verified, unlike RNG sampling). Requires the fixture's dense
+    0..n-1 doc_id space; production keys through a dense row-number
+    rename first. Shape: one 1-row count broadcast, a {k}-way index
+    explode, and two id-keyed joins to attach payload columns — all
+    hash-partitionable."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    anchors = d.select("doc_id", "lang").join(F.broadcast(n))
+    h = seeded_hash(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("|"), F.col("j").cast("string")
+        ),
+        seed="neg",
+    )
+    pairs = anchors.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j"),
+        "n_docs",
+    ).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("j").cast("int").alias("neg_rank"),
+        (
+            (F.col("doc_id") + 1 + h % (F.col("n_docs") - 1)) % F.col("n_docs")
+        ).alias("negative_id"),
+    )
+    a = d.select(F.col("doc_id").alias("anchor_id"), F.col("lang").alias("anchor_lang"))
+    b = d.select(
+        F.col("doc_id").alias("negative_id"), F.col("lang").alias("negative_lang")
+    )
+    return (
+        pairs.join(a, "anchor_id")
+        .join(b, "negative_id")
+        .select(
+            "anchor_id",
+            "neg_rank",
+            "negative_id",
+            "anchor_lang",
+            "negative_lang",
+            (F.col("anchor_lang") == F.col("negative_lang")).alias("same_lang"),
+        )
+    )

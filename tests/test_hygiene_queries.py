@@ -12,6 +12,7 @@ from tests.oracle import compare
 
 ORACLE_CHECKED = [
     "sequence_packing_bins",
+    "contrastive_negative_pairs",
     "pii_redaction",
     "text_repetition_quality",
     "url_domain_stats",

@@ -183,3 +183,18 @@ def test_merge_is_shuffle_join_no_bnlj(spark, sf_dir):
     assumption — source can be target-sized."""
     s = _stats(spark, sf_dir, "merge_scd1_customer")
     assert not s.has_bnlj and not s.has_cartesian, s.text
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """Each assignment round must broadcast the (k x d)-row centroid
+    relation — a shuffle join on dim would move the corpus k x d times."""
+    s = _stats(spark, sf_dir, "kmeans_fixed_point")
+    assert s.broadcast_exchanges >= 1, s.text
+    assert not s.has_cartesian and not s.has_bnlj
+
+
+def test_sequence_packing_single_global_window(spark, sf_dir):
+    """Packing is one global-window cumsum + one agg — no joins."""
+    s = _stats(spark, sf_dir, "sequence_packing_bins")
+    assert not s.has_cartesian and not s.has_bnlj
+    assert s.parquet_scans == 1
