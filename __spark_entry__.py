@@ -107,6 +107,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "kmeans_fixed_point",
     "sequence_packing_bins",
     "contrastive_negative_pairs",
+    "orders_mom_growth",
     # TPC-H widening (family already evidenced by r01-green q1-q22 subset)
     "q6_forecast_revenue",
     "q8_market_share",

@@ -703,3 +703,53 @@ def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bucket_lo", (F.lit(900.0) + F.col("bucket") * 5205.0).cast("double"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth (time-series analytics over the agg layer)
+# ---------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+WITH monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS month_start,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders
+    GROUP BY 1
+)
+SELECT month_start,
+       n_orders,
+       CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+       CAST(rev_cents - lag(rev_cents) OVER w AS BIGINT) AS rev_delta_cents,
+       CAST(rev_cents AS DOUBLE) / lag(rev_cents) OVER w - 1 AS mom_growth
+FROM monthly
+WINDOW w AS (ORDER BY month_start)
+"""
+
+
+@query("orders_mom_growth", oracle=_MOM_ORACLE)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the reporting-layer time series
+    every warehouse serves: monthly aggregate (exact integer cents), then
+    lag-based delta and growth ratio over the months axis. The window runs
+    over the AGGREGATED relation (≤ a few hundred rows at any corpus
+    size), so the unpartitioned ORDER BY is free; the fact-sized work is
+    one agg exchange. Growth = one exact division of exact operands —
+    bit-identical cross-engine; first month yields NULLs."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "month_start",
+        "n_orders",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        (F.col("rev_cents") - prev).cast("long").alias("rev_delta_cents"),
+        (F.col("rev_cents").cast("double") / prev - 1).alias("mom_growth"),
+    )

@@ -28,6 +28,7 @@ ADVANCED = [
     "count_distinct_approx",
     "calendar_spine_monthly",
     "histogram_price_buckets",
+    "orders_mom_growth",
 ]
 
 
