@@ -31,84 +31,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return df.orderBy(F.col("id"), F.col("row_valid_start_timestamp")).limit(200)
 
 
-# The driver's correctness gate walks this dict in order and may cap the run
-# (round 1 checked exactly the first 50 of 76). Order therefore encodes check
-# priority: queries with no CORRECTNESS_r01 row come first (the LLM-data tier,
-# the streaming gates, and the round-2 additions), followed by the round-1
-# green set in its original order, so evidence across rounds unions to full
-# coverage.
+# The driver's correctness gate walks this dict in order and caps the run at
+# 50 rows per round. Order therefore encodes check priority. Rounds 1+2
+# produced green rows for 99 of 122 registered queries; the 23 that have
+# never had a driver row (all local-oracle-parity green) lead round 3, new
+# round-3 queries follow, then the already-green set (re-verification) in
+# prior order — so evidence across rounds unions to full coverage.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # round-1 unchecked — judge's explicit priority list first
-    "streaming_ingest_exactly_once",
-    "streaming_scd2_incremental",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "similarity_topk_cosine",
-    "multimodal_features",
-    "stats_corr_regr",
-    "grouping_sets_customer",
-    # remaining round-1 unchecked
-    "window_distribution_funcs",
-    "lateral_topn_per_nation",
-    "text_quality_stats",
-    "token_counting",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "document_chunking",
-    "corpus_stratified_sample",
-    "corpus_lang_source_profile",
-    "corpus_train_eval_split",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "simhash_signatures",
-    "embedding_cosine_neardup",
-    "similarity_ivf_topk",
-    "similarity_lsh_buckets",
-    "embedding_quantize_int8",
-    "profile_orders",
-    # round-2 additions: one row per NEW FAMILY first (if the driver caps
-    # the check set, every distinct capability still gets hard evidence;
-    # the TPC-H widening shapes — a family already multiply-green in r01 —
-    # follow)
-    "scd2_products_b64price",
-    "dedup_cc_minhash",
-    "streaming_scd2_multibatch",
-    "count_distinct_approx",
-    "percentiles_exact",
-    "salted_join_supplier_revenue",
-    "multimodal_image_decode",
-    "multimodal_audio_decode",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "text_tfidf_top_terms",
-    "text_bigram_counts",
-    "corpus_decontamination",
-    "dq_audit",
-    "calendar_spine_monthly",
-    "semantic_dedup_keeplist",
-    # round-2 continuation additions (new families, ahead of TPC-H widening)
-    "pii_redaction",
-    "text_repetition_quality",
-    "url_domain_stats",
-    "corpus_hash_weighted_sample",
-    "events_anomaly_zscore",
-    "merge_scd1_customer",
-    "histogram_price_buckets",
-    "timeseries_gapfill_locf",
-    "pagerank_customer_supplier",
-    "incremental_agg_maintenance",
+    # --- never driver-checked (r01+r02 cap casualties) — highest priority ---
     "streaming_stream_stream_join",
     "streaming_anomaly_zscore",
+    "pagerank_customer_supplier",
+    "kmeans_fixed_point",
     "events_variant_props",
     "entity_resolution_blocked",
+    "incremental_agg_maintenance",
+    "sequence_packing_bins",
+    "contrastive_negative_pairs",
     "multimodal_video_framesample",
     "multimodal_image_resize",
     "provenance_file_metadata",
-    "kmeans_fixed_point",
-    "sequence_packing_bins",
-    "contrastive_negative_pairs",
     "orders_mom_growth",
-    # TPC-H widening (family already evidenced by r01-green q1-q22 subset)
     "q6_forecast_revenue",
     "q8_market_share",
     "q9_product_profit",
@@ -119,6 +62,61 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q16_parts_suppliers",
     "q17_small_quantity_revenue",
     "q20_potential_promotion",
+    # --- round-3 additions (new this round, need their first row) ---
+    "multimodal_image_decode_png",
+    "pagerank_dangling",
+    "sequence_packing_sharded",
+    # --- already green in r01/r02 (re-verification fills remaining cap) ---
+    "streaming_ingest_exactly_once",
+    "streaming_scd2_incremental",
+    "streaming_scd2_multibatch",
+    "scd2_products_b64price",
+    "dedup_minhash_lsh",
+    "dedup_cc_minhash",
+    "dedup_connected_components",
+    "similarity_topk_cosine",
+    "embedding_cosine_neardup",
+    "semantic_dedup_keeplist",
+    "multimodal_features",
+    "multimodal_image_decode",
+    "multimodal_audio_decode",
+    "stats_corr_regr",
+    "grouping_sets_customer",
+    "window_distribution_funcs",
+    "lateral_topn_per_nation",
+    "count_distinct_approx",
+    "percentiles_exact",
+    "salted_join_supplier_revenue",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_anomaly_zscore",
+    "merge_scd1_customer",
+    "histogram_price_buckets",
+    "timeseries_gapfill_locf",
+    "calendar_spine_monthly",
+    "text_quality_stats",
+    "token_counting",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "document_chunking",
+    "text_tfidf_top_terms",
+    "text_bigram_counts",
+    "text_repetition_quality",
+    "pii_redaction",
+    "url_domain_stats",
+    "corpus_decontamination",
+    "corpus_stratified_sample",
+    "corpus_lang_source_profile",
+    "corpus_train_eval_split",
+    "corpus_hash_weighted_sample",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "simhash_signatures",
+    "similarity_ivf_topk",
+    "similarity_lsh_buckets",
+    "embedding_quantize_int8",
+    "profile_orders",
+    "dq_audit",
 )
 
 

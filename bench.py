@@ -127,19 +127,63 @@ def main() -> None:
         timings[name] = round(min(per_run), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    cold_total = round(sum(cold.values()), 3)
+
+    # Full-fidelity record (3-decimal warm + cold per query) for BENCH.md /
+    # the judge; the stdout contract line below is deliberately bounded.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-                "cold_total_sec": round(sum(cold.values()), 3),
-            }
+                "cold_total_sec": cold_total,
+                "queries": timings,
+                "queries_cold": cold,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    def contract_line(qdict: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "cold_total_sec": cold_total,
+                "n_queries": len(timings),
+                "queries": qdict,
+            },
+            separators=(",", ":"),
+        )
+
+    # The driver records the tail of stdout; round 2's 63-query line blew
+    # past the capture window and BENCH_r02.json got "parsed": null. Keep
+    # the line comfortably under the observed ~2 KB window: 2-decimal
+    # values, compact separators, and — only if still too long — trim the
+    # per-query dict slowest-first (full data is always in BENCH_full.json).
+    q2 = {k: round(v, 2) for k, v in timings.items()}
+    line = contract_line(q2)
+    max_bytes = 1400
+    if len(line) > max_bytes:
+        kept: dict[str, float] = {}
+        for k, v in sorted(q2.items(), key=lambda kv: -kv[1]):
+            trial = dict(kept)
+            trial[k] = v
+            if len(contract_line(trial)) > max_bytes:
+                break
+            kept = trial
+        line = contract_line(kept)
+
     spark.stop()
+    # printed LAST (after spark.stop()) so no later stdout can displace it
+    # from the driver's tail capture
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -158,11 +158,19 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.size("ts").alias("n_tokens"),
         F.size(F.array_distinct("ts")).alias("n_unique"),
+        # zip-with-tail (same shape as the bigram explode below) rather than
+        # F.sequence(1, n-1): for a 1-token doc sequence(1,0) is the
+        # DESCENDING [1,0] and element_at(ts, 0) throws — slice with a
+        # greatest(n-1,0) length is empty instead, matching the oracle's
+        # empty range(1,1).
         F.size(
             F.filter(
-                F.sequence(F.lit(1), F.size("ts") - 1),
-                lambda i: F.element_at(F.col("ts"), i)
-                == F.element_at(F.col("ts"), i + 1),
+                F.zip_with(
+                    F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                    F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                    lambda a, b: a == b,
+                ),
+                lambda x: x,
             )
         ).alias("n_adjacent_repeats"),
     )
@@ -459,6 +467,81 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_CAP)
         .cast("long")
         .alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PACK_SHARDS = 64
+
+_PACKING_SHARDED_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % {_PACK_SHARDS} AS shard,
+           least(len(regexp_split_to_array(trim(text), '\\s+')), {_PACK_CAP})
+               AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, shard, n_tokens,
+           (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens) // {_PACK_CAP} AS local_bin
+    FROM toks
+)
+SELECT CAST(shard * 4294967296 + local_bin AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed
+GROUP BY 1
+"""
+
+
+@query("sequence_packing_sharded", oracle=_PACKING_SHARDED_ORACLE)
+def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``sequence_packing_bins``: packing domains are
+    64 HASH SHARDS (seeded md5 of doc_id — the same engine-portable
+    family the train/eval split uses), each shard packs independently with
+    the identical exclusive-prefix-sum rule, and the global bin id is
+    ``shard * 2^32 + local_bin`` (collision-free as long as a shard holds
+    < 2^32 bins ≈ 2 quadrillion tokens).
+
+    This replaces the global form's single ORDER BY window — the one
+    non-partitioned operator the round-2 audit flagged — with a
+    ``partitionBy(shard)`` window: every executor sorts only its shard,
+    the cumsum never crosses shard boundaries, and the plan carries no
+    single-partition exchange (pinned in ``tests/test_plans.py``). Cost:
+    each shard independently wastes at most one partial bin (≤ cap-1
+    tokens), i.e. ≤ shards × (cap-1) ≈ 32k tokens of padding overhead
+    across the whole corpus — noise at any realistic scale. The global
+    variant stays registered as the fixture-scale oracle twin."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (seeded_hash(F.col("doc_id").cast("string"), seed="pack") % _PACK_SHARDS).alias(
+            "shard"
+        ),
+        F.least(F.size(tokens(F.col("text"))), F.lit(_PACK_CAP)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("shard").cast("long") * F.lit(4294967296).cast("long")
+            + ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_CAP).cast("long")
+        ).alias("bin_id"),
     )
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

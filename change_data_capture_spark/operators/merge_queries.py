@@ -32,6 +32,7 @@ def merge_into(
     matched_update: Mapping[str, Column],
     matched_delete: Column | None = None,
     not_matched_insert: Mapping[str, Column] | None = None,
+    not_matched_condition: Column | None = None,
 ) -> DataFrame:
     """ANSI-MERGE semantics as a single full-outer join.
 
@@ -40,23 +41,36 @@ def merge_into(
     ``matched_delete`` is a boolean over the joined row: matched rows where
     it is true are dropped. ``not_matched_insert`` maps target column name ->
     value expression for source rows with no target match (source rows with
-    no insert clause are ignored, per the standard).
+    no insert clause are ignored, per the standard). ``not_matched_condition``
+    is the optional ``WHEN NOT MATCHED AND <cond> THEN INSERT`` guard —
+    source-only rows failing it are dropped, not inserted.
+
+    Row classification uses join-produced presence markers (a ``lit(True)``
+    selected from each side, null after the full-outer join exactly when that
+    side is absent), NOT key null-ness — so NULL merge keys behave: a
+    NULL-key target row nullsafe-matched to a NULL-key source row is
+    ``matched``, not misclassified as both-only.
 
     Source must be unique on the key (standard MERGE cardinality rule —
     enforced upstream; duplicates would make the result nondeterministic).
     """
-    t = target.alias("t")
-    s = source.alias("s")
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
     joined = t.join(s, F.col(f"t.{on}").eqNullSafe(F.col(f"s.{on}")), "full_outer")
-    matched = F.col(f"t.{on}").isNotNull() & F.col(f"s.{on}").isNotNull()
-    t_only = F.col(f"s.{on}").isNull()
-    s_only = F.col(f"t.{on}").isNull()
+    t_present = F.col("t.__t_present").isNotNull()
+    s_present = F.col("s.__s_present").isNotNull()
+    matched = t_present & s_present
+    t_only = t_present & ~s_present
+    s_only = s_present & ~t_present
+    insertable = s_only
+    if not_matched_condition is not None:
+        insertable = s_only & F.coalesce(not_matched_condition, F.lit(False))
 
     keep = t_only | matched
     if matched_delete is not None:
         keep = t_only | (matched & ~matched_delete)
     if not_matched_insert is not None:
-        keep = keep | s_only
+        keep = keep | insertable
 
     cols = []
     for c in target.columns:
@@ -65,7 +79,7 @@ def merge_into(
         expr = F.when(matched, upd).otherwise(tc) if upd is not None else tc
         if not_matched_insert is not None:
             ins = not_matched_insert.get(c, F.lit(None))
-            expr = F.when(s_only, ins).otherwise(expr)
+            expr = F.when(insertable, ins).otherwise(expr)
         cols.append(expr.alias(c))
     return joined.where(keep).select(*cols)
 
@@ -147,6 +161,11 @@ def merge_scd1_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         },
         matched_delete=F.col("s.op") == "d",
+        # WHEN NOT MATCHED AND op = 'i' THEN INSERT — the oracle drops
+        # source-only rows with op <> 'i'; without this guard the Spark side
+        # only agreed because TPC-H referential integrity makes every
+        # o_custkey exist in customer.
+        not_matched_condition=F.col("s.op") == "i",
         not_matched_insert={
             "c_custkey": F.col("s.c_custkey"),
             "c_name": F.concat(

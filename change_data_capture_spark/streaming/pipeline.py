@@ -77,6 +77,7 @@ def ingest_stream(
     add a hash-bucket column to that repartition for write parallelism.
     """
     env = read_envelope_ndjson(spark, source_dir, streaming=True)
+    prev_shuffle = None
     if state_partitions is not None:
         # State-store task count is captured from this conf at FIRST stream
         # start and pinned in the checkpoint thereafter. It should track the
@@ -84,7 +85,11 @@ def ingest_stream(
         # than a batch-analytics shuffle (each state partition pays a
         # per-batch commit), while a 100 TB firehose wants hundreds. Callers
         # size it per topic. Set AFTER building the source: the loaders'
-        # ensure_runtime_confs would reset it to the session default.
+        # ensure_runtime_confs would reset it to the session default. The
+        # previous value is restored right after ``start()`` — the conf is
+        # only read at stream start, and leaving it mutated would silently
+        # shrink every later batch query's shuffle width for the session.
+        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     part_cols = ["ingest_date", "ingest_hour"] if hourly_partitions else ["ingest_date"]
     decoded = (
@@ -104,7 +109,11 @@ def ingest_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    try:
+        return writer.start()
+    finally:
+        if prev_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
 def rate_source_events(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

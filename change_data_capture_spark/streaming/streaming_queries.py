@@ -333,9 +333,16 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             st = {u: (n, a, b) for u, n, a, b in zip(uids, ns, s1s, s2s)}
         else:
             st = {}
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        # applyInPandasWithState delivers a key-group's micro-batch as
+        # MULTIPLE Arrow chunks once it exceeds
+        # spark.sql.execution.arrow.maxRecordsPerBatch (default 10k rows),
+        # and chunk order follows shuffle/file order — NOT time order.
+        # Materialize and sort ONCE per group-batch so the prior-exclusive
+        # state math sees events in (user, ts, event_id) order; memory is
+        # bounded by the bucket's batch slice, which the key-group
+        # compaction already sizes.
+        chunks = [p for p in pdfs if not p.empty]
+        for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
             # fully vectorized across the bucket's users: grouped cumsums
             # give prior-exclusive running sums per user in C, no per-user
             # Python loop (the loop form cost ~2× at the 100× smoke)

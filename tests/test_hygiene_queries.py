@@ -12,6 +12,7 @@ from tests.oracle import compare
 
 ORACLE_CHECKED = [
     "sequence_packing_bins",
+    "sequence_packing_sharded",
     "contrastive_negative_pairs",
     "pii_redaction",
     "text_repetition_quality",
@@ -92,7 +93,8 @@ def test_merge_into_requires_no_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-GRAPH_ORACLE_CHECKED = ["pagerank_customer_supplier", "incremental_agg_maintenance",
+GRAPH_ORACLE_CHECKED = ["pagerank_customer_supplier", "pagerank_dangling",
+                        "incremental_agg_maintenance",
                         "histogram_price_buckets", "timeseries_gapfill_locf"]
 
 
@@ -105,9 +107,71 @@ def test_pagerank_mass_and_floor(spark, sf_dir):
     """Every rank >= base mass (150k micro-units); suppliers (in-link-only
     nodes) accumulate more than the floor; total mass is bounded above by
     n_nodes * UNIT (floors only ever lose mass)."""
+    from change_data_capture_spark.operators.graph_queries import _SUPP_OFFSET
+
     df = entrymod.queries()["pagerank_customer_supplier"](spark, sf_dir).toPandas()
     assert (df["rank_micro"] >= 150_000).all()
     n = len(df)
     assert df["rank_micro"].sum() <= n * 1_000_000
-    suppliers = df[df["node"] >= 100000]
+    suppliers = df[df["node"] >= _SUPP_OFFSET]
     assert (suppliers["rank_micro"] > 150_000).any()
+    # node namespaces are disjoint: no customer id can reach the supplier
+    # offset (custkey is 150k x SF; offset is 10^12)
+    customers = df[df["node"] < _SUPP_OFFSET]
+    assert len(customers) + len(suppliers) == n
+
+
+def test_sharded_packing_plan_has_no_global_window(spark, sf_dir):
+    """The sharded packing plan must carry NO single-partition exchange —
+    the whole point of the shard-domain rewrite (the global form's
+    Window.orderBy needs Exchange SinglePartition; sharded must not)."""
+    q = entrymod.queries()
+    sharded = q["sequence_packing_sharded"](spark, sf_dir)
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    global_form = q["sequence_packing_bins"](spark, sf_dir)
+    gplan = global_form._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in gplan  # documents what the rewrite removes
+
+
+def test_sharded_packing_bins_respect_capacity(spark, sf_dir):
+    """Prefix-sum binning assigns a boundary-spanning doc to its START bin,
+    so a bin may exceed cap by at most one doc's (capped) length: n_tokens
+    <= 2*cap - 1 always. Conservation: every doc lands in exactly one bin.
+    Shard ids recompose from bin_id and stay in range."""
+    from change_data_capture_spark.sources.tables import load_table
+
+    df = entrymod.queries()["sequence_packing_sharded"](spark, sf_dir).toPandas()
+    assert (df["n_tokens"] <= 2 * 512 - 1).all()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert df["n_docs"].sum() == n_docs
+    shards = df["bin_id"] // 4294967296
+    assert shards.between(0, 63).all()
+
+
+def test_merge_null_key_and_insert_condition(spark):
+    """NULL merge keys classify as matched (nullsafe), not both-only; the
+    not-matched insert condition drops non-qualifying source-only rows."""
+    from change_data_capture_spark.operators.merge_queries import merge_into
+
+    target = spark.createDataFrame(
+        [(None, "t-null"), (1, "one"), (2, "two")], "k int, v string"
+    )
+    source = spark.createDataFrame(
+        [(None, "s-null", "u"), (2, "two2", "u"), (3, "three", "i"), (4, "four", "x")],
+        "k int, nv string, op string",
+    )
+    out = merge_into(
+        target,
+        source,
+        "k",
+        matched_update={"v": F.col("s.nv")},
+        not_matched_insert={"k": F.col("s.k"), "v": F.col("s.nv")},
+        not_matched_condition=F.col("s.op") == "i",
+    ).collect()
+    got = {r.k: r.v for r in out}
+    # NULL-key target row nullsafe-matched the NULL-key source row → updated
+    assert got[None] == "s-null"
+    assert got[1] == "one" and got[2] == "two2"
+    # op='i' inserted; op='x' source-only row dropped by the condition
+    assert got[3] == "three" and 4 not in got

@@ -36,6 +36,7 @@ ORACLE_CHECKED = [
     "entity_resolution_blocked",
     "multimodal_video_framesample",
     "multimodal_image_resize",
+    "multimodal_image_decode_png",
     "kmeans_fixed_point",
 ]
 
@@ -130,10 +131,60 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
 
 
 def test_multimodal_real_decode_is_stubbed():
+    """Only LOSSY codecs (JPEG/H.264) remain stubbed — PNG is real now."""
     from change_data_capture_spark.operators.multimodal import decode_image_real
 
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG")
+        decode_image_real(b"\xff\xd8\xff\xe0jpeg")
+
+
+def test_png_codec_roundtrip_random_images():
+    """encode_png→decode_png must be pixel-exact on RANDOM images (exercises
+    zlib inflate + all five un-filters with adversarial content, not just
+    the banded fixture shapes); the encoder must actually emit all five
+    scanline filter types."""
+    import zlib
+
+    import numpy as np
+
+    from change_data_capture_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    for shape in [(1, 1), (5, 3), (8, 13), (7, 7)]:
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        w, h, mr, mg, mb = decode_png(encode_png(img))
+        means = img.reshape(-1, 3).astype(float).mean(axis=0)
+        assert (w, h) == (shape[1], shape[0])
+        assert abs(mr - means[0]) < 1e-12
+        assert abs(mg - means[1]) < 1e-12
+        assert abs(mb - means[2]) < 1e-12
+    # filter coverage: a >=5-row image carries filter bytes 0..4
+    img = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    payload = encode_png(img)
+    idat_off = payload.index(b"IDAT") + 4
+    (ln,) = __import__("struct").unpack(">I", payload[idat_off - 8 : idat_off - 4])
+    raw = zlib.decompress(payload[idat_off : idat_off + ln])
+    stride = 4 * 3 + 1
+    filters = {raw[r * stride] for r in range(6)}
+    assert filters == {0, 1, 2, 3, 4}
+
+
+def test_png_decode_rejects_corruption():
+    """CRC verification must catch bit flips in the compressed stream."""
+    import numpy as np
+
+    from change_data_capture_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    payload = bytearray(encode_png(np.zeros((3, 3, 3), dtype=np.uint8)))
+    payload[len(payload) - 20] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError):
+        decode_png(bytes(payload))
 
 
 def test_connected_components_properties(spark, sf_dir):

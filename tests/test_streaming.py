@@ -26,6 +26,28 @@ def test_streaming_oracle_parity(spark, sf_dir, name):
     compare(name, spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
 
 
+def test_zscore_state_survives_arrow_chunking(spark, sf_dir):
+    """applyInPandasWithState delivers a key-group's micro-batch as MULTIPLE
+    Arrow chunks once it exceeds arrow.maxRecordsPerBatch, in shuffle order —
+    not time order. With the limit forced tiny (16 rows) every group-batch
+    splits into many chunks; the stateful z-score must still equal the batch
+    oracle, proving the concat-and-sort-once path orders events correctly
+    (regression: per-chunk sorting silently mis-ordered state math once a
+    group's batch crossed the 10k-row default)."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        compare(
+            "streaming_anomaly_zscore",
+            spark,
+            sf_dir,
+            entrymod.queries(),
+            entrymod.oracle_sql(),
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_incremental_equals_batch(spark, sf_dir):
     """The incremental (multi-micro-batch) SCD2 state must equal the batch
     flagship query exactly — batching is an execution detail, not semantics."""
