@@ -66,6 +66,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_image_decode_png",
     "pagerank_dangling",
     "sequence_packing_sharded",
+    "scd2_point_in_time_join",
+    "snapshot_diff_cdc",
+    "ngram_novelty_score",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

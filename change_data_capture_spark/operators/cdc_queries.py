@@ -22,6 +22,7 @@ from change_data_capture_spark.sources.cdc_generator import (
     product_change_events,
     user_change_events,
 )
+from change_data_capture_spark.sources.tables import load_table
 
 
 def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,4 +261,207 @@ def cdc_dedup_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy(op_label(F.col("op")).alias("operation_type")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("id").alias("n_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (temporal) join: fact rows against the SCD2 dimension AS OF
+# each fact row's event time — the query SCD2 dimensions exist to serve
+# (reference README.md:86-125 motivates the dimension with exactly this
+# "what did the row look like at time T" question)
+# ---------------------------------------------------------------------------
+
+_PIT_JOIN_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+events_clean AS (
+    SELECT * FROM cdc_events
+    WHERE lsn IS NOT NULL
+    QUALIFY row_number() OVER (PARTITION BY id, lsn ORDER BY ts_ms) = 1
+),
+dim AS (
+    SELECT
+        e.id, e.name, CAST(e.price AS DOUBLE) AS price,
+        epoch_ms(e.ts_ms) AS vs,
+        COALESCE(LEAD(epoch_ms(e.ts_ms))
+                     OVER (PARTITION BY e.id ORDER BY e.lsn),
+                 TIMESTAMP '2260-01-01') AS ve
+    FROM events_clean e
+    WHERE e.id IN (SELECT id FROM events_clean GROUP BY id HAVING count(*) > 1)
+),
+fact AS (
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           epoch_ms(CAST(1704067200000 + l_partkey * 60000
+                         + (l_orderkey % 4) * 20000 AS BIGINT)) AS probe_ts
+    FROM lineitem
+)
+SELECT f.l_orderkey, f.l_linenumber, f.l_partkey, f.probe_ts,
+       d.name AS name_asof, d.price AS price_asof
+FROM fact f
+JOIN dim d
+  ON d.id = f.l_partkey AND f.probe_ts >= d.vs AND f.probe_ts < d.ve
+"""
+
+
+@query("scd2_point_in_time_join", oracle=_PIT_JOIN_ORACLE)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every lineitem fact row joined to the product
+    SCD2 dimension AS OF the fact's event time (probe_ts, derived
+    deterministically so probes straddle the generator's update/delete
+    boundaries at +30 s/+45 s/+50 s — see sources.cdc_generator).
+
+    Physical shape (the 100 TB story): this is an **equi join on the
+    dimension key with the validity interval as a residual predicate** —
+    one hash shuffle on ``id``/``l_partkey``, identical to any fact-dim
+    join; NOT a range join. Each key holds only its few versions, so the
+    per-key interval scan is O(versions) and skew follows fact-key skew,
+    which AQE's skew-join split handles. On a real warehouse both sides
+    would be bucketed by the key, making this join shuffle-free."""
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.timestamp_millis(
+            F.lit(1704067200000).cast("long")
+            + F.col("l_partkey") * 60000
+            + (F.col("l_orderkey") % 4) * 20000
+        ).alias("probe_ts"),
+    )
+    dim = scd2(_decoded(spark, sf_dir)).select(
+        "id",
+        F.col("name").alias("name_asof"),
+        F.col("price").cast("double").alias("price_asof"),
+        F.col("row_valid_start_timestamp").alias("vs"),
+        F.col("row_valid_expiration_timestamp").alias("ve"),
+    )
+    return fact.join(
+        dim,
+        (F.col("l_partkey") == F.col("id"))
+        & (F.col("probe_ts") >= F.col("vs"))
+        & (F.col("probe_ts") < F.col("ve")),
+    ).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "probe_ts",
+        "name_asof", "price_asof",
+    )
+
+
+# ---------------------------------------------------------------------------
+# snapshot-based CDC: diff two full table snapshots into a change set —
+# the log-free capture technique (what you do when there is no WAL to tail;
+# the complement of the reference's Debezium log-based capture)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old_snap AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+),
+new_snap AS (
+    SELECT c_custkey,
+           c_name,
+           c_nationkey,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    WHERE c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey + 1000000000,
+           'NEW ' || c_name, c_nationkey, c_acctbal, 'NEWSEG'
+    FROM customer
+    WHERE c_custkey % 13 = 0
+),
+diff AS (
+    SELECT
+        COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        CASE
+            WHEN n.c_custkey IS NULL THEN 'd'
+            WHEN o.c_custkey IS NULL THEN 'i'
+            WHEN o.c_name IS DISTINCT FROM n.c_name
+              OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+              OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+              OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'u'
+        END AS op,
+        o.c_name AS name_old, n.c_name AS name_new,
+        o.c_acctbal AS acctbal_old, n.c_acctbal AS acctbal_new,
+        o.c_mktsegment AS segment_old, n.c_mktsegment AS segment_new
+    FROM old_snap o
+    FULL OUTER JOIN new_snap n USING (c_custkey)
+)
+SELECT * FROM diff WHERE op IS NOT NULL
+"""
+
+
+@query("snapshot_diff_cdc", oracle=_SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-based CDC: diff two consecutive full snapshots of
+    ``customer`` into insert/update/delete change events. The new snapshot
+    is derived deterministically (``%10`` deletes, ``%7`` balance+segment
+    updates, ``%13`` inserts under shifted keys) so both engines construct
+    identical inputs.
+
+    This is the log-free capture path — the technique used when no
+    transaction log is available (the reference's Debezium 'r' snapshot
+    phase is the bootstrap half of it; this operator is the recurring
+    diff half). Physical shape: one full-outer hash join on the primary
+    key + a codegen'd comparison projection — a single co-partitioned
+    shuffle at any scale, and shuffle-free if both snapshots are bucketed
+    by key (how you'd lay out nightly snapshots at 100 TB). Row
+    classification uses join-side marker flags, not key NULL-ness, so NULL
+    merge keys cannot be misclassified (cf. operators.merge_queries)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    is_upd = F.col("c_custkey") % 7 == 0
+    new_snap = (
+        c.where(F.col("c_custkey") % 10 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.when(is_upd, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(is_upd, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000000).alias("c_custkey"),
+                F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+                "c_nationkey",
+                "c_acctbal",
+                F.lit("NEWSEG").alias("c_mktsegment"),
+            )
+        )
+    )
+    o = c.toDF(*[f"{col}_o" for col in c.columns]).withColumn("_in_old", F.lit(True))
+    n = new_snap.toDF(*[f"{col}_n" for col in new_snap.columns]).withColumn(
+        "_in_new", F.lit(True)
+    )
+    j = o.join(n, o["c_custkey_o"] == n["c_custkey_n"], "full_outer")
+    changed = (
+        ~F.col("c_name_o").eqNullSafe(F.col("c_name_n"))
+        | ~F.col("c_nationkey_o").eqNullSafe(F.col("c_nationkey_n"))
+        | ~F.col("c_acctbal_o").eqNullSafe(F.col("c_acctbal_n"))
+        | ~F.col("c_mktsegment_o").eqNullSafe(F.col("c_mktsegment_n"))
+    )
+    op = (
+        F.when(F.col("_in_new").isNull(), "d")
+        .when(F.col("_in_old").isNull(), "i")
+        .when(changed, "u")
+    )
+    return (
+        j.select(
+            F.coalesce("c_custkey_o", "c_custkey_n").alias("c_custkey"),
+            op.alias("op"),
+            F.col("c_name_o").alias("name_old"),
+            F.col("c_name_n").alias("name_new"),
+            F.col("c_acctbal_o").alias("acctbal_old"),
+            F.col("c_acctbal_n").alias("acctbal_new"),
+            F.col("c_mktsegment_o").alias("segment_old"),
+            F.col("c_mktsegment_n").alias("segment_new"),
+        )
+        .where(F.col("op").isNotNull())
     )

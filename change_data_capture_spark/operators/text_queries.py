@@ -470,3 +470,92 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("train_doc").alias("n_train_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty scoring: how much of a candidate document is NOT already
+# covered by a trusted reference corpus — the inverse of decontamination,
+# used to prioritize genuinely new data when growing a training corpus
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, source,
+           regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, source, w,
+           unnest(generate_series(1, len(w) - 4)) AS i
+    FROM toks
+    WHERE len(w) >= 5
+),
+grams AS (
+    SELECT DISTINCT doc_id, source,
+           CAST(('0x' || substr(md5('novelty|' || array_to_string(w[i:i+4], ' ')), 1, 15)) AS BIGINT) AS gh
+    FROM pos
+),
+ref AS (
+    SELECT DISTINCT gh FROM grams
+    WHERE source IN ('src0', 'src1', 'src2', 'src3')
+),
+cand AS (
+    SELECT doc_id, gh FROM grams
+    WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')
+)
+SELECT c.doc_id,
+       count(*) AS n_grams,
+       count(r.gh) AS n_seen,
+       1.0 - CAST(count(r.gh) AS DOUBLE) / count(*) AS novelty
+FROM cand c LEFT JOIN ref r USING (gh)
+GROUP BY c.doc_id
+"""
+
+
+@query("ngram_novelty_score", oracle=_NOVELTY_ORACLE)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction of a
+    candidate document's distinct 5-gram hashes absent from the reference
+    partition (sources src0–src3 stand in for "already-ingested corpus").
+    High-novelty documents are the ones worth adding to a training set;
+    near-zero novelty means the document is already covered.
+
+    Same 100 TB shape as ``corpus_decontamination``: grams shrink to 60-bit
+    seeded hashes before any shuffle, per-doc gram sets dedup in one
+    hash-agg, and the membership probe is a LEFT join keyed on the gram
+    hash — O(grams), perfectly partitionable. In production the reference
+    side would additionally be a broadcast Bloom/HLL sketch when it fits,
+    dropping the shuffle entirely; the exact join is kept here because the
+    oracle must be exact."""
+    d = load_table(spark, sf_dir, "documents")
+    ref_srcs = ("src0", "src1", "src2", "src3")
+    base = d.select(
+        "doc_id",
+        F.col("source").isin(*ref_srcs).alias("is_ref"),
+        tokens(F.col("text")).alias("toks"),
+    ).where(F.size("toks") >= 5)
+    grams = (
+        base.select(
+            "doc_id",
+            "is_ref",
+            F.explode(shingles_from_tokens(F.col("toks"), k=5)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_ref",
+            seeded_hash(F.col("gram"), seed="novelty").alias("gh"),
+        )
+        .dropDuplicates(["doc_id", "gh"])
+    )
+    ref = grams.where("is_ref").select(F.col("gh").alias("ref_gh")).distinct()
+    cand = grams.where(~F.col("is_ref")).select("doc_id", "gh")
+    seen = F.count("ref_gh")
+    return (
+        cand.join(ref, cand["gh"] == ref["ref_gh"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            seen.alias("n_seen"),
+            (1.0 - seen.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )

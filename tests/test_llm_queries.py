@@ -38,6 +38,7 @@ ORACLE_CHECKED = [
     "multimodal_image_resize",
     "multimodal_image_decode_png",
     "kmeans_fixed_point",
+    "ngram_novelty_score",
 ]
 
 
