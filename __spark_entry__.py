@@ -69,6 +69,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "snapshot_diff_cdc",
     "ngram_novelty_score",
+    "window_rolling_median",
+    "corpus_domain_mixing",
+    "corpus_seeded_shuffle",
+    "percentiles_approx_sketch",
+    "streaming_static_enrich",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

@@ -753,3 +753,115 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_cents") - prev).cast("long").alias("rev_delta_cents"),
         (F.col("rev_cents").cast("double") / prev - 1).alias("mom_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact rolling median over a sliding row frame — Spark has no windowed
+# percentile, so this is the composed-operator form (SURVEY.md custom-op
+# rule (a)): collect_list over the frame + array_sort + interpolation
+# ---------------------------------------------------------------------------
+
+_ROLLING_MEDIAN_ORACLE = """
+WITH cents AS (
+    SELECT event_id, user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+)
+SELECT event_id, user_id, ts,
+       CAST(v AS DOUBLE) / 100 AS value,
+       median(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) / 100
+           AS roll_median
+FROM cents
+"""
+
+
+@query("window_rolling_median", oracle=_ROLLING_MEDIAN_ORACLE)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of each user's last 10 event values — the
+    robust-statistics twin of a rolling mean (outlier-insensitive baseline
+    for monitoring). Spark exposes no percentile window aggregate, so the
+    operator is composed from built-ins: ``collect_list`` over the sliding
+    row frame, ``array_sort``, middle-element interpolation — all JVM
+    codegen, no UDF.
+
+    Cross-engine exactness: values are reduced to integer cents first, so
+    the sort is on exact ints and the even-count interpolation
+    ``(a + b) / 2`` is an exact IEEE op on integers < 2^52 — bit-identical
+    to DuckDB's ``quantile_cont(0.5)`` interpolation ``a + (b-a)*0.5``.
+    Scale shape: one shuffle (partition by user), frame bounded at 10 rows
+    so per-row work is O(frame log frame) with no O(n²) blowup; the frame
+    array never leaves the JVM."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(arr)
+    mid_lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    mid_hi = F.element_at(arr, F.floor(n / 2 + 1).cast("int"))
+    median_cents = (mid_lo.cast("double") + mid_hi.cast("double")) / 2.0
+    return cents.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("v").cast("double") / 100).alias("value"),
+        (median_cents / 100).alias("roll_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate percentile sketch (Greenwald-Khanna summaries) with the same
+# property-oracle contract as the HLL query: exact value hash-matched, the
+# sketch asserted in-tolerance as a boolean
+# ---------------------------------------------------------------------------
+
+_APPROX_PCT_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS exact_p50,
+       TRUE AS approx_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("percentiles_approx_sketch", oracle=_APPROX_PCT_ORACLE)
+def percentiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` at working accuracy (100) — the one-pass
+    mergeable-sketch path for per-key percentiles at 100 TB, where the
+    exact form's sort-per-group is the bottleneck. The sketch estimate is
+    engine- and merge-order-specific, so the oracle uses the HLL query's
+    property contract: the exact median (hash-matched, bit-identical
+    interpolation both engines) plus a boolean asserting the sketch landed
+    within its guaranteed rank-error bound (ε = 1/accuracy, cashed out
+    against the exact quantile values at ±ε rank — a theorem, so the
+    boolean holds under ANY partition merge order)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    eps = 0.01  # rank error = 1/accuracy
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
+            F.expr(f"percentile(l_quantity, {0.5 - 2 * eps})").alias("_lo"),
+            F.expr(f"percentile(l_quantity, {0.5 + 2 * eps})").alias("_hi"),
+            F.expr("percentile_approx(l_quantity, 0.5, 100)")
+            .cast("double")
+            .alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            (
+                (F.col("_approx") >= F.col("_lo"))
+                & (F.col("_approx") <= F.col("_hi"))
+            ).alias("approx_within_tol"),
+        )
+    )

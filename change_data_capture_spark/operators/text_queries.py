@@ -559,3 +559,112 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1.0 - seen.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus domain mixing: downsample each source to an equal token budget —
+# the Pile/Dolma-style mixture-weighting step of corpus assembly
+# ---------------------------------------------------------------------------
+
+_MIXING_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, source,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+src AS (SELECT source, sum(n_tokens) AS src_tokens FROM tok GROUP BY source),
+tot AS (SELECT sum(src_tokens) AS total FROM src),
+rates AS (
+    SELECT s.source,
+           least(1.0, (t.total * 0.8 / 20.0) / s.src_tokens) AS rate
+    FROM src s, tot t
+)
+SELECT k.doc_id, k.source, k.n_tokens, r.rate
+FROM tok k JOIN rates r USING (source)
+WHERE CAST(('0x' || substr(md5('mix|' || CAST(k.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+      < CAST(floor(r.rate * 10000) AS BIGINT)
+"""
+
+
+@query("corpus_domain_mixing", oracle=_MIXING_ORACLE)
+def corpus_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source mixture weighting: give every source an equal share of
+    an 80%-of-corpus token budget and hash-downsample over-represented
+    sources to their share (rate = min(1, budget/actual)). This is the
+    mixture-reweighting step every large corpus assembly runs (equal-share
+    here; any target vector plugs into the same shape).
+
+    Scale shape: one tiny per-source agg (|sources| rows) broadcast back
+    onto the corpus scan, then a stateless seeded-hash keep decision per
+    document — a single wide scan + broadcast join, no corpus shuffle.
+    Determinism: rates are exact-integer divisions evaluated identically in
+    both engines; membership is an integer comparison on a portable md5
+    hash, so the sample is reproducible anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    src = tok.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    tot = src.agg(F.sum("src_tokens").alias("total"))
+    rates = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("total") * 0.8 / 20.0) / F.col("src_tokens"),
+        ).alias("rate"),
+    )
+    keep = (
+        seeded_hash(F.col("doc_id").cast("string"), seed="mix") % 10000
+        < F.floor(F.col("rate") * 10000).cast("long")
+    )
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .where(keep)
+        .select("doc_id", "source", "n_tokens", "rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# seeded corpus shuffle: deterministic global training order, sharded —
+# the "shuffle the corpus before training" step, expressed scale-first
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+    FROM documents
+)
+SELECT doc_id,
+       hh % 8 AS shard,
+       row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS pos_in_shard
+FROM h
+"""
+
+
+@query("corpus_seeded_shuffle", oracle=_SHUFFLE_ORACLE)
+def corpus_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into 8 training shards:
+    shard = seeded-hash mod 8, position within shard = rank by (hash,
+    doc_id). Training-data loaders consume (shard, pos_in_shard) as the
+    reproducible read order — the same order from any engine, any run.
+
+    Scale shape: the rank windows are PARTITIONED by shard (the parallel
+    unit — 8 here, thousands at 100 TB), so there is no global sort and no
+    single-partition window; each shard sorts independently after one hash
+    shuffle. This is exactly how a 100 TB corpus is shuffled in practice:
+    more shards = more parallelism, order within a shard is all a data
+    loader needs."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        seeded_hash(F.col("doc_id").cast("string"), seed="shuffle").alias("hh"),
+    )
+    w = Window.partitionBy(F.col("hh") % 8).orderBy("hh", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hh") % 8).alias("shard"),
+        F.row_number().over(w).alias("pos_in_shard"),
+    )

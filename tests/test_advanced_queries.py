@@ -29,6 +29,8 @@ ADVANCED = [
     "calendar_spine_monthly",
     "histogram_price_buckets",
     "orders_mom_growth",
+    "window_rolling_median",
+    "percentiles_approx_sketch",
 ]
 
 

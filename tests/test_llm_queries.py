@@ -39,6 +39,8 @@ ORACLE_CHECKED = [
     "multimodal_image_decode_png",
     "kmeans_fixed_point",
     "ngram_novelty_score",
+    "corpus_domain_mixing",
+    "corpus_seeded_shuffle",
 ]
 
 

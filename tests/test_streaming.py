@@ -20,6 +20,7 @@ from tests.oracle import compare
         "streaming_scd2_multibatch",
         "streaming_stream_stream_join",
         "streaming_anomaly_zscore",
+        "streaming_static_enrich",
     ],
 )
 def test_streaming_oracle_parity(spark, sf_dir, name):
