@@ -74,6 +74,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "corpus_seeded_shuffle",
     "percentiles_approx_sketch",
     "streaming_static_enrich",
+    "interval_union_coverage",
+    "orders_pareto_abc",
+    "bpe_pair_counts",
+    "embedding_mean_pool",
+    "domain_token_budget",
+    "cluster_rep_best_quality",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

@@ -19,6 +19,7 @@ _QUERY_MODULES = (
     "change_data_capture_spark.operators.hygiene_queries",
     "change_data_capture_spark.operators.merge_queries",
     "change_data_capture_spark.operators.graph_queries",
+    "change_data_capture_spark.operators.analytics_queries",
     "change_data_capture_spark.operators.maintenance",
     "change_data_capture_spark.streaming.streaming_queries",
 )

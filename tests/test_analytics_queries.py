@@ -1,0 +1,78 @@
+"""Oracle parity + plan-shape pins for the round-3 analytics widening
+(interval union, bucketed Pareto prefix sum, BPE pair counting, exact
+mean-pooling, domain token budgets, quality-based cluster reps)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from change_data_capture_spark.plans import plan_stats
+from tests.oracle import compare
+
+NEW_QUERIES = [
+    "interval_union_coverage",
+    "orders_pareto_abc",
+    "bpe_pair_counts",
+    "embedding_mean_pool",
+    "domain_token_budget",
+    "cluster_rep_best_quality",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    compare(name, spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
+
+
+def _stats(spark, sf_dir, name):
+    return plan_stats(entrymod.queries()[name](spark, sf_dir))
+
+
+def test_interval_union_single_fact_shuffle(spark, sf_dir):
+    """Both windows and both aggregates must reuse the one suppkey
+    exchange; the orders join must stay an equi join."""
+    s = _stats(spark, sf_dir, "interval_union_coverage")
+    assert not s.has_cartesian and not s.has_bnlj
+    assert "windowspecdefinition(suppkey" in s.text, s.text
+    # one suppkey exchange (+ at most one for the orders join side)
+    assert s.shuffle_exchanges <= 2, s.text
+
+
+def test_pareto_has_no_global_customer_window(spark, sf_dir):
+    """The cumulative sum must run under partitionBy(bucket) — a
+    windowspec that leads with the revenue ordering (no partition
+    column) is the single-partition global window regressing back."""
+    s = _stats(spark, sf_dir, "orders_pareto_abc")
+    assert "hashpartitioning(bucket" in s.text, s.text
+    assert "windowspecdefinition(revenue" not in s.text, (
+        "global revenue-ordered window found (single-partition sort)"
+    )
+
+
+def test_bpe_pairs_single_agg_exchange_topk(spark, sf_dir):
+    """Pair counting must partial-aggregate map-side (one exchange on the
+    pair vocabulary) and take the top-50 via TakeOrderedAndProject, not a
+    global sort."""
+    s = _stats(spark, sf_dir, "bpe_pair_counts")
+    assert s.shuffle_exchanges == 1, s.text
+    assert s.has_take_ordered, s.text
+
+
+def test_mean_pool_single_exchange(spark, sf_dir):
+    s = _stats(spark, sf_dir, "embedding_mean_pool")
+    assert s.shuffle_exchanges == 1, s.text
+    assert s.parquet_scans == 1
+
+
+def test_token_budget_window_partitioned_by_source(spark, sf_dir):
+    s = _stats(spark, sf_dir, "domain_token_budget")
+    assert "windowspecdefinition(source" in s.text, s.text
+    assert s.shuffle_exchanges == 1, s.text
+
+
+def test_cluster_rep_uses_group_limit(spark, sf_dir):
+    """The per-component rank-1 pick must push into the window sort."""
+    s = _stats(spark, sf_dir, "cluster_rep_best_quality")
+    assert s.has_window_group_limit, s.text
+    assert not s.has_cartesian and not s.has_bnlj
