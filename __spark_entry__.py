@@ -80,6 +80,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_mean_pool",
     "domain_token_budget",
     "cluster_rep_best_quality",
+    "attribution_last_touch",
+    "triangle_count_neardup",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

@@ -477,3 +477,147 @@ def cluster_rep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("rep_n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution: last-touch within a lookback window
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_MS = 7 * 24 * 3600 * 1000
+
+_ATTRIBUTION_ORACLE = f"""
+WITH stream AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
+           CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               AS touch_type,
+           CASE WHEN event_type IN ('click', 'view') THEN epoch_ms(ts) END
+               AS touch_t
+    FROM events
+),
+carried AS (
+    SELECT user_id, event_id, event_type, t,
+           LAST_VALUE(touch_type IGNORE NULLS) OVER w AS last_touch_type,
+           LAST_VALUE(touch_t IGNORE NULLS) OVER w AS last_touch_t
+    FROM stream
+    WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS purchase_event_id, t AS purchase_ms,
+       CASE WHEN last_touch_t IS NOT NULL
+                 AND t - last_touch_t <= {_ATTR_LOOKBACK_MS}
+            THEN last_touch_type ELSE 'direct' END AS channel,
+       CASE WHEN last_touch_t IS NOT NULL
+                 AND t - last_touch_t <= {_ATTR_LOOKBACK_MS}
+            THEN t - last_touch_t END AS touch_age_ms
+FROM carried
+WHERE event_type = 'purchase'
+"""
+
+
+@query("attribution_last_touch", oracle=_ATTRIBUTION_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent click/view STRICTLY BEFORE it (exclusive frame — a
+    purchase can't attribute to a same-row touch) and within a 7-day
+    lookback; otherwise 'direct'. The classic funnel-credit query.
+
+    Scale shape: single shuffle on user_id; the carried last-touch is one
+    ``last(..., ignoreNulls)`` over the per-user frame — no self-join of
+    purchases against touches (the naive form shuffles the event stream
+    twice and explodes on high-activity users). Because only the LAST
+    touch can win, carrying one value is semantically complete: if it is
+    outside the lookback, every earlier touch is too."""
+    e = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    stream = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("t"),
+        F.when(is_touch, F.col("event_type")).alias("touch_type"),
+        F.when(is_touch, F.unix_millis("ts")).alias("touch_t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = stream.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "t",
+        F.last("touch_type", ignorenulls=True).over(w).alias("last_touch_type"),
+        F.last("touch_t", ignorenulls=True).over(w).alias("last_touch_t"),
+    )
+    in_window = F.col("last_touch_t").isNotNull() & (
+        F.col("t") - F.col("last_touch_t") <= _ATTR_LOOKBACK_MS
+    )
+    return carried.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("t").alias("purchase_ms"),
+        F.when(in_window, F.col("last_touch_type"))
+        .otherwise("direct")
+        .alias("channel"),
+        F.when(in_window, F.col("t") - F.col("last_touch_t")).alias(
+            "touch_age_ms"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup graph (oriented-edge join)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_pairs_prefix() -> str:
+    from change_data_capture_spark.operators.dedup_queries import (
+        _CC_MINHASH_ORACLE,
+    )
+
+    body = _CC_MINHASH_ORACLE.strip().removeprefix("WITH RECURSIVE")
+    return body.split(",\nedges AS")[0].rstrip().rstrip(",")
+
+
+_TRIANGLES_ORACLE = f"""
+WITH {_minhash_pairs_prefix()},
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
+SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+"""
+
+
+@query("triangle_count_neardup", oracle=_TRIANGLES_ORACLE)
+def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the MinHash-LSH verified near-dup graph —
+    the structural density signal behind cluster-quality audits (a clique
+    of k exact copies contributes C(k,3) triangles; a chain contributes
+    none, flagging borderline transitive merges before CC glues them).
+
+    Scale shape: the ORIENTED-edge algorithm — every edge stored once as
+    (a < b), paths e1(a,b)·e2(b,c) built by ONE equi join on the shared
+    middle vertex, closed by a LEFT SEMI join on (a,c); each triangle
+    a<b<c counted exactly once, no symmetric-edge blow-up, no cartesian.
+    The edge list is persisted once (three consumers). Production hardens
+    skew by orienting edges by DEGREE instead of id (caps the join
+    fan-out of hub vertices at O(m^1.5) paths); id-orientation keeps the
+    oracle exactly mirrorable and is identical output."""
+    from change_data_capture_spark.operators.dedup_queries import dedup_minhash_lsh
+
+    e = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).persist()
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    paths = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("doc_a"),
+        F.col("e1.b").alias("doc_b"),
+        F.col("e2.b").alias("doc_c"),
+    )
+    closing = e.select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_c")
+    )
+    return paths.join(closing, ["doc_a", "doc_c"], "left_semi")

@@ -17,6 +17,8 @@ NEW_QUERIES = [
     "embedding_mean_pool",
     "domain_token_budget",
     "cluster_rep_best_quality",
+    "attribution_last_touch",
+    "triangle_count_neardup",
 ]
 
 
@@ -69,6 +71,22 @@ def test_token_budget_window_partitioned_by_source(spark, sf_dir):
     s = _stats(spark, sf_dir, "domain_token_budget")
     assert "windowspecdefinition(source" in s.text, s.text
     assert s.shuffle_exchanges == 1, s.text
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """Last-touch carry must be one window over one user_id exchange — no
+    purchases×touches self-join."""
+    s = _stats(spark, sf_dir, "attribution_last_touch")
+    assert s.shuffle_exchanges == 1, s.text
+    assert s.parquet_scans == 1
+    assert "windowspecdefinition(user_id" in s.text, s.text
+
+
+def test_triangles_stay_equi_joins(spark, sf_dir):
+    """Oriented-edge triangle closure must be equi joins (middle-vertex +
+    semi close) — never a cartesian/BNLJ pair enumeration."""
+    s = _stats(spark, sf_dir, "triangle_count_neardup")
+    assert not s.has_cartesian and not s.has_bnlj, s.text
 
 
 def test_cluster_rep_uses_group_limit(spark, sf_dir):
