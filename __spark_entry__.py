@@ -82,6 +82,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "cluster_rep_best_quality",
     "attribution_last_touch",
     "triangle_count_neardup",
+    "heavy_hitters_cms",
+    "bloom_novelty_probe",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

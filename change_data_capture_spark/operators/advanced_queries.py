@@ -622,19 +622,29 @@ WITH RECURSIVE bounds AS (
            date_trunc('month', max(o_orderdate)) AS hi
     FROM orders
 ),
-months(month_start) AS (
-    SELECT lo FROM bounds
+-- hi rides along IN the recursion state: a recursive step that re-joins
+-- `bounds` re-evaluates the min/max scan of orders on EVERY iteration
+-- (~80 full fact scans — measured 70 s at the 100x smoke vs 3.8 s for
+-- this form; DuckDB doesn't de-correlate it either)
+months(month_start, hi) AS (
+    SELECT lo, hi FROM bounds
     UNION ALL
-    SELECT month_start + INTERVAL 1 MONTH FROM months, bounds
+    SELECT month_start + INTERVAL 1 MONTH, hi FROM months
     WHERE month_start < hi
+),
+-- pre-aggregate the fact per month BEFORE joining the spine: the join
+-- input drops from |orders| rows to ~80
+monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS month_start,
+           count(o_orderkey) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
 )
 SELECT m.month_start,
-       count(o.o_orderkey) AS n_orders,
-       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
-           AS revenue
-FROM months m
-LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.month_start
-GROUP BY m.month_start
+       COALESCE(a.n_orders, 0) AS n_orders,
+       CAST(COALESCE(a.rev, 0) AS DOUBLE) AS revenue
+FROM (SELECT month_start FROM months) m
+LEFT JOIN monthly a ON a.month_start = m.month_start
 """
 
 

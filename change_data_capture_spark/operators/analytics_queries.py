@@ -621,3 +621,276 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("doc_a"), F.col("b").alias("doc_c")
     )
     return paths.join(closing, ["doc_a", "doc_c"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters (exactly mirrorable sketch)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOP = 30
+
+_CMS_HASH_DUCK = (
+    "CAST(('0x' || substr(md5('cms' || CAST({row} AS VARCHAR) || '|' || {tok}),"
+    " 1, 15)) AS BIGINT) % " + str(_CMS_W)
+)
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok),
+top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT {_CMS_TOP}),
+cells AS (
+    SELECT s.s AS row_id,
+           {_CMS_HASH_DUCK.format(row="s.s", tok="t.tok")} AS col_id,
+           count(*) AS counter
+    FROM toks t, unnest(range(0, {_CMS_D})) AS s(s)
+    GROUP BY 1, 2
+),
+probes AS (
+    SELECT p.tok, p.exact_n, s.s AS row_id,
+           {_CMS_HASH_DUCK.format(row="s.s", tok="p.tok")} AS col_id
+    FROM top p, unnest(range(0, {_CMS_D})) AS s(s)
+)
+SELECT p.tok, p.exact_n,
+       CAST(MIN(c.counter) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.counter) - p.exact_n AS BIGINT) AS overcount
+FROM probes p JOIN cells c ON c.row_id = p.row_id AND c.col_id = p.col_id
+GROUP BY p.tok, p.exact_n
+"""
+
+
+def _cms_cell(row: F.Column, tok: F.Column) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), row.cast("string"), F.lit("|"), tok)),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+@query("heavy_hitters_cms", oracle=_CMS_ORACLE)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters: a {d}×{w} CMS over the corpus token
+    stream, probed for the top-{k} exact tokens — estimate = min over the
+    {d} hash rows, always ≥ the true count (one-sided error ≤ εN). The
+    seeded-md5 hash family makes the sketch EXACTLY mirrorable in the
+    oracle, so even the approximate path is hash-checked, and the
+    ``overcount`` column is the measured sketch error, not a bound.
+
+    Scale shape — why CMS is the 100 TB form of frequency tracking: the
+    sketch is one aggregate whose output is a CONSTANT {d}·{w} = {dw}
+    cells regardless of corpus size (map-side partial aggregation
+    collapses each partition to ≤ {dw} rows before the single shuffle),
+    and sketches MERGE by cell-wise addition — per-shard sketches sum
+    into the global one, the same partial-agg tree Spark already runs.
+    The probe side broadcasts the {dw}-row sketch. The exact top-{k}
+    here doubles as the oracle of record; at 100 TB you'd keep only the
+    sketch and a candidate set."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("row_id")
+    cells = (
+        toks.select("tok", seeds)
+        .select("row_id", _cms_cell(F.col("row_id"), F.col("tok")).alias("col_id"))
+        .groupBy("row_id", "col_id")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(_CMS_TOP)
+    )
+    probes = top.select(
+        "tok", "exact_n", seeds
+    ).withColumn("col_id", _cms_cell(F.col("row_id"), F.col("tok")))
+    est = (
+        probes.join(F.broadcast(cells), ["row_id", "col_id"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+heavy_hitters_cms.__doc__ = heavy_hitters_cms.__doc__.format(
+    d=_CMS_D, w=_CMS_W, k=_CMS_TOP, dw=_CMS_D * _CMS_W
+)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter novelty probe — the broadcast fast path ngram_novelty_score
+# documents, implemented (with measured false positives)
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 3
+_BLOOM_M = 262_144  # 2^18 bits
+
+
+def _novelty_gram_prefix() -> str:
+    from change_data_capture_spark.operators.text_queries import _NOVELTY_ORACLE
+
+    body = _NOVELTY_ORACLE.strip().removeprefix("WITH")
+    return body.split("SELECT c.doc_id", 1)[0].rstrip().rstrip(",")
+
+
+_BLOOM_HASH_DUCK = (
+    "CAST(('0x' || substr(md5('bloom' || CAST({j} AS VARCHAR) || '|' || "
+    "CAST({gh} AS VARCHAR)), 1, 15)) AS BIGINT) % " + str(_BLOOM_M)
+)
+
+_BLOOM_ORACLE = f"""
+WITH {_novelty_gram_prefix()},
+seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
+bits AS (
+    SELECT DISTINCT {_BLOOM_HASH_DUCK.format(j="s.j", gh="r.gh")} AS pos
+    FROM ref r, seeds s
+),
+probe AS (
+    SELECT c.doc_id, c.gh, s.j,
+           {_BLOOM_HASH_DUCK.format(j="s.j", gh="c.gh")} AS pos
+    FROM cand c, seeds s
+),
+hits AS (
+    SELECT p.doc_id, p.gh, count(b.pos) AS k_hits
+    FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+    GROUP BY p.doc_id, p.gh
+),
+exact AS (
+    SELECT c.doc_id, c.gh, (r.gh IS NOT NULL) AS seen
+    FROM cand c LEFT JOIN ref r ON r.gh = c.gh
+)
+SELECT h.doc_id,
+       count(*) AS n_grams,
+       CAST(SUM(CASE WHEN h.k_hits = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       CAST(SUM(CASE WHEN e.seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       CAST(SUM(CASE WHEN h.k_hits = {_BLOOM_K} AND NOT e.seen
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       1.0 - CAST(SUM(CASE WHEN h.k_hits = {_BLOOM_K} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS bloom_novelty
+FROM hits h JOIN exact e ON e.doc_id = h.doc_id AND e.gh = h.gh
+GROUP BY h.doc_id
+"""
+
+
+def _bloom_pos(j: F.Column, gh: F.Column) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bloom"),
+                        j.cast("string"),
+                        F.lit("|"),
+                        gh.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+@query("bloom_novelty_probe", oracle=_BLOOM_ORACLE)
+def bloom_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-Bloom fast path that ``ngram_novelty_score``'s
+    docstring promises: the reference corpus's distinct 5-gram hashes
+    compress into a {k}-hash Bloom filter over 2^18 positions (stored as
+    the distinct set-bit table, broadcast to every executor), candidate
+    grams probe it with NO SHUFFLE OF THE REFERENCE SIDE, and — because
+    the seeded-md5 family is engine-portable — the oracle reproduces the
+    filter bit-for-bit, so even the false positives are deterministic
+    and ``n_false_pos`` is a measured column (exact membership is
+    computed alongside for the comparison).
+
+    Scale shape: the Bloom side is bounded by m = 2^18 rows no matter
+    how large the reference corpus grows (the exact-join form's ref side
+    grows with the corpus); the probe is a broadcast hash join per hash
+    row. At 100 TB the bits table would be a real bitset aggregated with
+    bit-OR partials; the positions-table form keeps identical semantics
+    and lets the oracle check it."""
+    d = load_table(spark, sf_dir, "documents")
+    from change_data_capture_spark.functions.text import (
+        seeded_hash,
+        shingles_from_tokens,
+    )
+
+    ref_srcs = ("src0", "src1", "src2", "src3")
+    base = d.select(
+        "doc_id",
+        F.col("source").isin(*ref_srcs).alias("is_ref"),
+        tokens(F.col("text")).alias("toks"),
+    ).where(F.size("toks") >= 5)
+    grams = (
+        base.select(
+            "doc_id",
+            "is_ref",
+            F.explode(shingles_from_tokens(F.col("toks"), k=5)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_ref",
+            seeded_hash(F.col("gram"), seed="novelty").alias("gh"),
+        )
+        .dropDuplicates(["doc_id", "gh"])
+        .persist()  # ref bits + cand probe + exact join all consume it
+    )
+    ref = grams.where("is_ref").select("gh").distinct()
+    cand = grams.where(~F.col("is_ref")).select("doc_id", "gh")
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+    bits = (
+        ref.select("gh", seeds)
+        .select(_bloom_pos(F.col("j"), F.col("gh")).alias("pos"))
+        .distinct()
+    )
+    probe = cand.select("doc_id", "gh", seeds).withColumn(
+        "pos", _bloom_pos(F.col("j"), F.col("gh"))
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumnRenamed("pos", "bpos")),
+                   F.col("pos") == F.col("bpos"), "left")
+        .groupBy("doc_id", "gh")
+        .agg(F.count("bpos").alias("k_hits"))
+    )
+    exact = cand.join(
+        ref.withColumnRenamed("gh", "ref_gh"),
+        F.col("gh") == F.col("ref_gh"),
+        "left",
+    ).select("doc_id", "gh", F.col("ref_gh").isNotNull().alias("seen"))
+    flag = (F.col("k_hits") == _BLOOM_K).cast("int")
+    seen = F.col("seen").cast("int")
+    return (
+        hits.join(exact, ["doc_id", "gh"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(flag).alias("n_flagged"),
+            F.sum(seen).alias("n_seen"),
+            F.sum(flag * (1 - seen)).alias("n_false_pos"),
+            (1.0 - F.sum(flag).cast("double") / F.count(F.lit(1))).alias(
+                "bloom_novelty"
+            ),
+        )
+    )
+
+
+bloom_novelty_probe.__doc__ = bloom_novelty_probe.__doc__.format(k=_BLOOM_K)

@@ -19,6 +19,8 @@ NEW_QUERIES = [
     "cluster_rep_best_quality",
     "attribution_last_touch",
     "triangle_count_neardup",
+    "heavy_hitters_cms",
+    "bloom_novelty_probe",
 ]
 
 
@@ -87,6 +89,23 @@ def test_triangles_stay_equi_joins(spark, sf_dir):
     semi close) — never a cartesian/BNLJ pair enumeration."""
     s = _stats(spark, sf_dir, "triangle_count_neardup")
     assert not s.has_cartesian and not s.has_bnlj, s.text
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    """The probe side must broadcast the constant-size sketch; heavy
+    hitters come from TakeOrderedAndProject, not a global sort."""
+    s = _stats(spark, sf_dir, "heavy_hitters_cms")
+    assert s.broadcast_exchanges >= 1, s.text
+    assert s.has_take_ordered, s.text
+
+
+def test_bloom_bits_broadcast(spark, sf_dir):
+    """The Bloom set-bit table (bounded by m=2^18 rows) must broadcast —
+    shuffling the reference side is the exact-join plan this fast path
+    exists to avoid."""
+    s = _stats(spark, sf_dir, "bloom_novelty_probe")
+    assert s.broadcast_exchanges >= 1, s.text
+    assert not s.has_cartesian and not s.has_bnlj
 
 
 def test_cluster_rep_uses_group_limit(spark, sf_dir):

@@ -65,7 +65,16 @@ QUERIES = [
 ]
 
 
-def replicate(spark, src: str, out: str, copies: int) -> None:
+def replicate(spark, src: str, out: str, copies: int, decorrelate: bool = False) -> None:
+    """Replicate with shifted keys. With ``decorrelate``, replica content is
+    made DISTINCT across copies: document tokens get a per-replica prefix
+    (every 5-gram differs → replicas are not near-dups of each other) and
+    embedding dims get a deterministic per-replica sign flip (cosine between
+    replicas decorrelates; norms and within-replica geometry preserved).
+    Default (identical content) turns every doc into a ``copies``-clique —
+    an ADVERSARIAL construction whose pair/triangle work is quadratic/cubic
+    in copies by construction; decorrelate measures a realistic corpus at
+    ``copies``× volume with the base corpus's duplicate density."""
     for t, keys in KEYED.items():
         base = load_table(spark, src, t)
         if keys:
@@ -74,6 +83,18 @@ def replicate(spark, src: str, out: str, copies: int) -> None:
                 r = base
                 for k in keys:
                     r = r.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+                if decorrelate and i > 0 and t == "documents":
+                    r = r.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", f"r{i}$1")
+                    )
+                if decorrelate and i > 0 and t == "embeddings":
+                    r = r.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"transform(embedding, (x, idx) -> x * "
+                            f"CAST(pmod(hash({i}, idx), 2) * 2 - 1 AS FLOAT))"
+                        ),
+                    )
                 replicas.append(r)
             big = replicas[0]
             for r in replicas[1:]:
@@ -94,6 +115,9 @@ def main() -> None:
                     help="reuse an existing replicated dir (skips replication)")
     ap.add_argument("--runs", type=int, default=1,
                     help="timed runs per query (reports min)")
+    ap.add_argument("--decorrelate", action="store_true",
+                    help="make replica content distinct (realistic dup "
+                         "density) instead of copies-sized cliques")
     args = ap.parse_args()
 
     # A 100×-data local test needs a realistic memory budget: the box has
@@ -107,11 +131,11 @@ def main() -> None:
         out = args.data_dir
         if not os.path.exists(f"{out}/lineitem.parquet"):
             print(f"replicating {src} x{args.copies} -> {out}", flush=True)
-            replicate(spark, src, out, args.copies)
+            replicate(spark, src, out, args.copies, args.decorrelate)
     else:
         out = tempfile.mkdtemp(prefix=f"sf{args.copies}x_")
         print(f"replicating {src} x{args.copies} -> {out}", flush=True)
-        replicate(spark, src, out, args.copies)
+        replicate(spark, src, out, args.copies, args.decorrelate)
     print("data ready; running queries", flush=True)
 
     import __spark_entry__ as entry
