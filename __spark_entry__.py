@@ -84,6 +84,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "triangle_count_neardup",
     "heavy_hitters_cms",
     "bloom_novelty_probe",
+    "scd3_products",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

@@ -89,6 +89,16 @@ HEADLINE = [
     "entity_resolution_blocked",
     "kmeans_fixed_point",
     "multimodal_video_framesample",
+    # round-3 analytics widening
+    "interval_union_coverage",
+    "orders_pareto_abc",
+    "bpe_pair_counts",
+    "embedding_mean_pool",
+    "attribution_last_touch",
+    "triangle_count_neardup",
+    "heavy_hitters_cms",
+    "bloom_novelty_probe",
+    "calendar_spine_monthly",
 ]
 
 

@@ -465,3 +465,71 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("op").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 3: current row + previous-value columns (bounded history)
+# ---------------------------------------------------------------------------
+
+_SCD3_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+events_clean AS (
+    SELECT * FROM cdc_events
+    WHERE lsn IS NOT NULL AND op <> 'd'
+    QUALIFY row_number() OVER (PARTITION BY id, lsn ORDER BY ts_ms) = 1
+),
+versioned AS (
+    SELECT id, name, CAST(price AS DOUBLE) AS price,
+           LAG(name) OVER w AS prev_name,
+           LAG(CAST(price AS DOUBLE)) OVER w AS prev_price,
+           epoch_ms(ts_ms) AS changed_at,
+           row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn,
+           count(*) OVER (PARTITION BY id) AS n_versions
+    FROM events_clean
+    WINDOW w AS (PARTITION BY id ORDER BY lsn)
+)
+SELECT id, name, price, prev_name, prev_price, changed_at,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM versioned WHERE rn = 1
+"""
+
+
+@query("scd3_products", oracle=_SCD3_ORACLE)
+def scd3_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3 — the third classic slowly-changing-dimension shape next
+    to the repo's Type 2 (``scd2_products``) and Type 1
+    (``dim_current_products``): one CURRENT row per key carrying
+    previous-value columns (``prev_name``/``prev_price``) for one-step
+    history, plus the version count. Deletes are tombstones, not
+    versions, so ``op = 'd'`` rows are excluded before versioning.
+
+    Scale shape: identical to the flagship — everything (dedup, lag,
+    version count, latest-row pick) rides ONE window shuffle on ``id``;
+    the rank-1 filter compiles to WindowGroupLimit pushdown on the final
+    window."""
+    from pyspark.sql import Window
+
+    e = (
+        _decoded(spark, sf_dir)
+        .where(F.col("lsn").isNotNull() & (F.col("op") != "d"))
+    )
+    w_dedup = Window.partitionBy("id", "lsn").orderBy("ts_ms")
+    clean = (
+        e.withColumn("_dup", F.row_number().over(w_dedup))
+        .where(F.col("_dup") == 1)
+        .drop("_dup")
+    )
+    w = Window.partitionBy("id").orderBy("lsn")
+    w_all = Window.partitionBy("id")
+    price_d = F.col("price").cast("double")
+    versioned = clean.select(
+        "id",
+        "name",
+        price_d.alias("price"),
+        F.lag("name").over(w).alias("prev_name"),
+        F.lag(price_d).over(w).alias("prev_price"),
+        F.timestamp_millis(F.col("ts_ms")).alias("changed_at"),
+        F.row_number().over(Window.partitionBy("id").orderBy(F.col("lsn").desc())).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_versions"),
+    )
+    return versioned.where(F.col("rn") == 1).drop("rn")

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
 from tests.oracle import compare
 
-CDC_QUERIES = ["scd2_products", "scd2_products_sql", "scd2_products_b64price", "cdc_change_log", "cdc_dedup_op_counts", "dim_current_products", "scd2_point_in_time_join", "snapshot_diff_cdc"]
+CDC_QUERIES = ["scd2_products", "scd2_products_sql", "scd2_products_b64price", "cdc_change_log", "cdc_dedup_op_counts", "dim_current_products", "scd2_point_in_time_join", "snapshot_diff_cdc", "scd3_products"]
 
 
 @pytest.mark.parametrize("name", CDC_QUERIES)
