@@ -128,6 +128,11 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dim = 64  # fixture embedding dimension (TESTDATA.md)
+    # size the band code to the corpus (see adaptive_lsh_bits): one cheap
+    # count action at plan-build time buys collision linearity at any
+    # scale — the fixed 8-bit code was measured to degenerate
+    # (~3·10¹¹ random candidates) at 6.4M vectors
+    bits = adaptive_lsh_bits(int(e.count() * 1.1))
     scaled = e.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("v", lambda x: x * 2).alias("v"),
@@ -145,7 +150,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             l2norm(F.col("v")).alias("nrm"),
             *[
-                lsh_bucket_expr(F.col("v"), dim, band).alias(f"code{band}")
+                lsh_bucket_expr(F.col("v"), dim, band, bits).alias(f"code{band}")
                 for band in range(N_BANDS)
             ],
         )
@@ -277,12 +282,20 @@ def _hyperplane(dim: int, h: int) -> list[float]:
     return out
 
 
-def lsh_bucket_expr(vec: Column, dim: int, band: int = 0) -> Column:
-    """Sign-of-projection bitcode over N_HYPERPLANES ±1 hyperplanes.
+def lsh_bucket_expr(vec: Column, dim: int, band: int = 0, bits: int = N_HYPERPLANES) -> Column:
+    """Sign-of-projection bitcode over ``bits`` ±1 hyperplanes
+    (default N_HYPERPLANES).
 
     ``band`` selects a disjoint hyperplane set (indices
-    ``band*N_HYPERPLANES .. band*N_HYPERPLANES+7``) so multiple independent
+    ``band*bits .. band*bits+bits-1``) so multiple independent
     codes can be OR-combined for recall (band 0 is the original code).
+    ``bits`` MUST scale with log2(n) at large corpus sizes: for random
+    (non-duplicate) vector pairs a band collides w.p. 2^-bits, so
+    expected candidates are ~bands·n²/2^bits — a fixed 8-bit code that
+    is fine at 64k vectors degenerates to ~3·10¹¹ candidate pairs at
+    6.4M vectors (measured: the decorrelated 100× smoke never finished).
+    ``adaptive_lsh_bits`` below picks bits ≈ log2(n) - 2, capping
+    expected random collisions at ~4·bands·n.
 
     Each ±1 plane is packed into ONE 64-bit mask literal and applied as a
     sign-select inside the fold (``bit_get`` per element) instead of a
@@ -292,9 +305,9 @@ def lsh_bucket_expr(vec: Column, dim: int, band: int = 0) -> Column:
     4-band/8-plane variant spent ~1.8 s per query just planning the
     literal-array form at sf0.1)."""
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    code = F.lit(0)
-    for h in range(N_HYPERPLANES):
-        plane = _hyperplane(dim, band * N_HYPERPLANES + h)
+    code = F.lit(0).cast("long")
+    for h in range(bits):
+        plane = _hyperplane(dim, band * bits + h)
         mask = sum(1 << i for i, x in enumerate(plane) if x > 0)
         if mask >= 1 << 63:  # two's-complement: Java long is signed
             mask -= 1 << 64
@@ -304,8 +317,22 @@ def lsh_bucket_expr(vec: Column, dim: int, band: int = 0) -> Column:
             lambda x, i: F.when(F.bit_get(F.lit(mask), i) == 1, x).otherwise(-x),
         )
         proj = F.aggregate(signed, F.lit(0.0), lambda s, x: s + x)
-        code = code + F.when(proj > 0, F.lit(1 << h)).otherwise(0)
+        code = code + F.when(proj > 0, F.lit(1 << h).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return code
+
+
+def adaptive_lsh_bits(n_vectors: int) -> int:
+    """Band code width for ``n_vectors``: ≈ log2(n) - 2 (≥ N_HYPERPLANES),
+    so expected random-pair collisions stay ~4n per band instead of
+    n²/2^8. Exact duplicates (and positively-scaled copies) have
+    identical sign codes at ANY width, so widening never loses them —
+    recall for merely-near pairs is governed by the band count, which a
+    production deployment grows alongside (documented tradeoff)."""
+    import math
+
+    return max(N_HYPERPLANES, math.ceil(math.log2(max(n_vectors, 2))) - 2)
 
 
 @query("similarity_lsh_buckets")  # rows-only: approximate by design
@@ -324,7 +351,10 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("v", lambda x: x * 2).alias("v"),
     )
     vecs = e.unionAll(scaled)
-    coded = vecs.select("vec_id", "v", lsh_bucket_expr(F.col("v"), dim).alias("bucket"))
+    bits = adaptive_lsh_bits(int(e.count() * 1.1))  # see lsh_bucket_expr
+    coded = vecs.select(
+        "vec_id", "v", lsh_bucket_expr(F.col("v"), dim, 0, bits).alias("bucket")
+    )
     a = coded.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     b = coded.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
     cos = cosine(F.col("va"), F.col("vb"))
