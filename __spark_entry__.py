@@ -85,6 +85,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "heavy_hitters_cms",
     "bloom_novelty_probe",
     "scd3_products",
+    "embedding_dim_stats",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

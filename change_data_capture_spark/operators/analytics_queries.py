@@ -894,3 +894,86 @@ def bloom_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bloom_novelty_probe.__doc__ = bloom_novelty_probe.__doc__.format(k=_BLOOM_K)
+
+
+# ---------------------------------------------------------------------------
+# Embedding per-dimension feature profile (mean/std/min/max, fixed-point)
+# ---------------------------------------------------------------------------
+
+_DIMSTATS_ORACLE = """
+WITH flat AS (
+    SELECT CAST(i.i AS INTEGER) - 1 AS dim,
+           CAST(CAST(embedding[CAST(i.i AS INTEGER)] AS VARCHAR)
+                AS DECIMAL(20,9)) AS v9,
+           CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) AS vd
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS i(i)
+),
+scaled AS (
+    SELECT dim, vd,
+           CAST(v9 * 1000000000 AS BIGINT) AS vi
+    FROM flat
+),
+agg AS (
+    SELECT dim,
+           COUNT(*) AS n,
+           CAST(SUM(vi) AS BIGINT) AS s1,
+           SUM(CAST(vi AS DECIMAL(38,0)) * CAST(vi AS DECIMAL(38,0))) AS s2,
+           MIN(vd) AS min_val,
+           MAX(vd) AS max_val
+    FROM scaled GROUP BY dim
+)
+SELECT dim, n, min_val, max_val,
+       CAST(s1 AS DOUBLE) / n / 1e9 AS mean_val,
+       sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n / 1e18
+            - (CAST(s1 AS DOUBLE) / n / 1e9) * (CAST(s1 AS DOUBLE) / n / 1e9))
+           AS std_val
+FROM agg
+"""
+
+
+@query("embedding_dim_stats", oracle=_DIMSTATS_ORACLE)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature profile of the embedding corpus — the
+    mean/std/min/max table a feature-standardization (z-score) or
+    monitoring step consumes.
+
+    Determinism: values quantize to FIXED-POINT nano units (string-parse
+    into DECIMAL(20,9) — tie-free for binary floats — then ×10⁹ to
+    BIGINT), so Σx is a bigint sum and Σx² an exact DECIMAL(38,0) sum:
+    both associative, so Spark's partial-agg tree equals DuckDB's fold
+    bit-for-bit; the final mean/variance arithmetic is the identical
+    double expression on both sides. min/max need no quantization
+    (order-free). One shuffle on dim with map-side partials; posexplode
+    is codegen."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("dim", "val")).select(
+        "dim",
+        (F.col("val").cast("string").cast("decimal(20,9)") * 1_000_000_000)
+        .cast("bigint")
+        .alias("vi"),
+        F.col("val").cast("double").alias("vd"),
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("vi").cast("bigint")
+    s2 = F.sum(
+        F.col("vi").cast("decimal(38,0)") * F.col("vi").cast("decimal(38,0)")
+    )
+    agg = flat.groupBy("dim").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        F.min("vd").alias("min_val"),
+        F.max("vd").alias("max_val"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n") / 1e9
+    return agg.select(
+        "dim",
+        "n",
+        "min_val",
+        "max_val",
+        mean.alias("mean_val"),
+        F.sqrt(
+            F.col("s2").cast("string").cast("double") / F.col("n") / 1e18
+            - mean * mean
+        ).alias("std_val"),
+    )

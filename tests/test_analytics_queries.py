@@ -21,6 +21,7 @@ NEW_QUERIES = [
     "triangle_count_neardup",
     "heavy_hitters_cms",
     "bloom_novelty_probe",
+    "embedding_dim_stats",
 ]
 
 
