@@ -86,6 +86,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "bloom_novelty_probe",
     "scd3_products",
     "embedding_dim_stats",
+    "ewma_monthly_revenue",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

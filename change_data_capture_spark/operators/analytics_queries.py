@@ -897,6 +897,95 @@ bloom_novelty_probe.__doc__ = bloom_novelty_probe.__doc__.format(k=_BLOOM_K)
 
 
 # ---------------------------------------------------------------------------
+# EWMA (exponential smoothing) — a sequential recurrence as a bounded
+# per-series array fold
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.25  # exactly representable in binary
+
+_EWMA_ORACLE = """
+WITH monthly AS (
+    SELECT n.n_name,
+           date_trunc('month', o.o_orderdate) AS m,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS rev
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+),
+series AS (
+    SELECT n_name,
+           list(rev ORDER BY m) AS xs,
+           count(*) AS n_months,
+           CAST(CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+               AS total_revenue
+    FROM monthly GROUP BY n_name
+)
+SELECT n_name,
+       CAST(n_months AS BIGINT) AS n_months,
+       total_revenue,
+       list_reduce(xs, (acc, x) -> acc * 0.75 + x * 0.25) AS ewma_final
+FROM series
+"""
+
+
+@query("ewma_monthly_revenue", oracle=_EWMA_ORACLE)
+def ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue per nation
+    (α = 0.25, y₁ = x₁, yₜ = 0.75·yₜ₋₁ + 0.25·xₜ) — the inherently
+    SEQUENTIAL recurrence no window frame expresses, done the scalable
+    way: collect each series into a sorted bounded array (months per
+    nation — dozens, not data-sized) and fold it with ``F.aggregate``.
+    Parallelism is across series; per-series state is O(series length),
+    the same shape every per-key recurrence (Holt-Winters, Kalman-lite,
+    session scoring) takes on Spark.
+
+    Determinism: monthly revenues route decimal→string→double (the
+    portable cast), the fold order is the month order (unique months →
+    total order), and both engines fold left over the identical doubles
+    — bit-exact ``ewma_final``. DuckDB's ``list_reduce`` seeds with the
+    first element; Spark mirrors with init = xs[1] folded over
+    ``slice(xs, 2, n-1)``."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    series = monthly.groupBy("n_name").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "rev"))), lambda s: s.rev
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum(F.col("rev").cast("decimal(18,2)"))
+        .cast("string")
+        .cast("double")
+        .alias("total_revenue"),
+    )
+    xs = F.col("xs")
+    ewma = F.aggregate(
+        F.slice(xs, F.lit(2), F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: acc * F.lit(1 - _EWMA_ALPHA) + x * F.lit(_EWMA_ALPHA),
+    )
+    return series.select(
+        "n_name",
+        "n_months",
+        "total_revenue",
+        ewma.alias("ewma_final"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding per-dimension feature profile (mean/std/min/max, fixed-point)
 # ---------------------------------------------------------------------------
 

@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "heavy_hitters_cms",
     "bloom_novelty_probe",
     "embedding_dim_stats",
+    "ewma_monthly_revenue",
 ]
 
 
