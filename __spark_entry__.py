@@ -87,6 +87,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scd3_products",
     "embedding_dim_stats",
     "ewma_monthly_revenue",
+    "multimodal_image_decode_jpeg",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

@@ -31,18 +31,20 @@ FEATURE_SCHEMA = (
 
 
 def decode_image_real(payload: bytes) -> "object":
-    """Lossy-codec decode (JPEG/H.264 frames) — NOT IMPLEMENTED in this
+    """Video-codec decode (H.264 frames) — NOT IMPLEMENTED in this
     environment (no codec libraries baked in). Production swaps this for
-    PIL.Image.open / pyav frame sampling; everything around it (schema,
-    batching, partitioning) is exercised by the fake decoder, and every
-    format decodable without a codec library IS really decoded below:
+    pyav frame sampling; everything around it (schema, batching,
+    partitioning) is exercised by the fake decoder, and every image/audio
+    format IS really decoded below or in ``functions/jpeg.py``:
     PPM (:func:`decode_ppm`), WAV (:func:`decode_wav`), Y4M
-    (:func:`decode_y4m`), and compressed PNG (:func:`decode_png` — full
-    stdlib-zlib inflate + all five scanline un-filters)."""
+    (:func:`decode_y4m`), compressed PNG (:func:`decode_png` — full
+    stdlib-zlib inflate + all five scanline un-filters), and baseline
+    JPEG (``functions.jpeg.decode_jpeg`` — complete pure-numpy ITU-T.81
+    baseline codec: canonical Huffman, dequant, IDCT, YCbCr)."""
     raise NotImplementedError(
-        "lossy-media codecs (JPEG/H.264) unavailable in this environment; "
-        "PPM/WAV/Y4M/PNG decode is implemented "
-        "(decode_ppm/decode_wav/decode_y4m/decode_png)"
+        "video codecs (H.264) unavailable in this environment; "
+        "PPM/WAV/Y4M/PNG/JPEG decode is implemented "
+        "(decode_ppm/decode_wav/decode_y4m/decode_png/functions.jpeg)"
     )
 
 
@@ -783,3 +785,127 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return payloads.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL JPEG decode (pure-numpy baseline codec — the last codec de-stubbed)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_pixels(doc_id: int):
+    """Two 8-row constant bands, width a multiple of 8 — the construction
+    that survives the lossy pipeline EXACTLY under flat q=8 tables (see
+    functions/jpeg.py docstring), giving the oracle closed forms."""
+    import numpy as np
+
+    w = 8 * (doc_id % 3 + 1)
+    c1 = (doc_id % 256, (doc_id * 31 + 7) % 256, (doc_id * 97 + 13) % 256)
+    c2 = ((doc_id * 7 + 3) % 256, (doc_id * 11 + 5) % 256, (doc_id * 13 + 1) % 256)
+    img = np.empty((16, w, 3), dtype=np.uint8)
+    img[:8] = c1
+    img[8:] = c2
+    return img
+
+
+def _encode_jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from change_data_capture_spark.functions.jpeg import encode_jpeg
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    encode_jpeg(_jpeg_pixels(int(d))) for d in pdf["doc_id"]
+                ],
+            }
+        )
+
+
+def _decode_jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from change_data_capture_spark.functions.jpeg import decode_jpeg
+
+    for pdf in batches:
+        rows = [
+            (doc_id, *decode_jpeg(payload))
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+        )
+
+
+_JPEG_SCHEMA = (
+    "doc_id bigint, width int, height int, mean_r double, mean_g double, "
+    "mean_b double"
+)
+
+# the oracle replays the codec's integer-exact path in SQL: JFIF forward
+# YCbCr (floor(x+0.5), clamped) -> the flat-q8 pipeline is the identity on
+# constant 8-aligned bands -> JFIF inverse to RGB (same rounding). Every
+# rounding is floor(x+0.5) in both engines; all intermediates are integer-
+# valued doubles, so the arithmetic is bit-identical.
+_JPEG_ORACLE = """
+WITH g AS (
+    SELECT doc_id,
+           8 * (doc_id % 3 + 1) AS w,
+           CAST(doc_id % 256 AS DOUBLE) AS r1,
+           CAST((doc_id * 31 + 7) % 256 AS DOUBLE) AS g1,
+           CAST((doc_id * 97 + 13) % 256 AS DOUBLE) AS b1,
+           CAST((doc_id * 7 + 3) % 256 AS DOUBLE) AS r2,
+           CAST((doc_id * 11 + 5) % 256 AS DOUBLE) AS g2,
+           CAST((doc_id * 13 + 1) % 256 AS DOUBLE) AS b2
+    FROM documents
+),
+bands AS (
+    SELECT doc_id, w, r1 AS r, g1 AS g, b1 AS b FROM g
+    UNION ALL
+    SELECT doc_id, w, r2, g2, b2 FROM g
+),
+enc AS (
+    SELECT doc_id, w,
+        least(255, greatest(0, floor(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+        least(255, greatest(0, floor(128 - 0.168736*r - 0.331264*g + 0.5*b + 0.5))) AS cb,
+        least(255, greatest(0, floor(128 + 0.5*r - 0.418688*g - 0.081312*b + 0.5))) AS cr
+    FROM bands
+),
+dec AS (
+    SELECT doc_id, w,
+        least(255, greatest(0, floor(y + 1.402*(cr-128) + 0.5))) AS rd,
+        least(255, greatest(0, floor(y - 0.344136*(cb-128) - 0.714136*(cr-128) + 0.5))) AS gd,
+        least(255, greatest(0, floor(y + 1.772*(cb-128) + 0.5))) AS bd
+    FROM enc
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       16 AS height,
+       SUM(rd) / 2.0 AS mean_r,
+       SUM(gd) / 2.0 AS mean_g,
+       SUM(bd) / 2.0 AS mean_b
+FROM dec
+GROUP BY doc_id, w
+"""
+
+
+@query("multimodal_image_decode_jpeg", oracle=_JPEG_ORACLE)
+def multimodal_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY-codec pipeline end to end, no codec library — the stub's last
+    gap de-stubbed: stage 1 ENCODES a genuine baseline JFIF per document
+    (functions/jpeg.py — DCT, flat quantization, canonical Huffman, byte
+    stuffing); stage 2 fully DECODES it (table-driven Huffman, dequant,
+    IDCT, YCbCr→RGB). Both stages are Arrow-batched ``mapInPandas`` over
+    a binary column. Flat q=8 tables make the 8-aligned constant-band test
+    images EXACT through the lossy path (DC = 8·Δ is a multiple of the
+    quantizer; AC float residue ~1e-14 rounds to zero), so the oracle
+    replays the whole codec arithmetically and hash-matches — a lossy
+    codec with a bit-exact correctness gate. Photographic content is
+    covered by the round-trip property test (error bounded by the
+    quantizer, tests/test_llm_queries.py).
+
+    Scale: per-row pure functions inside one mapInPandas each — no
+    shuffle; a 100 TB image corpus streams at input-partition
+    parallelism."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        _encode_jpeg_batches, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(_decode_jpeg_batches, schema=_JPEG_SCHEMA)

@@ -37,6 +37,7 @@ ORACLE_CHECKED = [
     "multimodal_video_framesample",
     "multimodal_image_resize",
     "multimodal_image_decode_png",
+    "multimodal_image_decode_jpeg",
     "kmeans_fixed_point",
     "ngram_novelty_score",
     "corpus_domain_mixing",
