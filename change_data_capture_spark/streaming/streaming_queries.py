@@ -488,3 +488,115 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows (F.session_window) — driver gate
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+_STREAM_SESSION_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w
+                    ) > {_SESSION_GAP_MIN * 60 * 1000}
+                  OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@query("streaming_session_windows", oracle=_STREAM_SESSION_ORACLE)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows, driver-checked: events stream from a
+    file source in two time-sliced micro-batches, sessions build in the
+    state store via ``F.session_window`` (30-min inactivity gap, 1-minute
+    watermark), append mode emits each session when the watermark passes
+    its close, and a single far-future SENTINEL row (user_id −1, landed as
+    the second slice) pushes the final watermark past every real session so
+    the drain is complete and deterministic. The emitted sessions must
+    equal the batch gap-based sessionization (the oracle — the classic
+    lag→flag→cumsum twin). ``session_window.end`` is last-event-ts + gap
+    by definition, so the gate subtracts the gap back to report the true
+    last-event timestamp.
+
+    Scale shape: state is per-(user, open-session) and bounded by the
+    watermark horizon; the sentinel trick is test harness only —
+    production streams never need finalization because they never end."""
+    import os
+    import time as _time
+    import uuid
+
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_sess_q_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = f"{ws}/slices"
+    os.makedirs(src)
+    events.coalesce(1).write.mode("overwrite").parquet(f"{ws}/real")
+    sentinel = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id, "
+        "timestamp'2100-01-01 00:00:00' AS ts, "
+        "CAST(-1 AS BIGINT) AS user_id, CAST(0.0 AS DOUBLE) AS value"
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{ws}/sent")
+    now = _time.time()
+    for i, stage in enumerate(("real", "sent")):
+        d = f"{ws}/{stage}"
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{src}/slice_{i}.parquet"
+        os.rename(f"{d}/{part}", dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    gap = f"{_SESSION_GAP_MIN} minutes"
+    sessions = (
+        stream.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")).alias(
+                "session_end"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+    sink = f"sess_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).where(F.col("user_id") >= 0)

@@ -21,6 +21,7 @@ from tests.oracle import compare
         "streaming_stream_stream_join",
         "streaming_anomaly_zscore",
         "streaming_static_enrich",
+        "streaming_session_windows",
     ],
 )
 def test_streaming_oracle_parity(spark, sf_dir, name):
