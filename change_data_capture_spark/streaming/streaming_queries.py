@@ -600,3 +600,101 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink).where(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming tumbling windows, driver-gated (shares the batch oracle)
+# ---------------------------------------------------------------------------
+
+
+@query("streaming_tumbling_drain", oracle=None)  # bound below
+def streaming_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming tumbling-window aggregation, driver-checked: the
+    events table streams in two micro-batches (same sentinel-flush harness
+    as ``streaming_session_windows``), hourly windows aggregate in the
+    state store, append mode emits each window when the watermark passes
+    it, and the drained result must equal the batch ``events_tumbling_
+    hourly`` — it SHARES that query's oracle SQL verbatim."""
+    import os
+    import time as _time
+    import uuid
+
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_tumb_q_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = f"{ws}/slices"
+    os.makedirs(src)
+    events.coalesce(1).write.mode("overwrite").parquet(f"{ws}/real")
+    spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id, "
+        "timestamp'2100-01-01 00:00:00' AS ts, CAST(-1 AS BIGINT) AS user_id, "
+        "'sentinel' AS event_type, CAST(0.0 AS DOUBLE) AS value"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{ws}/sent")
+    now = _time.time()
+    for i, stage in enumerate(("real", "sent")):
+        d = f"{ws}/{stage}"
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{src}/slice_{i}.parquet"
+        os.rename(f"{d}/{part}", dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    # exact distinct users is not available in streaming append aggs
+    # (count_distinct needs complete mode); the aggregate streams as a
+    # two-level (window, type, user) -> (window, type) cascade — the
+    # streaming stage is incremental-friendly, the tiny second level runs
+    # batch over the landed window rows.
+    lvl1 = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type", "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ev_u"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("val_u"),
+        )
+    )
+    sink = f"tumb_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        lvl1.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.table(sink).where(F.col("event_type") != "sentinel")
+    n2 = F.sum("n_ev_u")
+    total = F.sum("val_u")
+    return landed.groupBy("w", "event_type").agg(
+        n2.alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+        total.cast("double").alias("total_value"),
+        (total.cast("double") / n2).alias("avg_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "n_users",
+        "total_value",
+        "avg_value",
+    )
+
+
+def _bind_tumbling_oracle() -> None:
+    from change_data_capture_spark.operators.events_queries import (
+        _TUMBLING_ORACLE,
+    )
+    from change_data_capture_spark.queries import ORACLES
+
+    ORACLES["streaming_tumbling_drain"] = _TUMBLING_ORACLE
+
+
+_bind_tumbling_oracle()

@@ -22,6 +22,7 @@ from tests.oracle import compare
         "streaming_anomaly_zscore",
         "streaming_static_enrich",
         "streaming_session_windows",
+        "streaming_tumbling_drain",
     ],
 )
 def test_streaming_oracle_parity(spark, sf_dir, name):
