@@ -90,6 +90,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_image_decode_jpeg",
     "streaming_session_windows",
     "streaming_tumbling_drain",
+    "null_semantics_audit",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

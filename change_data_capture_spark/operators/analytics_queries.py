@@ -1066,3 +1066,74 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             - mean * mean
         ).alias("std_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics audit (null grouping, null-safe equality, COUNT variants)
+# ---------------------------------------------------------------------------
+
+_NULL_SEMANTICS_ORACLE = """
+WITH c AS (
+    SELECT c_custkey,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+    FROM customer
+)
+SELECT COALESCE(seg, '<NULL>') AS segment,
+       COUNT(*) AS n_rows,
+       COUNT(seg) AS n_nonnull_seg,
+       COUNT(bal) AS n_nonnull_bal,
+       CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_bal,
+       CAST(SUM(CASE WHEN seg IS NOT DISTINCT FROM NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nsafe_null,
+       CAST(COALESCE(SUM(CAST(bal AS DECIMAL(18,2))), 0) AS DOUBLE)
+           AS total_bal,
+       CAST(MIN(bal) AS DOUBLE) AS min_bal,
+       CAST(MAX(bal) AS DOUBLE) AS max_bal
+FROM c
+GROUP BY seg
+"""
+
+
+@query("null_semantics_audit", oracle=_NULL_SEMANTICS_ORACLE)
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics conformance in one aggregate: NULLs form their own
+    GROUP BY group, ``COUNT(col)`` skips them while ``COUNT(*)`` doesn't,
+    null-safe equality (`<=>` / IS NOT DISTINCT FROM) treats NULL=NULL as
+    true, aggregates ignore NULL inputs (MIN/MAX/SUM), and a group whose
+    SUM input is all-NULL coalesces to 0 — each a classic cross-engine
+    divergence trap, here pinned byte-identical against DuckDB. One
+    hash-agg exchange."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    bal_dec = F.col("bal").cast("decimal(18,2)")
+    return c.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("seg").alias("n_nonnull_seg"),
+        F.count("bal").alias("n_nonnull_bal"),
+        F.sum(F.col("bal").isNull().cast("int")).cast("long").alias("n_null_bal"),
+        F.sum(F.col("seg").eqNullSafe(F.lit(None)).cast("int"))
+        .cast("long")
+        .alias("n_nsafe_null"),
+        F.coalesce(F.sum(bal_dec), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+        F.min("bal").cast("double").alias("min_bal"),
+        F.max("bal").cast("double").alias("max_bal"),
+    ).select(
+        F.coalesce(F.col("seg"), F.lit("<NULL>")).alias("segment"),
+        "n_rows",
+        "n_nonnull_seg",
+        "n_nonnull_bal",
+        "n_null_bal",
+        "n_nsafe_null",
+        "total_bal",
+        "min_bal",
+        "max_bal",
+    )

@@ -23,6 +23,7 @@ NEW_QUERIES = [
     "bloom_novelty_probe",
     "embedding_dim_stats",
     "ewma_monthly_revenue",
+    "null_semantics_audit",
 ]
 
 
