@@ -637,13 +637,18 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VARIANT_ORACLE = """
+WITH k AS (
+    SELECT event_type,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+    FROM events
+)
 SELECT event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-           AS k_sum,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-FROM events
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       min(k) AS k_min,
+       max(k) AS k_max
+FROM k
 GROUP BY event_type
 """
 
@@ -659,9 +664,15 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary beats per-query JSON string re-parsing (~one decode per field
     access instead of a full text parse), and shredded-variant parquet
     pushes typed subfield scans down to the reader. The oracle reads the
-    same fields with DuckDB's JSON functions."""
+    same fields with DuckDB's JSON functions.
+
+    Dirty-input totality: ``try_parse_json`` (not ``parse_json``, which
+    THROWS and would kill the job on one malformed payload — found by the
+    degenerate-events suite) yields NULL for unparseable props, mirrored
+    by the oracle's ``json_valid`` guard; NULL flows through the typed
+    extraction and the null-skipping aggregates identically."""
     e = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
