@@ -30,7 +30,11 @@ def l2norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2norm(a) * l2norm(b))
+    """NULL (not a crash, not NaN) for zero-norm inputs: production
+    embedding dumps contain zero vectors (failed encodes, padding), and
+    under ANSI mode a plain division kills the whole job on the first one
+    — found by tests/test_degenerate_embeddings.py."""
+    return dot(a, b) / F.nullif(l2norm(a) * l2norm(b), F.lit(0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -40,13 +44,16 @@ def cosine(a: Column, b: Column) -> Column:
 _TOPK_ORACLE = f"""
 WITH q AS (
     SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    FROM embeddings
+    WHERE vec_id < {N_QUERY_VECS}
+      AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) > 0
 ),
 scored AS (
     SELECT q.query_id, e.vec_id, e.label,
            list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
     FROM q CROSS JOIN embeddings e
     WHERE e.vec_id <> q.query_id
+      AND list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x)) > 0
 )
 SELECT query_id, vec_id, label, round(cos, 6) AS cosine
 FROM scored
@@ -62,13 +69,20 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct brute-force shape at scale — the corpus is scanned once, never
     shuffled; only (n_queries × k) rows survive."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+    # zero-norm vectors have no defined direction — excluded from both
+    # sides (mirrored in the oracle), not NaN-ranked and not crashed on
+    nonzero = l2norm(F.col("embedding").cast("array<double>")) > 0
+    q = e.where((F.col("vec_id") < N_QUERY_VECS) & nonzero).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v")))
+        .crossJoin(
+            e.where(nonzero).select(
+                "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+            )
+        )
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -222,7 +236,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     e = load_table(spark, sf_dir, "embeddings")
-    feats = e.select(
+    # zero-norm vectors can't be cosine-ranked — excluded up front
+    feats = e.where(
+        l2norm(F.col("embedding").cast("array<double>")) > 0
+    ).select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
@@ -380,7 +397,8 @@ WITH v AS (
 ),
 q AS (
     SELECT vec_id, scale,
-           list_transform(e, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT)) AS qv
+           list_transform(e, x -> CAST(COALESCE(
+               floor(x * 127.0 / nullif(scale, 0) + 0.5), 0) AS INT)) AS qv
     FROM v
 )
 SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
@@ -410,8 +428,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = with_scale.select(
         "vec_id",
         "scale",
+        # nullif/coalesce: a zero vector (scale 0) quantizes to all-zeros
+        # instead of crashing the job on ANSI DIVIDE_BY_ZERO
         F.transform(
-            "e", lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5).cast("int")
+            "e",
+            lambda x: F.coalesce(
+                F.floor(x * 127.0 / F.nullif(F.col("scale"), F.lit(0.0)) + 0.5),
+                F.lit(0),
+            ).cast("int"),
         ).alias("qv"),
     )
     return q.select(
