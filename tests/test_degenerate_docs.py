@@ -129,3 +129,40 @@ def test_degenerate_corpus_parity(spark, degenerate_dir, name):
     else:
         # rows-only queries: must at least evaluate without error
         queries[name](spark, degenerate_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def empty_docs_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("empty_docs_sf")
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    pq.write_table(schema.empty_table(), os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_empty_corpus_is_total(spark, empty_docs_dir, name):
+    """Zero-row input (a routine empty partition at scale) must evaluate
+    to a well-defined (usually empty) result, never error."""
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    got = queries[name](spark, empty_docs_dir)
+    rows = got.count()
+    if name in oracles:
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{empty_docs_dir}/documents.parquet')"
+        )
+        want = con.sql(oracles[name]).df()
+        con.close()
+        assert rows == want.shape[0], (name, rows, want.shape[0])

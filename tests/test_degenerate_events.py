@@ -109,3 +109,38 @@ def _compare_events_only(name, spark, sf_dir):
 @pytest.mark.parametrize("name", EVENT_QUERIES)
 def test_degenerate_events_parity(spark, degenerate_events_dir, name):
     _compare_events_only(name, spark, degenerate_events_dir)
+
+
+@pytest.fixture(scope="module")
+def empty_events_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("empty_events_sf")
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(schema.empty_table(), os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_empty_events_is_total(spark, empty_events_dir, name):
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    rows = queries[name](spark, empty_events_dir).count()
+    if name in oracles:
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS "
+            f"SELECT * FROM read_parquet('{empty_events_dir}/events.parquet')"
+        )
+        want = con.sql(oracles[name]).df()
+        con.close()
+        assert rows == want.shape[0], (name, rows, want.shape[0])
