@@ -91,6 +91,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_session_windows",
     "streaming_tumbling_drain",
     "null_semantics_audit",
+    "dedup_substring_spans",
+    "dedup_containment_pairs",
+    "text_charclass_profile",
+    "streaming_outer_join_unmatched",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

@@ -99,6 +99,9 @@ HEADLINE = [
     "heavy_hitters_cms",
     "bloom_novelty_probe",
     "calendar_spine_monthly",
+    "dedup_substring_spans",
+    "dedup_containment_pairs",
+    "text_charclass_profile",
 ]
 
 

@@ -605,3 +605,154 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_members").alias("n_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (token-window form of Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+W_SUB = 8  # window width in tokens (the paper's 50-char spans, token form)
+
+_SUBSTR_ORACLE = f"""
+WITH {CORPUS_SQL},
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus
+),
+wins AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - {W_SUB - 2}),
+        i -> {" || ' ' || ".join(f"t[i+{j}]" for j in range(W_SUB)).replace("t[i+0]", "t[i]")}
+    ))) AS win
+    FROM toks WHERE len(t) >= {W_SUB}
+),
+hashed AS (SELECT doc_id, {_H_SQL.format(seed=77, col='win')} AS wh FROM wins),
+dup AS (SELECT wh FROM hashed GROUP BY wh HAVING count(*) >= 2),
+perdoc AS (SELECT doc_id, count(*) AS n_windows FROM hashed GROUP BY doc_id),
+dupdoc AS (
+    SELECT h.doc_id, count(*) AS n_dup_windows
+    FROM hashed h JOIN dup d USING (wh) GROUP BY h.doc_id
+)
+SELECT p.doc_id, p.n_windows,
+       coalesce(dd.n_dup_windows, 0) AS n_dup_windows,
+       CAST(coalesce(dd.n_dup_windows, 0) AS DOUBLE) / p.n_windows AS dup_fraction
+FROM perdoc p LEFT JOIN dupdoc dd USING (doc_id)
+"""
+
+
+@query("dedup_substring_spans", oracle=_SUBSTR_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (token-window form of suffix
+    dedup, Lee et al. 2022): every distinct 8-token window per document, a
+    window is *duplicated* when it occurs in ≥2 documents, and each doc
+    reports its duplicated-window fraction — the per-doc signal used to
+    trim boilerplate/templated spans before training.
+
+    Scale shape: windows are reduced to a portable 60-bit seeded hash
+    BEFORE the shuffle (8-byte keys instead of ~50-char strings — the same
+    md5 family as MinHash, so the oracle reproduces them bit-for-bit), then
+    everything is hash-agg + one semi join on the hash: O(total windows),
+    never O(n²). At 100 TB the dup-window relation is the only wide state
+    and it shrinks with ``HAVING count >= 2``."""
+    from change_data_capture_spark.functions.text import shingles_from_tokens, tokens
+
+    c = corpus(spark, sf_dir)
+    hashed = (
+        c.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= W_SUB)
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("toks"), W_SUB)).alias("win"),
+        )
+        .select("doc_id", seeded_hash(F.col("win"), 77).alias("wh"))
+        .distinct()
+        .persist()
+    )
+    dup = (
+        hashed.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("wh")
+    )
+    per_doc = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_per_doc = (
+        hashed.join(dup, "wh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return per_doc.join(dup_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        (
+            F.coalesce("n_dup_windows", F.lit(0)).cast("double") / F.col("n_windows")
+        ).alias("dup_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment pairs (overlap coefficient)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+_CONTAIN_ORACLE = f"""
+WITH {CORPUS_SQL},
+{_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM doc_shingles a JOIN doc_shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n) THEN i.doc_a ELSE i.doc_b END AS doc_inner,
+       CASE WHEN sa.n < sb.n OR (sa.n = sb.n) THEN i.doc_b ELSE i.doc_a END AS doc_outer,
+       CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("dedup_containment_pairs", oracle=_CONTAIN_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT (overlap
+    coefficient |A∩B| / min(|A|,|B|) — the containment of the smaller doc
+    in the larger): catches a short document embedded inside a longer one,
+    which symmetric Jaccard misses entirely (a 50-token doc fully contained
+    in a 500-token doc has Jaccard ≈ 0.1 but containment 1.0). The fixture's
+    append-mutated near-dups score exactly 1.0 here.
+
+    Same inverted-index join shape as ``dedup_ngram_jaccard`` — candidates
+    are O(shingle collisions), never all-pairs; at scale the MinHash
+    band-filter composes in front of this verify unchanged."""
+    sh = doc_shingles(corpus(spark, sf_dir)).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    contain = F.col("n_common").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    small_first = F.col("sa.n") <= F.col("sb.n")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(contain >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.when(small_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_inner"),
+            F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_outer"),
+            contain.alias("containment"),
+        )
+    )

@@ -668,3 +668,69 @@ def corpus_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hh") % 8).alias("shard"),
         F.row_number().over(w).alias("pos_in_shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# character-class / script profile
+# ---------------------------------------------------------------------------
+
+_CHARCLASS_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+           length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+           length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')) AS n_space,
+           length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS n_nonascii
+    FROM documents
+)
+SELECT doc_id, n_chars, n_alpha, n_upper, n_digit, n_space, n_nonascii,
+       n_chars - n_alpha - n_digit - n_space - n_nonascii AS n_other_ascii,
+       CAST(n_alpha AS DOUBLE) / NULLIF(n_chars, 0) AS alpha_ratio,
+       CAST(n_upper AS DOUBLE) / NULLIF(n_alpha, 0) AS upper_ratio,
+       CAST(n_nonascii AS DOUBLE) / NULLIF(n_chars, 0) AS nonascii_ratio
+FROM t
+"""
+
+
+@query("text_charclass_profile", oracle=_CHARCLASS_ORACLE)
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class profile: alphabetic / uppercase / digit
+    / whitespace / non-ASCII counts and the derived ratios — the cheap
+    script-and-noise filter that runs before any tokenizer (high digit or
+    non-ASCII ratios flag tables, code dumps, and mis-decoded bytes; the
+    uppercase ratio flags shouting/boilerplate).
+
+    Scale shape: one codegen'd projection, zero shuffles — ``length`` minus
+    ``regexp_replace`` length stays JVM-side (both engines count Unicode
+    code points, so the oracle matches exactly); ratios are single int÷int
+    divisions (bit-identical IEEE doubles), NULL on empty denominators."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+
+    def _cnt(pat: str) -> F.Column:
+        return n_chars - F.length(F.regexp_replace("text", pat, ""))
+
+    n_alpha = _cnt("[A-Za-z]")
+    n_upper = _cnt("[A-Z]")
+    n_digit = _cnt("[0-9]")
+    n_space = _cnt("[ \\t\\n\\r]")
+    n_nonascii = _cnt("[^\\x00-\\x7F]")
+
+    def _ratio(num: F.Column, den: F.Column) -> F.Column:
+        return F.when(den > 0, num.cast("double") / den)
+
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_alpha.alias("n_alpha"),
+        n_upper.alias("n_upper"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        n_nonascii.alias("n_nonascii"),
+        (n_chars - n_alpha - n_digit - n_space - n_nonascii).alias("n_other_ascii"),
+        _ratio(n_alpha, n_chars).alias("alpha_ratio"),
+        _ratio(n_upper, n_alpha).alias("upper_ratio"),
+        _ratio(n_nonascii, n_chars).alias("nonascii_ratio"),
+    )

@@ -698,3 +698,113 @@ def _bind_tumbling_oracle() -> None:
 
 
 _bind_tumbling_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join, driver-gated (watermark-expiry NULL rows)
+# ---------------------------------------------------------------------------
+
+_OUTER_JOIN_ORACLE = """
+WITH v AS (
+    SELECT event_id AS view_id, user_id, ts AS v_ts
+    FROM events WHERE event_type = 'view'
+),
+b AS (
+    SELECT event_id AS buy_id, user_id, ts AS b_ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT v.view_id, v.user_id, b.buy_id
+FROM v LEFT JOIN b
+  ON v.user_id = b.user_id
+ AND b.b_ts >= v.v_ts
+ AND b.b_ts <= v.v_ts + INTERVAL 1 HOUR
+"""
+
+
+@query("streaming_outer_join_unmatched", oracle=_OUTER_JOIN_ORACLE)
+def streaming_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join, driver-checked: views and
+    purchases stream from the same file source in two micro-batches; a view
+    joins every purchase by the same user within the following hour, and a
+    view with NO such purchase must still be emitted (buy_id NULL) — which
+    Structured Streaming only does once the watermark passes the view's
+    join-window close, proving state-expiry semantics, not just matching.
+    A far-future sentinel row in the second slice pushes the final
+    watermark past every real window so the availableNow drain emits every
+    unmatched view; the result must equal the batch LEFT JOIN (the oracle).
+
+    Scale shape: join state is bounded to [watermark − 1 h] per side —
+    O(rate × bound), not O(stream); NULL-emission is exactly the state
+    eviction sweep, so it costs nothing extra. The sentinel is harness-only:
+    production streams never end, so their watermark always advances."""
+    import os
+    import time as _time
+    import uuid
+
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_soj_q_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = f"{ws}/slices"
+    os.makedirs(src)
+    events.coalesce(1).write.mode("overwrite").parquet(f"{ws}/real")
+    sentinel = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id, "
+        "timestamp'2100-01-01 00:00:00' AS ts, "
+        "CAST(-1 AS BIGINT) AS user_id, 'view' AS event_type "
+        "UNION ALL "
+        "SELECT CAST(-2 AS BIGINT), timestamp'2100-01-01 00:00:00', "
+        "CAST(-1 AS BIGINT), 'purchase'"
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{ws}/sent")
+    now = _time.time()
+    for i, stage in enumerate(("real", "sent")):
+        d = f"{ws}/{stage}"
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{src}/slice_{i}.parquet"
+        os.rename(f"{d}/{part}", dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 minute")
+    )
+    buys = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 minute")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("view_id", F.col("v_user").alias("user_id"), "buy_id")
+
+    sink = f"soj_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).where(F.col("user_id") >= 0)

@@ -42,6 +42,9 @@ ORACLE_CHECKED = [
     "ngram_novelty_score",
     "corpus_domain_mixing",
     "corpus_seeded_shuffle",
+    "dedup_substring_spans",
+    "dedup_containment_pairs",
+    "text_charclass_profile",
 ]
 
 
@@ -312,3 +315,49 @@ def test_decontamination_flags_injected_overlap(spark, tmp_path):
     }
     assert 8 in out and out[8] == (1, 1), out
     assert 21 not in out
+
+
+def test_substring_spans_replicas_fully_duplicated(spark, sf_dir):
+    """Exact replicas (doc_id%10==0 → +100000) share every 8-token window
+    with their original → dup_fraction must be exactly 1.0 on both rows."""
+    df = entrymod.queries()["dedup_substring_spans"](spark, sf_dir)
+    reps = df.where(F.col("doc_id") >= 100000).where(F.col("doc_id") < 200000)
+    rows = reps.collect()
+    assert rows, "no replica rows reported"
+    assert all(r.dup_fraction == 1.0 for r in rows)
+    # and a clean original (not a replica source, not a mutation source)
+    clean = df.where(
+        (F.col("doc_id") < 100000)
+        & (F.col("doc_id") % 10 != 0)
+        & (F.col("doc_id") % 7 != 0)
+    ).collect()
+    assert all(r.n_dup_windows <= r.n_windows for r in clean)
+
+
+def test_containment_catches_append_mutants(spark, sf_dir):
+    """The append-mutated near-dups (+200000, text + ' qq zz') fully contain
+    their original's shingle set → containment 1.0 with the original as the
+    inner (smaller) doc."""
+    df = entrymod.queries()["dedup_containment_pairs"](spark, sf_dir)
+    pairs = {(r.doc_inner, r.doc_outer): r.containment for r in df.collect()}
+    hits = [
+        c
+        for (inner, outer), c in pairs.items()
+        if outer == inner + 200000
+    ]
+    assert hits, "no (original, mutant) containment pair found"
+    assert all(c == 1.0 for c in hits)
+
+
+def test_charclass_partition_is_exhaustive(spark, sf_dir):
+    """Char classes partition the document: counts must sum to n_chars."""
+    df = entrymod.queries()["text_charclass_profile"](spark, sf_dir)
+    bad = df.where(
+        F.col("n_alpha")
+        + F.col("n_digit")
+        + F.col("n_space")
+        + F.col("n_nonascii")
+        + F.col("n_other_ascii")
+        != F.col("n_chars")
+    ).count()
+    assert bad == 0

@@ -198,3 +198,23 @@ def test_sequence_packing_single_global_window(spark, sf_dir):
     s = _stats(spark, sf_dir, "sequence_packing_bins")
     assert not s.has_cartesian and not s.has_bnlj
     assert s.parquet_scans == 1
+
+
+def test_substring_spans_is_hash_only(spark, sf_dir):
+    """Substring-span dedup must stay hash-agg + semi join on 8-byte window
+    hashes — no nested loop, no cartesian, and no raw-string shuffle key."""
+    s = _stats(spark, sf_dir, "dedup_substring_spans")
+    assert not s.has_bnlj and not s.has_cartesian, s.text
+
+
+def test_containment_is_inverted_index_join(spark, sf_dir):
+    """Containment pairs come from the shingle equi-join — never all-pairs."""
+    s = _stats(spark, sf_dir, "dedup_containment_pairs")
+    assert not s.has_bnlj and not s.has_cartesian, s.text
+
+
+def test_charclass_profile_is_pure_projection(spark, sf_dir):
+    """The char-class profile is a single codegen projection: zero shuffles."""
+    s = _stats(spark, sf_dir, "text_charclass_profile")
+    assert s.shuffle_exchanges == 0, s.text
+    assert s.parquet_scans == 1

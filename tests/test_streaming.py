@@ -23,6 +23,7 @@ from tests.oracle import compare
         "streaming_static_enrich",
         "streaming_session_windows",
         "streaming_tumbling_drain",
+        "streaming_outer_join_unmatched",
     ],
 )
 def test_streaming_oracle_parity(spark, sf_dir, name):
@@ -93,3 +94,23 @@ def test_streaming_session_window_runs(spark, sf_dir):
     assert out.count() > 0
     # session invariant: no session shorter than a single event, all counts >= 1
     assert out.where(F.col("n_events") < 1).count() == 0
+
+
+def test_outer_join_emits_unmatched_views(spark, sf_dir):
+    """The left-outer gate must actually exercise NULL-side emission: at
+    least one view with no purchase in its hour window lands with a NULL
+    buy_id (state-expiry sweep), and no view is lost."""
+    df = entrymod.queries()["streaming_outer_join_unmatched"](spark, sf_dir)
+    out = df.persist()
+    assert out.where(F.col("buy_id").isNull()).count() > 0
+    # every distinct view id present in the source must appear in the output
+    from change_data_capture_spark.sources.tables import load_table
+
+    views = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"))
+    )
+    missing = views.join(out.select("view_id").distinct(), "view_id", "left_anti").count()
+    assert missing == 0
+    out.unpersist()
