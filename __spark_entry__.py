@@ -95,6 +95,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_containment_pairs",
     "text_charclass_profile",
     "streaming_outer_join_unmatched",
+    "events_mad_robust_zscore",
+    "asof_join_next_order",
+    "dedup_minhash_incremental",
+    "streaming_update_mode_counts",
+    "events_markov_transitions",
+    "events_ohlc_bars",
+    "events_time_weighted_avg",
+    "embedding_random_projection",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

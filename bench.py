@@ -102,6 +102,13 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_containment_pairs",
     "text_charclass_profile",
+    "events_mad_robust_zscore",
+    "asof_join_next_order",
+    "dedup_minhash_incremental",
+    "events_markov_transitions",
+    "events_ohlc_bars",
+    "events_time_weighted_avg",
+    "embedding_random_projection",
 ]
 
 

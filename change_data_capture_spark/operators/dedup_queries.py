@@ -756,3 +756,124 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             contain.alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash-LSH maintenance: dedup a delta batch against the corpus
+# ---------------------------------------------------------------------------
+
+_DELTA_MOD = 3  # docs with doc_id % 3 == 0 form the "newly arrived" batch
+
+_MINHASH_INCR_ORACLE = f"""
+WITH {CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, n FROM signatures),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM candidates c
+    JOIN doc_shingles sa ON sa.doc_id = c.doc_a
+    JOIN doc_shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= {JACCARD_THRESHOLD}
+  AND (i.doc_a % {_DELTA_MOD} = 0 OR i.doc_b % {_DELTA_MOD} = 0)
+"""
+
+
+@query("dedup_minhash_incremental", oracle=_MINHASH_INCR_ORACLE)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup: a newly-arrived delta batch
+    (``doc_id % 3 == 0`` stands in for today's crawl) is near-dup-checked
+    against the full corpus WITHOUT recomputing the corpus — the operational
+    shape of dedup at 100 TB, where signatures live in a persisted store and
+    each ingest only pays for its own batch.
+
+    What is delta-sized here: shingling + signature computation runs on the
+    delta only; the base corpus contributes its (pre-existing) signature
+    relation — in production a parquet/Delta signature table, here derived
+    once and persisted to model the store. Candidate generation is
+    delta_bands ⋈ all_bands on (band, sig) — O(delta collisions), never
+    corpus × corpus. Exact-Jaccard verification then touches ONLY matched
+    base docs (the join itself is the semi-filter). The oracle is the full
+    LSH recompute restricted to pairs involving a delta doc — banding is
+    deterministic (seeded md5), so incremental and full answers must agree
+    bit-for-bit."""
+    c = corpus(spark, sf_dir)
+    is_delta = F.col("doc_id") % _DELTA_MOD == 0
+    sh_all = doc_shingles(c).persist()
+
+    def _signatures(sh: DataFrame) -> DataFrame:
+        return sh.groupBy("doc_id").agg(
+            *[
+                F.min(seeded_hash(F.col("shingle"), i)).alias(f"h{i}")
+                for i in range(N_PERMS)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        return reduce(
+            DataFrame.unionAll,
+            [
+                sig.select(
+                    "doc_id",
+                    F.lit(b).alias("band"),
+                    F.concat_ws("_", f"h{2*b}", f"h{2*b+1}").alias("sig"),
+                )
+                for b in range(N_BANDS)
+            ],
+        )
+
+    # the "signature store": base signatures exist already (persisted);
+    # the delta's signatures are the only new signature computation
+    sig_all = _signatures(sh_all).persist()
+    delta_bands = _bands(sig_all.where(is_delta)).alias("a")
+    all_bands = _bands(sig_all).alias("b")
+
+    # delta × corpus band collision (a delta doc may pair with base OR with
+    # another delta doc; canonicalize to doc_a < doc_b and dedup collisions)
+    candidates = (
+        delta_bands.join(
+            all_bands,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = sig_all.select("doc_id", "n")
+    sa = sh_all.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh_all.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

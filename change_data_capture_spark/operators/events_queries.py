@@ -683,3 +683,270 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# forward as-of join with tolerance: next purchase within 1 hour of a view
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+SELECT v.event_id AS view_id, v.user_id, v.ts,
+       (SELECT b.event_id FROM events b
+         WHERE b.event_type = 'purchase'
+           AND b.user_id = v.user_id
+           AND b.ts >= v.ts
+           AND b.ts <= v.ts + INTERVAL 1 HOUR
+         ORDER BY b.ts, b.event_id LIMIT 1) AS next_purchase_id
+FROM events v
+WHERE v.event_type = 'view'
+"""
+
+
+@query("asof_join_next_order", oracle=_ASOF_FWD_ORACLE)
+def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance bound: each view event picks the
+    SAME USER\'s nearest following purchase, but only within 1 hour (past
+    the tolerance the match is NULL). The single-nearest-match twin of
+    ``streaming_stream_stream_join`` (which emits ALL purchases in the
+    window) and the direction-mirror of ``asof_join_last_order``.
+
+    Same union-and-carry rewrite, reversed: one (user, time)-DESCENDING
+    window scan carries the nearest following purchase backward onto each
+    view; purchases at the exact view timestamp sort ahead of the view in
+    the scan so ">= ts" is inclusive, and among simultaneous purchases
+    event_id DESC makes the carried row the (ts, event_id)-minimum — the
+    same deterministic tie the oracle\'s ORDER BY ts, event_id LIMIT 1
+    states. The tolerance is a post-carry filter. One shuffle on user_id,
+    no nested loop, no per-row subquery — at 100 TB this is a single
+    sort-within-partition pass."""
+    e = load_table(spark, sf_dir, "events")
+    b_side = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.struct(F.col("ts").alias("b_ts"), F.col("event_id").alias("buy_id")).alias(
+            "purch"
+        ),
+        F.col("event_id"),
+        F.lit(0).alias("is_view"),
+    )
+    v_side = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<b_ts:timestamp,buy_id:bigint>")
+        .alias("purch"),
+        F.col("event_id"),
+        F.lit(1).alias("is_view"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "is_view", F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        b_side.unionByName(v_side)
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            "ts",
+            "is_view",
+            F.last("purch", ignorenulls=True).over(w).alias("nxt"),
+        )
+        .where(F.col("is_view") == 1)
+    )
+    within = F.col("nxt.b_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    return carried.select(
+        "view_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("nxt.buy_id")).alias("next_purchase_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event-type sequences
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+           / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS prob
+FROM trans
+"""
+
+
+@query("events_markov_transitions", oracle=_MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: P(next event
+    type | current event type), estimated over every consecutive pair in
+    each user's time-ordered event sequence — the user-behavior model
+    behind next-action prediction and funnel-drop diagnosis.
+
+    One user_id window pass builds the pairs (lag — no self-join of the
+    event log), one hash agg counts them; the row-probability denominator
+    is a window over the TINY transition matrix (|types|² rows), not the
+    events. Exact: integer counts, one int÷int division."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wp)
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: open/high/low/close aggregation per (user, hour)
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH cents AS (
+    SELECT user_id, date_trunc('hour', ts) AS bar_hour, ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id, bar_hour
+                              ORDER BY ts, event_id) AS rn_open,
+           row_number() OVER (PARTITION BY user_id, bar_hour
+                              ORDER BY ts DESC, event_id DESC) AS rn_close
+    FROM cents
+)
+SELECT user_id, bar_hour,
+       CAST(CAST(SUM(CASE WHEN rn_open  = 1 THEN v END) AS BIGINT) AS DOUBLE) / 100 AS open,
+       CAST(max(v) AS DOUBLE) / 100 AS high,
+       CAST(min(v) AS DOUBLE) / 100 AS low,
+       CAST(CAST(SUM(CASE WHEN rn_close = 1 THEN v END) AS BIGINT) AS DOUBLE) / 100 AS close,
+       count(*) AS n_events
+FROM r
+GROUP BY user_id, bar_hour
+"""
+
+
+@query("events_ohlc_bars", oracle=_OHLC_ORACLE)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars — the classic financial downsample — per (user,
+    hour): first/last value by event time (deterministic (ts, event_id)
+    tie), plus min/max and the bar's event count.
+
+    Open/close come from two row_number windows over the SAME (user, hour)
+    partitioning the final agg uses, so the whole query is one shuffle; no
+    per-group arrays, no self-joins. Integer cents end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("bar_hour"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    wa = Window.partitionBy("user_id", "bar_hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bar_hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = cents.select(
+        "user_id",
+        "bar_hour",
+        "v",
+        F.row_number().over(wa).alias("rn_open"),
+        F.row_number().over(wd).alias("rn_close"),
+    )
+    return r.groupBy("user_id", "bar_hour").agg(
+        (
+            F.sum(F.when(F.col("rn_open") == 1, F.col("v"))).cast("double") / 100
+        ).alias("open"),
+        (F.max("v").cast("double") / 100).alias("high"),
+        (F.min("v").cast("double") / 100).alias("low"),
+        (
+            F.sum(F.when(F.col("rn_close") == 1, F.col("v"))).cast("double") / 100
+        ).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value (TWAP) per user-day
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH cents AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+spans AS (
+    SELECT user_id, d, v,
+           epoch_ms(lead(ts) OVER (PARTITION BY user_id, d ORDER BY ts, event_id))
+               - epoch_ms(ts) AS dt_ms
+    FROM cents
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       count(*) AS n_spans,
+       CAST(CAST(SUM(v * dt_ms) AS BIGINT) AS DOUBLE)
+           / CAST(SUM(dt_ms) AS BIGINT) / 100 AS twap
+FROM spans
+WHERE dt_ms IS NOT NULL AND dt_ms > 0
+GROUP BY user_id, d
+"""
+
+
+@query("events_time_weighted_avg", oracle=_TWAP_ORACLE)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation is weighted by how
+    long it was the latest value (time to the next event in the same
+    user-day) — the correct average for irregularly sampled series, where
+    the arithmetic mean over-weights bursts.
+
+    One (user, day) window pass computes span lengths (LEAD), one agg
+    divides exact integer Σ(v·dt) by Σ(dt) — cents × milliseconds stay
+    far inside int64. Zero-length spans (same-timestamp events) carry no
+    weight and are dropped on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    spans = cents.select(
+        "user_id",
+        "d",
+        "v",
+        (F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")).alias("dt_ms"),
+    ).where(F.col("dt_ms").isNotNull() & (F.col("dt_ms") > 0))
+    return spans.groupBy(
+        "user_id", F.date_format("d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        (
+            F.sum(F.col("v") * F.col("dt_ms")).cast("double")
+            / F.sum("dt_ms")
+            / 100
+        ).alias("twap"),
+    )

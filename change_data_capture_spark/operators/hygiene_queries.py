@@ -630,3 +630,127 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("anchor_lang") == F.col("negative_lang")).alias("same_lang"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) anomaly flagging — the outlier-resistant twin of the
+# z-score monitor above
+# ---------------------------------------------------------------------------
+
+_MAD_K = 1.4826  # consistency constant: MAD × 1.4826 ≈ σ under normality
+_MAD_Z = 3.0
+
+_MAD_ORACLE = f"""
+WITH cents AS (
+    SELECT event_id, user_id, ts, event_type,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+r1 AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM cents
+),
+med AS (
+    SELECT user_id,
+           CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / count(*) AS med
+    FROM r1
+    WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+       OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+    GROUP BY user_id
+),
+dev AS (
+    SELECT c.event_id, c.user_id, abs(CAST(c.v AS DOUBLE) - m.med) AS d
+    FROM cents c JOIN med m USING (user_id)
+),
+r2 AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY d, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM dev
+),
+mad AS (
+    SELECT user_id, SUM(d) / count(*) AS mad
+    FROM r2
+    WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+       OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+    GROUP BY user_id
+)
+SELECT c.event_id, c.user_id, c.ts, c.event_type,
+       CAST(c.v AS DOUBLE) / 100 AS value,
+       m.med / 100 AS median_value,
+       (CAST(c.v AS DOUBLE) - m.med) / ({_MAD_K} * d.mad) AS robust_z
+FROM cents c
+JOIN med m USING (user_id)
+JOIN mad d USING (user_id)
+WHERE d.mad > 0
+  AND abs((CAST(c.v AS DOUBLE) - m.med) / ({_MAD_K} * d.mad)) > {_MAD_Z}
+"""
+
+
+@query("events_mad_robust_zscore", oracle=_MAD_ORACLE)
+def events_mad_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly flagging via median/MAD instead of mean/σ:
+    an event is anomalous when it sits more than 3 scaled-MADs from the
+    user's median — unlike ``events_anomaly_zscore``, the baseline itself
+    is immune to the outliers it hunts (one huge value inflates σ and masks
+    later anomalies; it moves the median by at most one rank).
+
+    Exact cross-engine medians WITHOUT any sort-the-whole-array step: the
+    median is read off the one or two middle ``row_number`` positions per
+    user (dual-position trick), so each phase is a user_id window + a tiny
+    grouped avg — the same single hash partitioning reused across both
+    median phases and the final join, no global sort, no per-group arrays.
+    All arithmetic is integer cents → a fixed IEEE double sequence, so the
+    DuckDB oracle matches bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).persist()
+
+    def _group_median(df: DataFrame, val: str) -> DataFrame:
+        """(user_id, med) — avg of the one/two middle values of ``val``."""
+        w = Window.partitionBy("user_id").orderBy(val, "event_id")
+        wc = Window.partitionBy("user_id")
+        r = df.select(
+            "user_id",
+            F.col(val).alias("x"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        lo = F.floor((F.col("n") + 1) / 2.0).cast("long")
+        hi = F.floor((F.col("n") + 2) / 2.0).cast("long")
+        return (
+            r.where((F.col("rn") == lo) | (F.col("rn") == hi))
+            .groupBy("user_id")
+            .agg(
+                (F.sum("x").cast("double") / F.count(F.lit(1))).alias("med")
+            )
+        )
+
+    med = _group_median(cents, "v")
+    dev = cents.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        F.abs(F.col("v").cast("double") - F.col("med")).alias("d"),
+    )
+    mad = _group_median(dev, "d").withColumnRenamed("med", "mad")
+
+    rz = (F.col("v").cast("double") - F.col("med")) / (F.lit(_MAD_K) * F.col("mad"))
+    return (
+        cents.join(med, "user_id")
+        .join(mad, "user_id")
+        .where((F.col("mad") > 0) & (F.abs(rz) > _MAD_Z))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            (F.col("v").cast("double") / 100).alias("value"),
+            (F.col("med") / 100).alias("median_value"),
+            rz.alias("robust_z"),
+        )
+    )

@@ -668,3 +668,72 @@ def kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("cluster_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (64 -> 8 dims, seeded ±1 matrix)
+# ---------------------------------------------------------------------------
+
+_RP_OUT_DIMS = 8
+_RP_IN_DIMS = 64
+
+
+def _rp_sign(j: int, i: int) -> float:
+    """±1 entry (j out-dim, i in-dim) of the projection matrix — parity of
+    the SAME seeded-md5 family the engine-side hashes use, so the oracle
+    reproduces the matrix bit-for-bit in SQL."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp|{j}|{i}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h & 1 else -1.0
+
+
+def _rp_oracle() -> str:
+    inv = "sqrt(8.0)"
+    cols = ",\n       ".join(
+        "(list_reduce(list_transform(range(1, 65), i -> "
+        "CAST(embedding[i] AS DOUBLE) * (CASE WHEN "
+        f"(CAST(('0x' || substr(md5('rp|{j}|' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1 "
+        "THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b) + 0.0) / "
+        f"{inv} AS y{j}"
+        for j in range(_RP_OUT_DIMS)
+    )
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
+@query("embedding_random_projection", oracle=_rp_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project 64-d
+    embeddings to 8-d with a seeded ±1/√k matrix (Achlioptas 2003 — the
+    database-friendly JL construction). Pairwise distances are preserved
+    within (1±ε) w.h.p., which is what makes 8-d LSH/IVF indexing honest;
+    the recall property is pinned in pytest against exact cosine ranks.
+
+    Scale shape: the projection matrix is 64×8 CONSTANTS baked into the
+    plan (computed driver-side from the portable seeded-md5 family — the
+    oracle recomputes every entry in SQL and must agree bit-for-bit), so
+    the whole operator is one codegen projection over the scan: zero
+    shuffles, zero UDFs, zero broadcast state. Each output dim folds its
+    multiply-accumulate left-to-right — the identical IEEE sequence in both
+    engines; the trailing ``+ 0.0`` canonicalizes -0.0 from zero vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cols = [
+        (
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(_rp_sign(j, i)) for i in range(_RP_IN_DIMS)]),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                + F.lit(0.0)
+            )
+            / F.sqrt(F.lit(8.0))
+        ).alias(f"y{j}")
+        for j in range(_RP_OUT_DIMS)
+    ]
+    return emb.select("vec_id", *cols)

@@ -808,3 +808,91 @@ def streaming_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(sink).where(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Update-output-mode streaming aggregation, driver-gated
+# ---------------------------------------------------------------------------
+
+_UPDATE_COUNTS_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(ts) AS first_ts,
+       max(ts) AS max_ts
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("streaming_update_mode_counts", oracle=_UPDATE_COUNTS_ORACLE)
+def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode, driver-checked: a running per-event-type
+    aggregate over a two-micro-batch stream emits a NEW VERSION of each
+    group's row in every batch that changes it (unlike append, which emits
+    once and only after finalization; unlike complete, which re-emits
+    everything). The memory sink therefore accumulates one row per
+    (group, updating batch); the gate reduces that update log to the final
+    state — counts and max-ts are monotonically non-decreasing and min-ts
+    non-increasing across updates, so max/max/min over the log IS the last
+    version — and the result must equal the batch GROUP BY (the oracle).
+
+    Scale shape: state is one row per group (event_type — bounded domain);
+    an unbounded-key workload would add a watermarked window exactly like
+    ``streaming_tumbling_drain``. The update log itself is what a
+    changelog-consuming sink (Kafka compacted topic, key-value store)
+    ingests in production — reducing it here stands in for the store's
+    last-write-wins compaction."""
+    import os
+    import time as _time
+    import uuid
+
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_upd_q_")
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    src = f"{ws}/slices"
+    os.makedirs(src)
+    # two halves by event id — both batches update most groups
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{ws}/h0")
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{ws}/h1")
+    now = _time.time()
+    for i in (0, 1):
+        d = f"{ws}/h{i}"
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{src}/slice_{i}.parquet"
+        os.rename(f"{d}/{part}", dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    sink = f"upd_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last-write-wins compaction of the update log (monotone per column)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("max_ts").alias("max_ts"),
+        )
+    )

@@ -19,6 +19,7 @@ ORACLE_CHECKED = [
     "url_domain_stats",
     "corpus_hash_weighted_sample",
     "events_anomaly_zscore",
+    "events_mad_robust_zscore",
     "merge_scd1_customer",
 ]
 
@@ -175,3 +176,12 @@ def test_merge_null_key_and_insert_condition(spark):
     assert got[1] == "one" and got[2] == "two2"
     # op='i' inserted; op='x' source-only row dropped by the condition
     assert got[3] == "three" and 4 not in got
+
+
+def test_mad_robust_zscore_flags_and_bounds(spark, sf_dir):
+    """Robust anomalies exist in the fixture and every flagged event is
+    really beyond 3 scaled-MADs of its user's median."""
+    df = entrymod.queries()["events_mad_robust_zscore"](spark, sf_dir)
+    rows = df.collect()
+    assert rows, "fixture should contain robust anomalies"
+    assert all(abs(r.robust_z) > 3.0 for r in rows)

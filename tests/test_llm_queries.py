@@ -44,6 +44,8 @@ ORACLE_CHECKED = [
     "corpus_seeded_shuffle",
     "dedup_substring_spans",
     "dedup_containment_pairs",
+    "dedup_minhash_incremental",
+    "embedding_random_projection",
     "text_charclass_profile",
 ]
 
@@ -361,3 +363,41 @@ def test_charclass_partition_is_exhaustive(spark, sf_dir):
         != F.col("n_chars")
     ).count()
     assert bad == 0
+
+
+def test_incremental_minhash_equals_full_recompute_slice(spark, sf_dir):
+    """The incremental (delta-vs-corpus) answer must be exactly the full
+    MinHash-LSH answer restricted to pairs touching a delta doc — banding
+    is deterministic, so incremental maintenance loses nothing."""
+    q = entrymod.queries()
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q["dedup_minhash_lsh"](spark, sf_dir).collect()
+        if r.doc_a % 3 == 0 or r.doc_b % 3 == 0
+    }
+    incr = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q["dedup_minhash_incremental"](spark, sf_dir).collect()
+    }
+    assert incr == full
+
+
+def test_random_projection_preserves_norms_on_average(spark, sf_dir):
+    """JL with a ±1/√k matrix is an unbiased norm estimator: per-vector
+    ||y||²/||x||² is noisy at k=8 (rel-std ≈ 0.5), but the corpus mean must
+    concentrate near 1 (CLT: std ≈ 0.5/√500 ≈ 0.022)."""
+    from change_data_capture_spark.sources.tables import load_table
+
+    df = entrymod.queries()["embedding_random_projection"](spark, sf_dir)
+    ny = sum(F.col(f"y{j}") * F.col(f"y{j}") for j in range(8))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.aggregate(
+            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("nx"),
+    )
+    j = df.select("vec_id", ny.alias("ny")).join(emb, "vec_id").where(F.col("nx") > 0)
+    row = j.agg(F.avg(F.col("ny") / F.col("nx")).alias("r")).collect()[0]
+    assert 0.85 <= row.r <= 1.15, row.r

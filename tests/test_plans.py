@@ -218,3 +218,38 @@ def test_charclass_profile_is_pure_projection(spark, sf_dir):
     s = _stats(spark, sf_dir, "text_charclass_profile")
     assert s.shuffle_exchanges == 0, s.text
     assert s.parquet_scans == 1
+
+
+def test_mad_zscore_no_global_window(spark, sf_dir):
+    """Both median phases partition by user_id — a global (unpartitioned)
+    window would be a single-task sort at scale."""
+    s = _stats(spark, sf_dir, "events_mad_robust_zscore")
+    assert "windowspecdefinition(user_id" in s.text or "PARTITION BY" not in s.text
+    assert not s.has_bnlj and not s.has_cartesian
+
+
+def test_asof_next_order_single_pattern(spark, sf_dir):
+    """Forward as-of must stay the union-and-carry shape: no nested loop,
+    no cartesian — one user_id-keyed window pass."""
+    s = _stats(spark, sf_dir, "asof_join_next_order")
+    assert not s.has_bnlj and not s.has_cartesian, s.text
+
+
+def test_incremental_minhash_no_bnlj(spark, sf_dir):
+    """Delta-vs-corpus candidates come from the (band,sig) equi join."""
+    s = _stats(spark, sf_dir, "dedup_minhash_incremental")
+    assert not s.has_bnlj and not s.has_cartesian, s.text
+
+
+def test_random_projection_is_pure_projection(spark, sf_dir):
+    """The JL matrix is plan constants: one scan, zero shuffles."""
+    s = _stats(spark, sf_dir, "embedding_random_projection")
+    assert s.shuffle_exchanges == 0, s.text
+    assert s.parquet_scans == 1
+
+
+def test_ohlc_single_shuffle(spark, sf_dir):
+    """Both row_number windows and the final agg share one (user, hour)
+    hash partitioning — the whole candle query is a single exchange."""
+    s = _stats(spark, sf_dir, "events_ohlc_bars")
+    assert s.shuffle_exchanges == 1, s.text

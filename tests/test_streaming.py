@@ -24,6 +24,7 @@ from tests.oracle import compare
         "streaming_session_windows",
         "streaming_tumbling_drain",
         "streaming_outer_join_unmatched",
+        "streaming_update_mode_counts",
     ],
 )
 def test_streaming_oracle_parity(spark, sf_dir, name):
