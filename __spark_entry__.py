@@ -103,6 +103,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_ohlc_bars",
     "events_time_weighted_avg",
     "embedding_random_projection",
+    "text_commonness_score",
+    "text_feature_hashing",
+    "corpus_temperature_weights",
+    "late_arriving_dim_inferred",
+    "streaming_complete_mode_topk",
+    "events_top_paths",
+    "ab_test_welch",
+    "dedup_threshold_sweep",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

@@ -109,6 +109,9 @@ HEADLINE = [
     "events_ohlc_bars",
     "events_time_weighted_avg",
     "embedding_random_projection",
+    "text_commonness_score",
+    "text_feature_hashing",
+    "late_arriving_dim_inferred",
 ]
 
 

@@ -877,3 +877,150 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate-recall sweep: measured quality of the banding scheme
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+_SWEEP_ORACLE = f"""
+WITH {CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, n FROM signatures),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM doc_shingles a JOIN doc_shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS j,
+           (c.doc_a IS NOT NULL) AS in_lsh
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    LEFT JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+)
+SELECT t.threshold,
+       CAST(SUM(CASE WHEN p.j >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_pairs,
+       CAST(SUM(CASE WHEN p.j >= t.threshold AND p.in_lsh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lsh_caught,
+       CAST(SUM(CASE WHEN p.j >= t.threshold AND p.in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
+           / NULLIF(SUM(CASE WHEN p.j >= t.threshold THEN 1 ELSE 0 END), 0)
+           AS recall
+FROM (SELECT unnest(ARRAY[{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS threshold) t
+CROSS JOIN pairs p
+GROUP BY t.threshold
+"""
+
+
+@query("dedup_threshold_sweep", oracle=_SWEEP_ORACLE)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH quality curve: candidate-generation recall of the
+    4-band × 2-row MinHash scheme against ground-truth Jaccard, swept over
+    five thresholds — the evaluation a pipeline owner runs before trusting a
+    banding configuration at corpus scale (the S-curve says recall should
+    climb toward 1 as the threshold rises; the sweep MEASURES it on real
+    data instead of trusting the formula).
+
+    The exact-pair relation is the inverted-index join (the ground truth
+    that exists at fixture scale precisely to audit the scale path); the
+    LSH set is the banded candidate relation. One LEFT join flags
+    membership, one conditional agg scores every threshold in a single
+    pass — thresholds are plan constants, not data."""
+    sh = doc_shingles(corpus(spark, sf_dir)).persist()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(seeded_hash(F.col("shingle"), i)).alias(f"h{i}")
+            for i in range(N_PERMS)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).persist()
+    bands = reduce(
+        DataFrame.unionAll,
+        [
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", f"h{2*b}", f"h{2*b+1}").alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ],
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.sig") == F.col("bb.sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("in_lsh", F.lit(True))
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sig.select("doc_id", "n")
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    pairs = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(cand, ["doc_a", "doc_b"], "left")
+        .select(
+            jac.alias("j"), F.coalesce("in_lsh", F.lit(False)).alias("in_lsh")
+        )
+    )
+    # ONE aggregation pass scores every threshold (conditional sums), then a
+    # stack() unpivots the 1×2k row — the pair relation is scanned once.
+    aggs = []
+    for idx, t in enumerate(_SWEEP_THRESHOLDS):
+        aggs.append(
+            F.sum(F.when(F.col("j") >= t, 1).otherwise(0)).alias(f"true_{idx}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("j") >= t, F.when(F.col("in_lsh"), 1).otherwise(0)
+                ).otherwise(0)
+            ).alias(f"caught_{idx}")
+        )
+    onerow = pairs.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), true_{i}, caught_{i}"
+        for i, t in enumerate(_SWEEP_THRESHOLDS)
+    )
+    swept = onerow.selectExpr(
+        f"stack({len(_SWEEP_THRESHOLDS)}, {stack_args}) AS "
+        "(threshold, n_true_pairs, n_lsh_caught)"
+    )
+    return swept.select(
+        "threshold",
+        "n_true_pairs",
+        "n_lsh_caught",
+        (
+            F.col("n_lsh_caught").cast("double")
+            / F.nullif(F.col("n_true_pairs"), F.lit(0))
+        ).alias("recall"),
+    )

@@ -950,3 +950,135 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# top 3-step user journeys (sequential pattern counting)
+# ---------------------------------------------------------------------------
+
+_TOP_PATHS = 20
+
+_PATHS_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type AS t1,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+           lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+    FROM events
+)
+SELECT t1, t2, t3, count(*) AS n_paths
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n_paths DESC, t1, t2, t3
+LIMIT {_TOP_PATHS}
+"""
+
+
+@query("events_top_paths", oracle=_PATHS_ORACLE)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step user journeys: every consecutive (t, t+1, t+2)
+    event-type triple per user, counted corpus-wide — the sequential
+    pattern behind "what do users do right before churning/buying". The
+    higher-order companion of ``events_markov_transitions``.
+
+    One user_id window pass materializes the triples with two LEADs (the
+    event log is never self-joined), one hash agg counts them, and the
+    top-k compiles to TakeOrderedAndProject with full deterministic
+    tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "t1", "t2", "t3")
+        .limit(_TOP_PATHS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B test: Welch's t statistic per event type from exact partial sums
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH cents AS (
+    SELECT event_type, user_id % 2 AS grp,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+sums AS (
+    SELECT event_type, grp, count(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS s1,
+           CAST(SUM(v * v) AS BIGINT) AS s2
+    FROM cents GROUP BY event_type, grp
+),
+stats AS (
+    SELECT event_type, grp, n,
+           CAST(s1 AS DOUBLE) / n AS mean_v,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var_v
+    FROM sums WHERE n >= 2
+)
+SELECT a.event_type,
+       a.n AS n_a, b.n AS n_b,
+       a.mean_v / 100 AS mean_a, b.mean_v / 100 AS mean_b,
+       (a.mean_v - b.mean_v) / sqrt(a.var_v / a.n + b.var_v / b.n) AS t_stat,
+       ((a.var_v / a.n + b.var_v / b.n) * (a.var_v / a.n + b.var_v / b.n))
+           / ((a.var_v / a.n) * (a.var_v / a.n) / (a.n - 1)
+              + (b.var_v / b.n) * (b.var_v / b.n) / (b.n - 1)) AS welch_df
+FROM stats a JOIN stats b USING (event_type)
+WHERE a.grp = 0 AND b.grp = 1
+"""
+
+
+@query("ab_test_welch", oracle=_WELCH_ORACLE)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t statistic and
+    Welch–Satterthwaite degrees of freedom per event type, with users split
+    into arms by id parity (the deterministic stand-in for an assignment
+    table). This is the analysis a growth team runs on every experiment —
+    and the classic case where pooled-variance t silently lies when arms
+    differ in spread.
+
+    Exactness: each arm reduces to integer (n, Σv, Σv²) partial sums —
+    exact in any aggregation order — then one fixed IEEE sequence produces
+    mean/var/t/df, so the oracle matches bit-for-bit. One shuffle
+    (event_type × 2 arms), a self-join over a |types|-sized relation."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    sums = cents.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    mean_v = F.col("s1").cast("double") / F.col("n")
+    var_v = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = sums.where(F.col("n") >= 2).select(
+        "event_type", "grp", "n", mean_v.alias("mean_v"), var_v.alias("var_v")
+    )
+    a = stats.where(F.col("grp") == 0).alias("a")
+    b = stats.where(F.col("grp") == 1).alias("b")
+    va_n = F.col("a.var_v") / F.col("a.n")
+    vb_n = F.col("b.var_v") / F.col("b.n")
+    t_stat = (F.col("a.mean_v") - F.col("b.mean_v")) / F.sqrt(va_n + vb_n)
+    welch_df = ((va_n + vb_n) * (va_n + vb_n)) / (
+        va_n * va_n / (F.col("a.n") - 1) + vb_n * vb_n / (F.col("b.n") - 1)
+    )
+    return a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        (F.col("a.mean_v") / 100).alias("mean_a"),
+        (F.col("b.mean_v") / 100).alias("mean_b"),
+        t_stat.alias("t_stat"),
+        welch_df.alias("welch_df"),
+    )

@@ -176,3 +176,57 @@ def merge_scd1_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment": F.lit("UNKNOWN"),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# late-arriving dimension handling: inferred members
+# ---------------------------------------------------------------------------
+
+_INFERRED_ORACLE = """
+WITH known AS (
+    SELECT * FROM customer WHERE c_custkey % 20 <> 0
+),
+fact_keys AS (
+    SELECT o_custkey AS c_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT f.c_custkey,
+       coalesce(k.c_name, 'INFERRED#' || CAST(f.c_custkey AS VARCHAR)) AS c_name,
+       coalesce(k.c_nationkey, -1) AS c_nationkey,
+       (k.c_custkey IS NULL) AS is_inferred,
+       f.n_orders
+FROM fact_keys f LEFT JOIN known k USING (c_custkey)
+"""
+
+
+@query("late_arriving_dim_inferred", oracle=_INFERRED_ORACLE)
+def late_arriving_dim_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling (Kimball "inferred members"): facts
+    referencing a dimension key that has not arrived yet get a placeholder
+    dimension row (sentinel attributes, ``is_inferred`` flag) instead of
+    being dropped or failing the FK contract; the real row later overwrites
+    the placeholder via the same MERGE upsert (``merge_into`` above). Every
+    5% of customers (custkey % 20 == 0) stands in for the not-yet-arrived
+    slice — TPC-H is referentially intact, so the gap is constructed.
+
+    One fact-side key agg + one left join against the dimension; at scale
+    the unmatched-key relation is the (tiny) inferred-member delta that
+    feeds the dimension MERGE."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    known = c.where(F.col("c_custkey") % 20 != 0).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    fact_keys = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return fact_keys.join(known, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce(
+            "c_name",
+            F.concat(F.lit("INFERRED#"), F.col("c_custkey").cast("string")),
+        ).alias("c_name"),
+        F.coalesce("c_nationkey", F.lit(-1)).alias("c_nationkey"),
+        F.col("c_name").isNull().alias("is_inferred"),
+        "n_orders",
+    )

@@ -734,3 +734,181 @@ def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio(n_upper, n_alpha).alias("upper_ratio"),
         _ratio(n_nonascii, n_chars).alias("nonascii_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency commonness score (rare-token noise detector)
+# ---------------------------------------------------------------------------
+
+_COMMONNESS_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+),
+vocab AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(CAST(SUM(v.freq) AS BIGINT) AS DOUBLE) / count(*) AS avg_token_freq,
+       min(v.freq) AS min_token_freq
+FROM tok t JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
+@query("text_commonness_score", oracle=_COMMONNESS_ORACLE)
+def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency commonness scoring: each document's tokens are
+    scored by how often they occur in the WHOLE corpus; the per-doc mean
+    and minimum flag OCR garbage, mojibake, and synthetic noise (documents
+    whose tokens the corpus has never seen) without any external language
+    model — the exact-arithmetic stand-in for LM-perplexity filtering
+    (log-prob scoring is engine-libm-dependent; token frequencies are
+    integers).
+
+    Two hash shuffles: one vocabulary count (token-keyed, map-side
+    combined), one doc re-aggregation; the vocab→token join is key-local.
+    At 100 TB the vocabulary relation is Heaps-law sublinear in the corpus
+    and the hot top-K of it could broadcast — documented, not needed at
+    fixture scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("freq").cast("double") / F.count(F.lit(1))).alias(
+                "avg_token_freq"
+            ),
+            F.min("freq").alias("min_token_freq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# signed feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+_FH_DIMS = 16
+
+_FH_HASH = "CAST(('0x' || substr(md5('fh|' || token), 1, 15)) AS BIGINT)"
+
+_FEATURE_HASH_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           {_FH_HASH} % {_FH_DIMS} AS bucket,
+           CASE WHEN ({_FH_HASH} >> 4) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+    FROM tok
+)
+SELECT doc_id,
+       {", ".join(f"coalesce(CAST(SUM(CASE WHEN bucket = {j} THEN sgn END) AS BIGINT), 0) AS f{j}" for j in range(16))}
+FROM hashed
+GROUP BY doc_id
+"""
+
+
+@query("text_feature_hashing", oracle=_FEATURE_HASH_ORACLE)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (Weinberger et al. 2009 — the "hashing
+    trick"): every token folds into one of 16 buckets with a ±1 sign, so a
+    document becomes a fixed-width integer vector with NO vocabulary table
+    at all — the unsupervised featurization that scales to any corpus
+    because its only state is the hash function.
+
+    One explode + one conditional-sum agg (single shuffle on doc_id,
+    map-side combined). The seeded-md5 bucket/sign bits are the portable
+    hash family, so the oracle reproduces every vector exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    h = seeded_hash(F.col("token"), "fh")
+    hashed = tok.select(
+        "doc_id",
+        (h % _FH_DIMS).alias("bucket"),
+        F.when(h.bitwiseAND(F.lit(16)) != 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == j, F.col("sgn"))), F.lit(0)
+            ).alias(f"f{j}")
+            for j in range(_FH_DIMS)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixture weights (alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+_TEMPERATURE_ORACLE = """
+WITH per_source AS (
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
+    FROM documents GROUP BY source
+),
+denom AS (
+    SELECT list_reduce(
+               list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source),
+               (a, b) -> a + b) AS z,
+           CAST(SUM(n_docs) AS BIGINT) AS total_docs
+    FROM per_source
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       sqrt(CAST(p.n_tokens AS DOUBLE)) / d.z AS weight,
+       sqrt(CAST(p.n_tokens AS DOUBLE)) / d.z * d.total_docs AS expected_docs
+FROM per_source p CROSS JOIN denom d
+"""
+
+
+@query("corpus_temperature_weights", oracle=_TEMPERATURE_ORACLE)
+def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weighting (the multilingual-sampling rule,
+    α = 0.5): a source's training share is proportional to its token count
+    raised to α — up-weighting small sources without letting any giant
+    source dominate. α = 0.5 is implemented as ``sqrt``, which unlike
+    ``pow`` is IEEE-correctly-rounded in every libm, so the weights are
+    bit-identical cross-engine.
+
+    One source-level agg (tiny), then the normalizer folds the per-source
+    √tokens IN SOURCE-NAME ORDER (both engines fold the same sequence —
+    unordered SUM over doubles would not be reproducible), and a 1-row
+    broadcast joins it back."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+        )
+        .persist()
+    )
+    denom = per_source.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("source"), F.col("n_tokens").alias("t"))
+                    )
+                ),
+                lambda s: F.sqrt(s["t"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("z"),
+        F.sum("n_docs").alias("total_docs"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    return per_source.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        w.alias("weight"),
+        (w * F.col("total_docs")).alias("expected_docs"),
+    )

@@ -896,3 +896,79 @@ def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_ts").alias("max_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Complete-output-mode streaming aggregation, driver-gated
+# ---------------------------------------------------------------------------
+
+_COMPLETE_TOPK_ORACLE = """
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 5
+"""
+
+
+@query("streaming_complete_mode_topk", oracle=_COMPLETE_TOPK_ORACLE)
+def streaming_complete_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode, driver-checked — the third and last output
+    mode (append: emit-once-on-finalize, update: emit-changed-rows,
+    complete: re-emit the ENTIRE result every batch). Complete mode is the
+    only mode that allows a post-aggregation ORDER BY + LIMIT in a stream,
+    because the sink always holds a full consistent snapshot — so the gate
+    runs a streaming top-5-users-by-events leaderboard over two
+    micro-batches; the memory sink is truncated and rewritten per batch,
+    and the final snapshot must equal the batch TakeOrderedAndProject (the
+    oracle, with a deterministic user_id tiebreak).
+
+    Scale shape: complete mode re-emits O(result) per batch, so it is only
+    honest when the result is small — exactly the leaderboard case; the
+    unbounded-key form belongs to update mode + changelog compaction
+    (``streaming_update_mode_counts``)."""
+    import os
+    import time as _time
+    import uuid
+
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_cmp_q_")
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    src = f"{ws}/slices"
+    os.makedirs(src)
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{ws}/h0")
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{ws}/h1")
+    now = _time.time()
+    for i in (0, 1):
+        d = f"{ws}/h{i}"
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{src}/slice_{i}.parquet"
+        os.rename(f"{d}/{part}", dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    top = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(5)
+    )
+    sink = f"cmp_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        top.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -17,6 +17,8 @@ EVENTS = [
     "events_markov_transitions",
     "events_ohlc_bars",
     "events_time_weighted_avg",
+    "events_top_paths",
+    "ab_test_welch",
     "range_join_ship_window",
     "json_map_funcs",
     "map_transform_funcs",

@@ -21,6 +21,7 @@ ORACLE_CHECKED = [
     "events_anomaly_zscore",
     "events_mad_robust_zscore",
     "merge_scd1_customer",
+    "late_arriving_dim_inferred",
 ]
 
 

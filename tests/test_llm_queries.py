@@ -46,6 +46,10 @@ ORACLE_CHECKED = [
     "dedup_containment_pairs",
     "dedup_minhash_incremental",
     "embedding_random_projection",
+    "text_commonness_score",
+    "text_feature_hashing",
+    "corpus_temperature_weights",
+    "dedup_threshold_sweep",
     "text_charclass_profile",
 ]
 
@@ -401,3 +405,42 @@ def test_random_projection_preserves_norms_on_average(spark, sf_dir):
     j = df.select("vec_id", ny.alias("ny")).join(emb, "vec_id").where(F.col("nx") > 0)
     row = j.agg(F.avg(F.col("ny") / F.col("nx")).alias("r")).collect()[0]
     assert 0.85 <= row.r <= 1.15, row.r
+
+
+def test_temperature_weights_sum_to_one(spark, sf_dir):
+    """Mixture weights are a distribution and small sources are up-weighted
+    relative to their raw share (the point of alpha < 1)."""
+    rows = entrymod.queries()["corpus_temperature_weights"](spark, sf_dir).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-12
+    tot_tok = sum(r.n_tokens for r in rows)
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    assert smallest.weight > smallest.n_tokens / tot_tok
+
+
+def test_feature_hashing_bounds(spark, sf_dir):
+    """Per-doc |f_j| can never exceed the doc's token count, and the vector
+    is non-trivial for non-empty docs."""
+    df = entrymod.queries()["text_feature_hashing"](spark, sf_dir)
+    q = entrymod.queries()["token_counting"](spark, sf_dir).select(
+        "doc_id", "n_ws_tokens"
+    )
+    j = df.join(q, "doc_id")
+    cond = None
+    for k in range(16):
+        c = F.abs(F.col(f"f{k}")) > F.col("n_ws_tokens")
+        cond = c if cond is None else (cond | c)
+    assert j.where(cond).count() == 0
+
+
+def test_threshold_sweep_recall_monotone_and_consistent(spark, sf_dir):
+    """Candidate recall rises (weakly) with the threshold and the 0.6 row
+    agrees with the verified LSH pipeline's own pair count."""
+    rows = {
+        r.threshold: r
+        for r in entrymod.queries()["dedup_threshold_sweep"](spark, sf_dir).collect()
+    }
+    ts = sorted(rows)
+    recalls = [rows[t].recall for t in ts if rows[t].recall is not None]
+    assert all(b >= a - 1e-12 for a, b in zip(recalls, recalls[1:])), recalls
+    lsh_pairs = entrymod.queries()["dedup_minhash_lsh"](spark, sf_dir).count()
+    assert rows[0.6].n_lsh_caught == lsh_pairs

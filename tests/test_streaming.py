@@ -25,6 +25,7 @@ from tests.oracle import compare
         "streaming_tumbling_drain",
         "streaming_outer_join_unmatched",
         "streaming_update_mode_counts",
+        "streaming_complete_mode_topk",
     ],
 )
 def test_streaming_oracle_parity(spark, sf_dir, name):
