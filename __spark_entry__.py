@@ -111,6 +111,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_top_paths",
     "ab_test_welch",
     "dedup_threshold_sweep",
+    "events_time_to_convert",
+    "corpus_exact_k_sample",
+    "corpus_pipeline_end_to_end",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

@@ -112,6 +112,11 @@ HEADLINE = [
     "text_commonness_score",
     "text_feature_hashing",
     "late_arriving_dim_inferred",
+    "events_top_paths",
+    "ab_test_welch",
+    "dedup_threshold_sweep",
+    "events_time_to_convert",
+    "corpus_pipeline_end_to_end",
 ]
 
 

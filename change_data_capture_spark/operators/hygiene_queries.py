@@ -754,3 +754,150 @@ def events_mad_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             rz.alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exactly-k uniform sample via order statistics of a content hash
+# ---------------------------------------------------------------------------
+
+_K_SAMPLE = 100
+
+_EXACT_K_ORACLE = f"""
+SELECT doc_id, lang, source,
+       CAST(('0x' || substr(md5('ksample|' || CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) AS draw
+FROM documents
+ORDER BY draw, doc_id
+LIMIT {_K_SAMPLE}
+"""
+
+
+@query("corpus_exact_k_sample", oracle=_EXACT_K_ORACLE)
+def corpus_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k uniform sampling via order statistics of a seeded content
+    hash: the k smallest hash draws are a uniform k-subset, deterministic
+    and append/repartition-stable — what Bernoulli `sample()` (k only in
+    expectation) and `ORDER BY rand()` (irreproducible) both fail to give.
+
+    Compiles to TakeOrderedAndProject: each partition keeps its local
+    top-k, the driver merges k-sized heaps — no global sort at any scale.
+    The reservoir-sampling use case, distributed."""
+    d = load_table(spark, sf_dir, "documents")
+    draw = seeded_hash(F.col("doc_id").cast("string"), "ksample")
+    return (
+        d.select("doc_id", "lang", "source", draw.alias("draw"))
+        .orderBy("draw", "doc_id")
+        .limit(_K_SAMPLE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus pipeline disposition: filter -> dedup -> sample -> shard
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000, text || ' qq zz' FROM documents WHERE doc_id % 7 = 0
+),
+staged AS (
+    SELECT doc_id, text,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+               AS n_alpha,
+           length(text) AS n_chars,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           CAST(('0x' || substr(md5('psample|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS draw
+    FROM corpus
+),
+flagged AS (
+    SELECT *,
+           (n_tokens >= 30 AND n_alpha * 2 >= n_chars) AS quality_ok
+    FROM staged
+),
+canon AS (
+    SELECT fp, min(doc_id) AS canonical_doc_id
+    FROM flagged WHERE quality_ok GROUP BY fp
+)
+SELECT f.doc_id,
+       CASE
+         WHEN NOT f.quality_ok THEN 'filtered_quality'
+         WHEN f.doc_id <> c.canonical_doc_id THEN 'removed_duplicate'
+         WHEN f.draw % 100 >= 80 THEN 'sampled_out'
+         ELSE 'kept'
+       END AS disposition,
+       CASE
+         WHEN f.quality_ok AND f.doc_id = c.canonical_doc_id
+              AND f.draw % 100 < 80
+         THEN f.draw % 8
+       END AS shard
+FROM flagged f LEFT JOIN canon c USING (fp)
+"""
+
+
+@query("corpus_pipeline_end_to_end", oracle=_PIPELINE_ORACLE)
+def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as one composed query — every doc
+    gets a final disposition: quality-filtered out (length + alpha-ratio
+    gates), removed as a non-canonical exact duplicate, hash-sampled out
+    (80% keep), or KEPT with its training shard. This is the end-to-end
+    shape a real corpus build runs nightly; each stage is an operator the
+    repo gates individually (charclass/quality → exact dedup → weighted
+    sample → seeded shard), composed here to prove they pipeline without
+    materialization barriers.
+
+    One projection computes all stage signals, one fingerprint agg
+    canonicalizes (only quality survivors compete — the stage order
+    matters and is mirrored in the oracle), one key-local join assigns
+    dispositions: two shuffles total at any corpus size. Runs on the
+    augmented corpus so the dedup stage has real work."""
+    from change_data_capture_spark.operators.dedup_queries import corpus
+
+    c = corpus(spark, sf_dir)
+    from change_data_capture_spark.functions.text import (
+        fingerprint,
+        tokens,
+    )
+
+    n_chars = F.length("text")
+    n_alpha = n_chars - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    staged = c.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        n_alpha.alias("n_alpha"),
+        n_chars.alias("n_chars"),
+        fingerprint(F.col("text")).alias("fp"),
+        seeded_hash(F.col("doc_id").cast("string"), "psample").alias("draw"),
+    )
+    flagged = staged.select(
+        "doc_id",
+        "fp",
+        "draw",
+        (
+            (F.col("n_tokens") >= 30) & (F.col("n_alpha") * 2 >= F.col("n_chars"))
+        ).alias("quality_ok"),
+    )
+    canon = (
+        flagged.where("quality_ok")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"))
+    )
+    j = flagged.join(canon, "fp", "left")
+    kept = (
+        F.col("quality_ok")
+        & (F.col("doc_id") == F.col("canonical_doc_id"))
+        & (F.col("draw") % 100 < 80)
+    )
+    return j.select(
+        "doc_id",
+        F.when(~F.col("quality_ok"), F.lit("filtered_quality"))
+        .when(F.col("doc_id") != F.col("canonical_doc_id"), F.lit("removed_duplicate"))
+        .when(F.col("draw") % 100 >= 80, F.lit("sampled_out"))
+        .otherwise(F.lit("kept"))
+        .alias("disposition"),
+        F.when(kept, F.col("draw") % 8).alias("shard"),
+    )

@@ -81,6 +81,17 @@ DOC_QUERIES = [
     "sequence_packing_sharded",
     "corpus_domain_mixing",
     "corpus_seeded_shuffle",
+    # round-3 session-2 additions with total semantics (the shingle-pair
+    # family — containment/threshold-sweep/incremental-minhash — shares its
+    # siblings' documented k-gram minimum-length precondition and is
+    # excluded like them)
+    "text_charclass_profile",
+    "text_commonness_score",
+    "text_feature_hashing",
+    "corpus_temperature_weights",
+    "dedup_substring_spans",
+    "corpus_exact_k_sample",
+    "corpus_pipeline_end_to_end",
 ]
 
 _DEGENERATES = [

@@ -19,6 +19,7 @@ EVENTS = [
     "events_time_weighted_avg",
     "events_top_paths",
     "ab_test_welch",
+    "events_time_to_convert",
     "range_join_ship_window",
     "json_map_funcs",
     "map_transform_funcs",

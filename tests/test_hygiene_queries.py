@@ -22,6 +22,8 @@ ORACLE_CHECKED = [
     "events_mad_robust_zscore",
     "merge_scd1_customer",
     "late_arriving_dim_inferred",
+    "corpus_exact_k_sample",
+    "corpus_pipeline_end_to_end",
 ]
 
 
@@ -186,3 +188,31 @@ def test_mad_robust_zscore_flags_and_bounds(spark, sf_dir):
     rows = df.collect()
     assert rows, "fixture should contain robust anomalies"
     assert all(abs(r.robust_z) > 3.0 for r in rows)
+
+
+def test_exact_k_sample_is_exactly_k_and_stable(spark, sf_dir):
+    """Exactly k rows, deterministic across runs."""
+    q = entrymod.queries()["corpus_exact_k_sample"]
+    a = q(spark, sf_dir).collect()
+    b = q(spark, sf_dir).collect()
+    assert len(a) == 100
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pipeline_dispositions_partition_the_corpus(spark, sf_dir):
+    """Every augmented-corpus doc gets exactly one disposition; kept docs
+    have a shard, others NULL; dedup removed only quality survivors."""
+    df = entrymod.queries()["corpus_pipeline_end_to_end"](spark, sf_dir).persist()
+    from change_data_capture_spark.operators.dedup_queries import corpus
+
+    n_corpus = corpus(spark, sf_dir).count()
+    assert df.count() == n_corpus
+    assert df.where(
+        (F.col("disposition") == "kept") & F.col("shard").isNull()
+    ).count() == 0
+    assert df.where(
+        (F.col("disposition") != "kept") & F.col("shard").isNotNull()
+    ).count() == 0
+    kinds = {r.disposition for r in df.select("disposition").distinct().collect()}
+    assert kinds == {"filtered_quality", "removed_duplicate", "sampled_out", "kept"}
+    df.unpersist()
