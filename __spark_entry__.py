@@ -114,6 +114,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_time_to_convert",
     "corpus_exact_k_sample",
     "corpus_pipeline_end_to_end",
+    "customer_rfm_scores",
+    "cohort_ltv_matrix",
+    "nation_balance_percentiles",
+    "streaming_python_datasource_drain",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

@@ -117,6 +117,9 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "events_time_to_convert",
     "corpus_pipeline_end_to_end",
+    "customer_rfm_scores",
+    "cohort_ltv_matrix",
+    "nation_balance_percentiles",
 ]
 
 

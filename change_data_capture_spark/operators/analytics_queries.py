@@ -1137,3 +1137,307 @@ def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_bal",
         "max_bal",
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV matrix: cumulative revenue by acquisition cohort x month index
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+    SELECT o_custkey,
+           min(date_trunc('month', o_orderdate)) AS cohort_month
+    FROM orders GROUP BY o_custkey
+),
+monthly AS (
+    SELECT f.cohort_month,
+           CAST(datediff('month', f.cohort_month,
+                         date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS month_index,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_month, count(*) AS cohort_customers FROM firsts GROUP BY 1)
+SELECT strftime(m.cohort_month, '%Y-%m') AS cohort,
+       m.month_index,
+       s.cohort_customers,
+       CAST(CAST(SUM(m.rev_cents) OVER (PARTITION BY m.cohort_month
+                                        ORDER BY m.month_index) AS BIGINT)
+            AS DOUBLE) / 100 AS cum_revenue,
+       CAST(CAST(SUM(m.rev_cents) OVER (PARTITION BY m.cohort_month
+                                        ORDER BY m.month_index) AS BIGINT)
+            AS DOUBLE) / 100 / s.cohort_customers AS cum_ltv_per_customer
+FROM monthly m JOIN sizes s USING (cohort_month)
+"""
+
+
+@query("cohort_ltv_matrix", oracle=_LTV_ORACLE)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix — the subscription-analytics staple: customers
+    grouped by acquisition month (first order), revenue accumulated along
+    each cohort's month index, normalized per cohort customer. Read the
+    diagonal for "how fast do newer cohorts monetize vs older ones".
+
+    The cumulative window runs over the (cohort × month-index) AGGREGATE —
+    a bounded few-hundred-row relation at any fact volume — never over raw
+    orders; the heavy work is one custkey agg (first order) + one grouped
+    revenue sum, both plain shuffles. Integer cents everywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    monthly = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort_month")
+            )
+            .cast("long")
+            .alias("month_index"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    w = Window.partitionBy("cohort_month").orderBy("month_index")
+    return (
+        monthly.join(sizes, "cohort_month")
+        .select(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+            "month_index",
+            "cohort_customers",
+            (F.sum("rev_cents").over(w).cast("double") / 100).alias("cum_revenue"),
+            (
+                F.sum("rev_cents").over(w).cast("double")
+                / 100
+                / F.col("cohort_customers")
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer scoring with DISTRIBUTED exact deciles
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per AS (
+    SELECT o_custkey AS c_custkey,
+           max(o_orderdate) AS last_o,
+           count(*) AS frequency,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon
+    FROM orders GROUP BY 1
+),
+mx AS (SELECT max(o_orderdate) AS m FROM orders),
+base AS (
+    SELECT p.c_custkey,
+           CAST(datediff('day', p.last_o, mx.m) AS BIGINT) AS recency_days,
+           p.frequency, p.mon
+    FROM per p CROSS JOIN mx
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY recency_days, c_custkey) AS rr,
+           row_number() OVER (ORDER BY frequency, c_custkey) AS rf,
+           row_number() OVER (ORDER BY mon, c_custkey) AS rm,
+           count(*) OVER () AS n
+    FROM base
+)
+SELECT c_custkey, recency_days, frequency,
+       CAST(mon AS DOUBLE) / 100 AS monetary,
+       (rr - 1) * 10 // n + 1 AS r_decile,
+       (rf - 1) * 10 // n + 1 AS f_decile,
+       (rm - 1) * 10 // n + 1 AS m_decile,
+       CAST((rr - 1) * 10 // n + 1 AS VARCHAR) || '-' ||
+       CAST((rf - 1) * 10 // n + 1 AS VARCHAR) || '-' ||
+       CAST((rm - 1) * 10 // n + 1 AS VARCHAR) AS rfm_segment
+FROM ranked
+"""
+
+_RANK_BUCKETS = 1024
+
+
+def _ranks_long_form(base: DataFrame, metrics: list, key: str) -> DataFrame:
+    """EXACT global rank per metric (ties broken by ``key``) WITHOUT a
+    global window, for ALL metrics in ONE pipeline: metrics go long-form
+    (stack), values bucket into 1024 ranges from a per-metric broadcast
+    min/max, ranks come from (metric, bucket)-partitioned windows plus each
+    bucket's cumulative offset from a tiny (metrics × 1024)-row side
+    relation. The same two-phase prefix shape as ``orders_pareto_abc``,
+    factored as a reusable rank primitive. Returns (key, mname, rank)."""
+    stack_expr = ", ".join(f"'{m}', {m}" for m in metrics)
+    long = base.selectExpr(
+        key, f"stack({len(metrics)}, {stack_expr}) AS (mname, val)"
+    )
+    stats = long.groupBy("mname").agg(
+        F.min("val").alias("__mn"), F.max("val").alias("__mx")
+    )
+    b = long.join(F.broadcast(stats), "mname").withColumn(
+        "__bkt",
+        F.when(
+            F.col("__mx") > F.col("__mn"),
+            ((F.col("val") - F.col("__mn")) * _RANK_BUCKETS)
+            / (F.col("__mx") - F.col("__mn") + 1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    counts = b.groupBy("mname", "__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy("mname")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "mname",
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("mname", "__bkt").orderBy("val", key)
+    return b.join(F.broadcast(offsets), ["mname", "__bkt"]).select(
+        key, "mname", (F.col("__off") + F.row_number().over(w_in)).alias("rank")
+    )
+
+
+@query("customer_rfm_scores", oracle=_RFM_ORACLE)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring — recency / frequency / monetary deciles, the
+    retail segmentation workhorse. Deciles are EXACT global ranks computed
+    with the distributed two-phase prefix machinery (``_ranks_long_form``:
+    all three metrics stacked long-form through ONE bucket-rank pipeline) — NOT a
+    global ntile window, so the ranking scales to any customer count; the
+    oracle states the same decile with a plain global ``row_number`` (the
+    formula ``(rank-1)*10 // n + 1`` is shared, integer-exact, and unlike
+    engine ``ntile`` has no remainder-distribution ambiguity)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_o"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mon"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("m"))
+    base = per.crossJoin(F.broadcast(mx)).select(
+        "c_custkey",
+        F.datediff("m", "last_o").cast("long").alias("recency_days"),
+        "frequency",
+        "mon",
+    ).persist()
+    n_row = base.agg(F.count(F.lit(1)).alias("n"))
+    ranks = _ranks_long_form(base, ["recency_days", "frequency", "mon"], "c_custkey")
+    wide = ranks.groupBy("c_custkey").agg(
+        F.max(F.when(F.col("mname") == "recency_days", F.col("rank"))).alias("rr"),
+        F.max(F.when(F.col("mname") == "frequency", F.col("rank"))).alias("rf"),
+        F.max(F.when(F.col("mname") == "mon", F.col("rank"))).alias("rm"),
+    )
+    j = base.join(wide, "c_custkey").crossJoin(F.broadcast(n_row))
+
+    def _dec(rank: str):
+        return F.expr(f"(({rank} - 1) * 10) div n") + 1
+
+    return j.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        (F.col("mon").cast("double") / 100).alias("monetary"),
+        _dec("rr").alias("r_decile"),
+        _dec("rf").alias("f_decile"),
+        _dec("rm").alias("m_decile"),
+        F.concat_ws(
+            "-",
+            _dec("rr").cast("string"),
+            _dec("rf").cast("string"),
+            _dec("rm").cast("string"),
+        ).alias("rfm_segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group exact interpolated percentiles, partitioned-window form
+# ---------------------------------------------------------------------------
+
+_GRP_PCTL_ORACLE = """
+WITH cents AS (
+    SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS v, c_custkey
+    FROM customer
+),
+r AS (
+    SELECT c_nationkey, v,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY v, c_custkey) AS rn,
+           count(*) OVER (PARTITION BY c_nationkey) AS n
+    FROM cents
+),
+q AS (
+    SELECT c_nationkey, n,
+        CAST(SUM(CASE WHEN rn = CAST(floor((n-1) * CAST(0.25 AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS BIGINT) AS lo25,
+        CAST(SUM(CASE WHEN rn = least(CAST(floor((n-1) * CAST(0.25 AS DOUBLE)) AS BIGINT) + 2, n) THEN v END) AS BIGINT) AS hi25,
+        CAST(SUM(CASE WHEN rn = CAST(floor((n-1) * CAST(0.50 AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS BIGINT) AS lo50,
+        CAST(SUM(CASE WHEN rn = least(CAST(floor((n-1) * CAST(0.50 AS DOUBLE)) AS BIGINT) + 2, n) THEN v END) AS BIGINT) AS hi50,
+        CAST(SUM(CASE WHEN rn = CAST(floor((n-1) * CAST(0.95 AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS BIGINT) AS lo95,
+        CAST(SUM(CASE WHEN rn = least(CAST(floor((n-1) * CAST(0.95 AS DOUBLE)) AS BIGINT) + 2, n) THEN v END) AS BIGINT) AS hi95
+    FROM r GROUP BY c_nationkey, n
+)
+SELECT c_nationkey, n AS n_customers,
+    (lo25 + (hi25 - lo25) * ((n-1) * CAST(0.25 AS DOUBLE) - floor((n-1) * CAST(0.25 AS DOUBLE)))) / 100 AS bal_p25,
+    (lo50 + (hi50 - lo50) * ((n-1) * CAST(0.50 AS DOUBLE) - floor((n-1) * CAST(0.50 AS DOUBLE)))) / 100 AS bal_p50,
+    (lo95 + (hi95 - lo95) * ((n-1) * CAST(0.95 AS DOUBLE) - floor((n-1) * CAST(0.95 AS DOUBLE)))) / 100 AS bal_p95
+FROM q
+"""
+
+
+@query("nation_balance_percentiles", oracle=_GRP_PCTL_ORACLE)
+def nation_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation exact interpolated percentiles of customer balance — in
+    the DISTRIBUTED partitioned-window form: one ranking window per group
+    key, dual positions per quantile, the shared ``lo + (hi-lo)*frac``
+    formula. Unlike the builtin ``percentile`` aggregate (which buffers
+    every group's values in executor memory and interpolates with an
+    engine-specific formula), this shape streams each partition once and is
+    bit-identical cross-engine — the form that survives a billion rows per
+    group."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+        "c_custkey",
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy("v", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    r = cents.select(
+        "c_nationkey",
+        "v",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def _pick(qv: float, which: str):
+        pos = (F.col("n") - 1) * qv
+        lo = F.floor(pos).cast("long") + 1
+        at = lo if which == "lo" else F.least(lo + 1, F.col("n"))
+        return F.sum(F.when(F.col("rn") == at, F.col("v")))
+
+    agg = r.groupBy("c_nationkey", "n").agg(
+        _pick(0.25, "lo").alias("lo25"), _pick(0.25, "hi").alias("hi25"),
+        _pick(0.50, "lo").alias("lo50"), _pick(0.50, "hi").alias("hi50"),
+        _pick(0.95, "lo").alias("lo95"), _pick(0.95, "hi").alias("hi95"),
+    )
+
+    def _interp(qv: float, lo: str, hi: str):
+        pos = (F.col("n") - 1) * qv
+        frac = pos - F.floor(pos)
+        return (F.col(lo) + (F.col(hi) - F.col(lo)) * frac) / 100
+
+    return agg.select(
+        "c_nationkey",
+        F.col("n").alias("n_customers"),
+        _interp(0.25, "lo25", "hi25").alias("bal_p25"),
+        _interp(0.50, "lo50", "hi50").alias("bal_p50"),
+        _interp(0.95, "lo95", "hi95").alias("bal_p95"),
+    )

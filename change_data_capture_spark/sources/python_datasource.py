@@ -22,7 +22,14 @@ import glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 from change_data_capture_spark.schemas import PRODUCTS_ENVELOPE
@@ -46,20 +53,25 @@ class CdcNdjsonReader(DataSourceReader):
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
-        field_names = [f.name for f in self.schema.fields]
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError:
-                    # PERMISSIVE twin: poison lines yield an all-null row,
-                    # matching the built-in reader's configured behavior
-                    yield tuple(None for _ in field_names)
-                    continue
-                yield tuple(_to_row(rec.get(n), self.schema[n].dataType) for n in field_names)
+        yield from _parse_file(partition.path, self.schema)
+
+
+def _parse_file(path: str, schema: StructType):
+    """NDJSON file -> typed row tuples (shared by batch + stream readers)."""
+    field_names = [f.name for f in schema.fields]
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                # PERMISSIVE twin: poison lines yield an all-null row,
+                # matching the built-in reader's configured behavior
+                yield tuple(None for _ in field_names)
+                continue
+            yield tuple(_to_row(rec.get(n), schema[n].dataType) for n in field_names)
 
 
 def _to_row(value, dtype):
@@ -96,3 +108,113 @@ class CdcNdjsonDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return CdcNdjsonReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return CdcNdjsonWriter(schema, self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType):
+        return CdcNdjsonStreamReader(schema, self.options)
+
+
+class _WroteFile(WriterCommitMessage):
+    """Commit message: the temp file a task produced (picklable)."""
+
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class CdcNdjsonWriter(DataSourceWriter):
+    """Write side of the envelope source — a real two-phase commit:
+
+    each task streams its partition to a TEMP file (``.inprogress``) and
+    returns the path as its commit message; only the driver's ``commit``
+    renames every temp file into place (rename is atomic per POSIX/object
+    stores with atomic rename), so readers never observe a torn write and
+    a failed/speculative task's output is simply never renamed — the same
+    rename-on-commit protocol the repo's compaction swap uses
+    (``operators/maintenance.py``). ``abort`` deletes the orphans."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.schema = schema
+        self.options = options
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        root = self.options.get("path")
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, f".part-{uuid.uuid4().hex}.json.inprogress")
+        names = [f.name for f in self.schema.fields]
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = {k: _from_row(v) for k, v in zip(names, row)}
+                fh.write(json.dumps(rec, separators=(",", ":")) + "\n")
+                n += 1
+        return _WroteFile(tmp, n)
+
+    def commit(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                d, base = os.path.split(m.tmp_path[: -len(".inprogress")])
+                # strip the hidden-file dot: pre-commit temp files are
+                # invisible to the reader's glob BY CONSTRUCTION; the
+                # rename both publishes and un-hides atomically
+                os.rename(m.tmp_path, os.path.join(d, base.lstrip(".")))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+def _from_row(value):
+    """JSON-encode a Spark row leaf (Row -> dict, Decimal -> str)."""
+    import decimal
+
+    from pyspark.sql import Row
+
+    if isinstance(value, Row):
+        return {k: _from_row(v) for k, v in value.asDict().items()}
+    if isinstance(value, decimal.Decimal):
+        return str(value)
+    return value
+
+
+class CdcNdjsonStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING side of the envelope source (Spark 4 Python streaming
+    DataSource): offsets are the count of log files consumed, in sorted
+    name order — the rotated-segment-log model (files are immutable once
+    written, new segments only append to the listing). ``read`` advances
+    the offset over newly arrived files; ``readBetweenOffsets`` replays a
+    committed range DETERMINISTICALLY after restart (same sorted listing →
+    same rows), which is what makes checkpoint recovery exactly-once."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.root = options.get("path")
+
+    def _files(self):
+        return sorted(
+            glob.glob(os.path.join(self.root, "**", "*.json"), recursive=True)
+        )
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        lo = start["idx"]
+        rows = []
+        for p in files[lo:]:
+            rows.extend(_parse_file(p, self.schema_))
+        return iter(rows), {"idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()[start["idx"] : end["idx"]]
+        rows = []
+        for p in files:
+            rows.extend(_parse_file(p, self.schema_))
+        return iter(rows)

@@ -972,3 +972,62 @@ def streaming_complete_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Python streaming DataSource drain, driver-gated (extension-API evidence)
+# ---------------------------------------------------------------------------
+
+_PYDS_ORACLE = f"""
+WITH {CDC_EVENTS_SQL}
+SELECT id, op, lsn, ts_ms, name, CAST(price AS DOUBLE) AS price
+FROM cdc_events
+"""
+
+
+@query("streaming_python_datasource_drain", oracle=_PYDS_ORACLE)
+def streaming_python_datasource_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM Python streaming DataSource, driver-checked end to end:
+    the CDC envelope log lands as rotated NDJSON segments, streams back
+    through ``format("cdc_ndjson")`` — the repo's own Spark 4
+    ``SimpleDataSourceStreamReader`` with file-index offsets and
+    deterministic replay — and the availableNow drain must reproduce every
+    change event the deterministic generator emitted (the oracle recomputes
+    the log arithmetically). This upgrades the extension API from
+    pytest-only evidence to a driver correctness row: a user-defined
+    Python source participates in real incremental execution with
+    checkpointable offsets."""
+    import uuid
+
+    from change_data_capture_spark.sources.cdc_generator import (
+        product_change_events,
+    )
+    from change_data_capture_spark.sources.python_datasource import (
+        CdcNdjsonDataSource,
+    )
+
+    ws = tempfile.mkdtemp(prefix="cdc_pyds_q_")
+    product_change_events(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).json(ws)
+
+    spark.dataSource.register(CdcNdjsonDataSource)
+    stream = spark.readStream.format("cdc_ndjson").option("path", ws).load()
+    decoded = stream.select(
+        F.coalesce("value.after.id", "value.before.id").alias("id"),
+        F.col("value.op").alias("op"),
+        F.col("value.source.lsn").alias("lsn"),
+        F.col("value.source.ts_ms").alias("ts_ms"),
+        F.col("value.after.name").alias("name"),
+        F.col("value.after.price").cast("double").alias("price"),
+    )
+    sink = f"pyds_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -32,6 +32,15 @@ EVENT_QUERIES = [
     "attribution_last_touch",
     "timeseries_gapfill_locf",
     "window_range_frame",
+    # round-3 session-2 additions (total semantics over events)
+    "events_mad_robust_zscore",
+    "asof_join_next_order",
+    "events_markov_transitions",
+    "events_ohlc_bars",
+    "events_time_weighted_avg",
+    "events_top_paths",
+    "ab_test_welch",
+    "events_time_to_convert",
 ]
 
 _T0 = pd.Timestamp("2024-03-01 10:00:00")

@@ -24,6 +24,9 @@ ORACLE_CHECKED = [
     "late_arriving_dim_inferred",
     "corpus_exact_k_sample",
     "corpus_pipeline_end_to_end",
+    "customer_rfm_scores",
+    "cohort_ltv_matrix",
+    "nation_balance_percentiles",
 ]
 
 
@@ -216,3 +219,27 @@ def test_pipeline_dispositions_partition_the_corpus(spark, sf_dir):
     kinds = {r.disposition for r in df.select("disposition").distinct().collect()}
     assert kinds == {"filtered_quality", "removed_duplicate", "sampled_out", "kept"}
     df.unpersist()
+
+
+def test_rfm_deciles_are_balanced(spark, sf_dir):
+    """Every decile 1..10 is populated and sizes differ by at most one from
+    n/10 rounding (the (rank-1)*10//n formula guarantees near-equal cells)."""
+    df = entrymod.queries()["customer_rfm_scores"](spark, sf_dir)
+    rows = df.groupBy("m_decile").count().collect()
+    sizes = {r.m_decile: r["count"] for r in rows}
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_cohort_ltv_is_monotone(spark, sf_dir):
+    """Cumulative revenue never decreases along a cohort's month index."""
+    df = entrymod.queries()["cohort_ltv_matrix"](spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cohort").orderBy("month_index")
+    bad = (
+        df.withColumn("prev", F.lag("cum_revenue").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("cum_revenue") < F.col("prev")))
+        .count()
+    )
+    assert bad == 0

@@ -253,3 +253,19 @@ def test_ohlc_single_shuffle(spark, sf_dir):
     hash partitioning — the whole candle query is a single exchange."""
     s = _stats(spark, sf_dir, "events_ohlc_bars")
     assert s.shuffle_exchanges == 1, s.text
+
+
+def test_rfm_ranks_are_bucket_partitioned(spark, sf_dir):
+    """All rank windows partition by (mname, bucket) — no global ntile; the
+    only BNLJ rows are 1-row broadcast enrichments (max date, n)."""
+    s = _stats(spark, sf_dir, "customer_rfm_scores")
+    assert s.text.count("windowspecdefinition(mname") >= 2, "bucketed rank windows missing"
+    assert not s.has_cartesian
+    assert s.shuffle_exchanges <= 10, s.shuffle_exchanges
+
+
+def test_cohort_ltv_windows_over_aggregate(spark, sf_dir):
+    """The cumulative window runs over the cohort×month aggregate, not raw
+    orders — no nested loop, bounded window input."""
+    s = _stats(spark, sf_dir, "cohort_ltv_matrix")
+    assert not s.has_bnlj and not s.has_cartesian

@@ -149,3 +149,84 @@ def test_python_datasource_matches_builtin_reader(spark, sf_dir):
     }
     assert custom.count() == builtin.count()
     assert key(custom) == key(builtin)
+
+
+def test_python_datasource_writer_roundtrip(spark, sf_dir):
+    """The write side of the custom DataSource (two-phase rename-on-commit)
+    must round-trip through its own reader with nothing lost, and leave no
+    uncommitted temp files behind."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.sources.cdc_generator import product_change_events
+    from change_data_capture_spark.sources.python_datasource import (
+        CdcNdjsonDataSource,
+    )
+
+    spark.dataSource.register(CdcNdjsonDataSource)
+    src = product_change_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="cdc_pyds_w_")
+    src.repartition(4).write.format("cdc_ndjson").mode("append").option(
+        "path", out
+    ).save()
+
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+    back = spark.read.format("cdc_ndjson").option("path", out).load()
+    key = lambda df: {  # noqa: E731
+        (r.id, r.lsn)
+        for r in df.select(
+            F.col("value.after.id").alias("id"), F.col("value.source.lsn").alias("lsn")
+        ).collect()
+    }
+    assert back.count() == src.count()
+    assert key(back) == key(src)
+
+
+def test_python_datasource_stream_reader_drains_to_batch_parity(spark, sf_dir):
+    """The streaming side of the custom DataSource (file-index offsets)
+    must drain the same rows the batch reader sees, through a REAL
+    availableNow streaming execution."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.sources.cdc_generator import product_change_events
+    from change_data_capture_spark.sources.python_datasource import (
+        CdcNdjsonDataSource,
+    )
+
+    spark.dataSource.register(CdcNdjsonDataSource)
+    ws = tempfile.mkdtemp(prefix="cdc_pyds_s_")
+    product_change_events(spark, sf_dir).repartition(3).write.mode(
+        "overwrite"
+    ).json(ws)
+
+    stream = spark.readStream.format("cdc_ndjson").option("path", ws).load()
+    sink = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.select(
+            F.col("value.after.id").alias("id"),
+            F.col("value.source.lsn").alias("lsn"),
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.table(sink)
+    batch = spark.read.format("cdc_ndjson").option("path", ws).load()
+    assert landed.count() == batch.count()
+    got = {(r.id, r.lsn) for r in landed.collect()}
+    want = {
+        (r.id, r.lsn)
+        for r in batch.select(
+            F.col("value.after.id").alias("id"),
+            F.col("value.source.lsn").alias("lsn"),
+        ).collect()
+    }
+    assert got == want

@@ -26,6 +26,7 @@ from tests.oracle import compare
         "streaming_outer_join_unmatched",
         "streaming_update_mode_counts",
         "streaming_complete_mode_topk",
+        "streaming_python_datasource_drain",
     ],
 )
 def test_streaming_oracle_parity(spark, sf_dir, name):
