@@ -197,9 +197,21 @@ class CdcNdjsonStreamReader(SimpleDataSourceStreamReader):
         self.root = options.get("path")
 
     def _files(self):
-        return sorted(
-            glob.glob(os.path.join(self.root, "**", "*.json"), recursive=True)
-        )
+        # (mtime, name) order, NOT bare name order: index offsets are only
+        # exactly-once if the consumed listing stays a stable PREFIX as
+        # files arrive, and appended segments guarantee that through mtime
+        # (a fresh uuid-named file can lexicographically sort BEFORE
+        # already-consumed files — found by the checkpoint-restart test,
+        # which duplicated batch 0 and silently dropped the new segment).
+        return [
+            p
+            for _, _, p in sorted(
+                (os.path.getmtime(p), os.path.basename(p), p)
+                for p in glob.glob(
+                    os.path.join(self.root, "**", "*.json"), recursive=True
+                )
+            )
+        ]
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
