@@ -118,6 +118,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "cohort_ltv_matrix",
     "nation_balance_percentiles",
     "streaming_python_datasource_drain",
+    "skew_key_diagnostics",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

@@ -70,3 +70,71 @@ def salted_aggregate(
         .agg(F.sum(agg_col).alias("_partial"))
     )
     return stage1.groupBy(key).agg(F.sum("_partial").alias(f"sum_{agg_col}"))
+
+
+# ---------------------------------------------------------------------------
+# skew diagnostics: measure key-distribution health before choosing a plan
+# ---------------------------------------------------------------------------
+
+_ENC = 10**12  # (count, key) pairs encode into one bigint for exact argmax
+
+_SKEW_DIAG_ORACLE = f"""
+WITH counts AS (
+    SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY l_suppkey
+),
+enc AS (
+    SELECT k, c, c * {_ENC} + k AS code FROM counts
+)
+SELECT count(*) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS total_rows,
+       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / count(*) AS avg_rows_per_key,
+       max(c) AS max_rows,
+       min(c) AS min_rows,
+       CAST(max(c) AS DOUBLE) / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / count(*))
+           AS skew_factor,
+       max(code) % {_ENC} AS hottest_key
+FROM enc
+"""
+
+
+def _query_registration():
+    from pyspark.sql import SparkSession
+
+    from change_data_capture_spark.queries import query
+    from change_data_capture_spark.sources.tables import load_table
+
+    @query("skew_key_diagnostics", oracle=_SKEW_DIAG_ORACLE)
+    def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Key-distribution diagnostics for join planning: per-key row
+        counts reduced to the numbers that pick a strategy — average vs max
+        rows per key (the skew factor AQE's splitter reasons about) and the
+        hottest key itself (the salting candidate). Run this BEFORE a big
+        join at a new scale; the repo's ``salted_join`` and AQE skew-join
+        are the two mitigations it feeds.
+
+        One map-side-combined count agg, then a constant-size reduction;
+        the deterministic hottest-key argmax rides the same pass as an
+        encoded ``count·10¹² + key`` integer max — no second shuffle, no
+        window, exact in both engines."""
+        l = load_table(spark, sf_dir, "lineitem")
+        counts = l.groupBy(F.col("l_suppkey").alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        enc = counts.select(
+            "k", "c", (F.col("c") * _ENC + F.col("k")).alias("code")
+        )
+        avg = F.sum("c").cast("double") / F.count(F.lit(1))
+        return enc.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("total_rows"),
+            avg.alias("avg_rows_per_key"),
+            F.max("c").alias("max_rows"),
+            F.min("c").alias("min_rows"),
+            (F.max("c").cast("double") / avg).alias("skew_factor"),
+            (F.max("code") % _ENC).alias("hottest_key"),
+        )
+
+    return skew_key_diagnostics
+
+
+skew_key_diagnostics = _query_registration()

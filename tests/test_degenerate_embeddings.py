@@ -30,6 +30,7 @@ EMB_QUERIES = [
     "similarity_lsh_buckets",
     "similarity_ivf_topk",
     "posexplode_embedding_dims",
+    "embedding_random_projection",  # zero vector exercises the -0.0 guard
 ]
 
 _DIM = 64

@@ -27,6 +27,7 @@ ORACLE_CHECKED = [
     "customer_rfm_scores",
     "cohort_ltv_matrix",
     "nation_balance_percentiles",
+    "skew_key_diagnostics",
 ]
 
 
