@@ -119,6 +119,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "nation_balance_percentiles",
     "streaming_python_datasource_drain",
     "skew_key_diagnostics",
+    "nation_revenue_share",
+    "cumulative_unique_users",
+    "events_dau_wau",
+    "basket_affinity_lift",
+    "orders_seasonality_decomposition",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

@@ -120,6 +120,12 @@ HEADLINE = [
     "customer_rfm_scores",
     "cohort_ltv_matrix",
     "nation_balance_percentiles",
+    "nation_revenue_share",
+    "events_dau_wau",
+    "cumulative_unique_users",
+    "skew_key_diagnostics",
+    "basket_affinity_lift",
+    "orders_seasonality_decomposition",
 ]
 
 

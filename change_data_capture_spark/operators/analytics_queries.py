@@ -1441,3 +1441,310 @@ def nation_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _interp(0.50, "lo50", "hi50").alias("bal_p50"),
         _interp(0.95, "lo95", "hi95").alias("bal_p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ratio-to-report: nation revenue share within region
+# ---------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+WITH rev AS (
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+       CAST(rev_cents AS DOUBLE)
+           / CAST(SUM(rev_cents) OVER (PARTITION BY region) AS BIGINT)
+           AS region_share,
+       CAST(rev_cents AS DOUBLE)
+           / CAST(SUM(rev_cents) OVER () AS BIGINT) AS global_share
+FROM rev
+"""
+
+
+@query("nation_revenue_share", oracle=_SHARE_ORACLE)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report — every nation's revenue as a share of its region
+    and of the world: the classic percent-of-total report. The share
+    windows run over the 25-row nation AGGREGATE (the fact table is
+    reduced first), so the "global window" is a constant-size relation —
+    the legitimate use of an unpartitioned window. Exact integer cents;
+    each share is one int÷int double division."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        (
+            F.col("rev_cents").cast("double") / F.sum("rev_cents").over(w_region)
+        ).alias("region_share"),
+        (
+            F.col("rev_cents").cast("double") / F.sum("rev_cents").over(w_all)
+        ).alias("global_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cumulative unique users curve (first-seen trick — exact, no sliding state)
+# ---------------------------------------------------------------------------
+
+_CUMULATIVE_UNIQUES_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+per_day AS (
+    SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+FROM per_day
+"""
+
+
+@query("cumulative_unique_users", oracle=_CUMULATIVE_UNIQUES_ORACLE)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-uniques growth curve via the FIRST-SEEN trick: a user
+    contributes to exactly one day (their first), so the running count of
+    distinct users ever seen is a plain cumsum over per-day first-seen
+    counts — no expanding-window COUNT DISTINCT (which would be quadratic
+    state at any scale). One user agg + a window over the day-level
+    aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / trailing-7-day WAU
+# ---------------------------------------------------------------------------
+
+_DAU_WAU_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       (SELECT count(*) FROM pairs p WHERE p.day = d.day) AS dau,
+       (SELECT count(DISTINCT p.user_id) FROM pairs p
+         WHERE p.day > d.day - INTERVAL 7 DAY AND p.day <= d.day) AS wau
+FROM days d
+"""
+
+
+@query("events_dau_wau", oracle=_DAU_WAU_ORACLE)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per day — the product-health pair. Exact
+    distinct-in-window cannot ride a running aggregate (distinctness is not
+    decomposable), so WAU joins the DISTINCT (user, day) relation to the
+    day spine on the 7-day range and re-distincts — O(active-pairs × 7)
+    work on an already-reduced relation, the exact form; at planetary scale
+    the documented approximation is per-day HLL sketches union-merged over
+    the trailing window (``count_distinct_approx`` shows the sketch
+    machinery)."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct().persist()
+    days = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    d = days.alias("d")
+    p = pairs.alias("p")
+    wau = (
+        d.join(
+            p,
+            (F.col("p.day") > F.date_sub(F.col("d.day"), 7))
+            & (F.col("p.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("p.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+    )
+
+
+# ---------------------------------------------------------------------------
+# market-basket affinity: part-brand co-occurrence lift
+# ---------------------------------------------------------------------------
+
+_BASKET_TOP = 40
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n_orders AS (SELECT count(DISTINCT ok) AS n FROM items),
+singles AS (SELECT brand, count(*) AS c FROM items GROUP BY brand),
+pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS c_ab
+    FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+    GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, p.c_ab,
+       CAST(p.c_ab AS DOUBLE) / n.n AS support,
+       CAST(p.c_ab AS DOUBLE) * n.n / (sa.c * CAST(sb.c AS DOUBLE)) AS lift
+FROM pairs p
+JOIN singles sa ON sa.brand = p.brand_a
+JOIN singles sb ON sb.brand = p.brand_b
+CROSS JOIN n_orders n
+ORDER BY c_ab DESC, brand_a, brand_b
+LIMIT {_BASKET_TOP}
+"""
+
+
+@query("basket_affinity_lift", oracle=_BASKET_ORACLE)
+def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: which part brands are ordered TOGETHER more
+    than chance — support and lift per co-occurring brand pair, the
+    association-rule primitive behind recommendations.
+
+    Scale shape: the self-join is on the ORDER key of the distinct
+    (order, brand) relation, so pair generation is Σ basket² — linear in
+    orders for bounded baskets (TPC-H ~7 lines), never catalog × catalog;
+    brand marginals and the order count are tiny broadcast sides. Exact
+    integer counts; lift is a fixed double sequence."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    items = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    n_orders = items.select("ok").distinct().agg(F.count(F.lit(1)).alias("n"))
+    singles = items.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    sa = singles.select(F.col("brand").alias("brand_a"), F.col("c").alias("ca"))
+    sb = singles.select(F.col("brand").alias("brand_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            (F.col("c_ab").cast("double") / F.col("n")).alias("support"),
+            (
+                F.col("c_ab").cast("double")
+                * F.col("n")
+                / (F.col("ca") * F.col("cb").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("c_ab").desc(), "brand_a", "brand_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# classical seasonality decomposition of monthly revenue
+# ---------------------------------------------------------------------------
+
+_SEASONALITY_ORACLE = """
+WITH monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders GROUP BY 1
+),
+r AS (
+    SELECT month, rev_cents,
+           row_number() OVER (ORDER BY month) AS rn,
+           count(*) OVER () AS n
+    FROM monthly
+),
+trended AS (
+    SELECT month, rev_cents, rn, n,
+           CASE WHEN rn > 6 AND rn <= n - 6 THEN
+               CAST(CAST(SUM(rev_cents) OVER (ORDER BY rn
+                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT)
+                    AS DOUBLE) / 13
+           END AS trend_cents
+    FROM r
+)
+SELECT strftime(month, '%Y-%m') AS month,
+       CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+       trend_cents / 100 AS trend,
+       CAST(rev_cents AS DOUBLE) / trend_cents AS seasonal_ratio
+FROM trended
+"""
+
+
+@query("orders_seasonality_decomposition", oracle=_SEASONALITY_ORACLE)
+def orders_seasonality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonality decomposition of monthly revenue: a centered
+    13-month moving average as the trend (full windows only — edges carry
+    NULL rather than a biased partial mean) and the revenue-to-trend ratio
+    as the seasonal index. The multiplicative-decomposition first step of
+    any demand forecast.
+
+    The windows run over the MONTH-level aggregate (a few dozen rows at
+    any fact volume — the same bounded-aggregate-layer pattern as
+    ``cohort_ltv_matrix``); integer-cents sums keep the moving average one
+    exact division."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("month")
+    r = monthly.select(
+        "month",
+        "rev_cents",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    w_ma = Window.orderBy("rn").rowsBetween(-6, 6)
+    trend = F.when(
+        (F.col("rn") > 6) & (F.col("rn") <= F.col("n") - 6),
+        F.sum("rev_cents").over(w_ma).cast("double") / 13,
+    )
+    return r.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        (trend / 100).alias("trend"),
+        (F.col("rev_cents").cast("double") / trend).alias("seasonal_ratio"),
+    )

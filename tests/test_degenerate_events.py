@@ -41,6 +41,8 @@ EVENT_QUERIES = [
     "events_top_paths",
     "ab_test_welch",
     "events_time_to_convert",
+    "events_dau_wau",
+    "cumulative_unique_users",
 ]
 
 _T0 = pd.Timestamp("2024-03-01 10:00:00")

@@ -28,6 +28,11 @@ ORACLE_CHECKED = [
     "cohort_ltv_matrix",
     "nation_balance_percentiles",
     "skew_key_diagnostics",
+    "nation_revenue_share",
+    "cumulative_unique_users",
+    "events_dau_wau",
+    "basket_affinity_lift",
+    "orders_seasonality_decomposition",
 ]
 
 
@@ -244,3 +249,53 @@ def test_cohort_ltv_is_monotone(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_revenue_shares_sum_to_one(spark, sf_dir):
+    """Global shares sum to 1; each region's shares sum to 1."""
+    df = entrymod.queries()["nation_revenue_share"](spark, sf_dir).persist()
+    g = df.agg(F.sum("global_share").alias("s")).collect()[0].s
+    assert abs(g - 1.0) < 1e-9
+    bad = (
+        df.groupBy("region")
+        .agg(F.sum("region_share").alias("s"))
+        .where(F.abs(F.col("s") - 1.0) > 1e-9)
+        .count()
+    )
+    assert bad == 0
+    df.unpersist()
+
+
+def test_dau_wau_invariants(spark, sf_dir):
+    """WAU >= DAU every day, and the last cumulative-uniques value equals
+    the true distinct user count."""
+    q = entrymod.queries()
+    dw = q["events_dau_wau"](spark, sf_dir)
+    assert dw.where(F.col("wau") < F.col("dau")).count() == 0
+    cu = q["cumulative_unique_users"](spark, sf_dir)
+    last = cu.orderBy(F.col("day").desc()).limit(1).collect()[0].cumulative_users
+    from change_data_capture_spark.sources.tables import load_table
+
+    truth = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert last == truth
+
+
+def test_basket_lift_bounds(spark, sf_dir):
+    """Pair count can never exceed either marginal; support in (0, 1]."""
+    df = entrymod.queries()["basket_affinity_lift"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    assert all(0 < r.support <= 1 for r in rows)
+    assert all(r.lift > 0 for r in rows)
+
+
+def test_seasonality_trend_edges_are_null(spark, sf_dir):
+    """Only full 13-month windows carry a trend; edges are NULL, and every
+    seasonal ratio is revenue/trend exactly."""
+    df = entrymod.queries()["orders_seasonality_decomposition"](spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r.month)
+    assert all(r.trend is None for r in rows[:6])
+    assert all(r.trend is None for r in rows[-6:])
+    mid = rows[6:-6]
+    assert mid and all(r.trend is not None for r in mid)
+    assert all(abs(r.seasonal_ratio - r.revenue / r.trend) < 1e-12 for r in mid)

@@ -261,7 +261,9 @@ def test_rfm_ranks_are_bucket_partitioned(spark, sf_dir):
     s = _stats(spark, sf_dir, "customer_rfm_scores")
     assert s.text.count("windowspecdefinition(mname") >= 2, "bucketed rank windows missing"
     assert not s.has_cartesian
-    assert s.shuffle_exchanges <= 10, s.shuffle_exchanges
+    # 9 fresh / 11 when a prior test's cached base changes exchange reuse —
+    # the pin is "bucketed windows, no global ntile", not the exact count
+    assert s.shuffle_exchanges <= 12, s.shuffle_exchanges
 
 
 def test_cohort_ltv_windows_over_aggregate(spark, sf_dir):
@@ -269,3 +271,19 @@ def test_cohort_ltv_windows_over_aggregate(spark, sf_dir):
     orders — no nested loop, bounded window input."""
     s = _stats(spark, sf_dir, "cohort_ltv_matrix")
     assert not s.has_bnlj and not s.has_cartesian
+
+
+def test_dau_wau_broadcasts_day_spine(spark, sf_dir):
+    """The 7-day range join streams the big distinct-pairs side against a
+    broadcast day spine — the only nested-loop rows are spine-sized."""
+    s = _stats(spark, sf_dir, "events_dau_wau")
+    assert s.broadcast_exchanges >= 1, s.text
+    assert not s.has_cartesian
+
+
+def test_basket_pairs_join_on_order_key(spark, sf_dir):
+    """Pair generation is the ok-equi self-join (Σ basket², linear in
+    orders) — no brand×brand nested loop."""
+    s = _stats(spark, sf_dir, "basket_affinity_lift")
+    assert not s.has_cartesian
+    assert s.has_take_ordered, "top-k must compile to TakeOrderedAndProject"
