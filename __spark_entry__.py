@@ -124,6 +124,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_dau_wau",
     "basket_affinity_lift",
     "orders_seasonality_decomposition",
+    "dedup_cluster_size_histogram",
     # --- already green in r01/r02 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
     "streaming_scd2_incremental",

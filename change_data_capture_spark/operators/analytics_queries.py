@@ -1748,3 +1748,42 @@ def orders_seasonality_decomposition(spark: SparkSession, sf_dir: str) -> DataFr
         (trend / 100).alias("trend"),
         (F.col("rev_cents").cast("double") / trend).alias("seasonal_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dup-cluster size histogram: observability of the dedup tier's output
+# ---------------------------------------------------------------------------
+
+_CLUSTER_HIST_ORACLE = f"""
+WITH RECURSIVE {_cc_minhash_oracle_body().rsplit("SELECT c.doc_id", 1)[0].rstrip().rstrip(",")},
+csizes AS (SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM csizes GROUP BY cluster_size
+"""
+
+
+@query("dedup_cluster_size_histogram", oracle=_CLUSTER_HIST_ORACLE)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster size distribution over the MinHash-LSH connected
+    components — the observability readout every dedup run needs before
+    anyone trusts it: a healthy crawl shows a long tail of pairs/triples;
+    a fat head of giant clusters means boilerplate or a broken shingle
+    normalizer is gluing the corpus together (and predicts how much the
+    keep-one policy will delete).
+
+    Two tiny aggs over the component relation the CC pass already
+    produces; cluster count × size cross-checks total clustered docs."""
+    from change_data_capture_spark.operators.dedup_queries import (
+        dedup_cc_minhash,
+    )
+
+    comp = dedup_cc_minhash(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )

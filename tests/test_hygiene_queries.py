@@ -33,6 +33,7 @@ ORACLE_CHECKED = [
     "events_dau_wau",
     "basket_affinity_lift",
     "orders_seasonality_decomposition",
+    "dedup_cluster_size_histogram",
 ]
 
 
@@ -299,3 +300,13 @@ def test_seasonality_trend_edges_are_null(spark, sf_dir):
     mid = rows[6:-6]
     assert mid and all(r.trend is not None for r in mid)
     assert all(abs(r.seasonal_ratio - r.revenue / r.trend) < 1e-12 for r in mid)
+
+
+def test_cluster_histogram_accounts_for_all_clustered_docs(spark, sf_dir):
+    """Σ(size × n_clusters) equals the CC relation's row count and no
+    cluster has fewer than 2 members (components are built from pairs)."""
+    q = entrymod.queries()
+    hist = q["dedup_cluster_size_histogram"](spark, sf_dir).collect()
+    assert hist and all(r.cluster_size >= 2 for r in hist)
+    total = sum(r.n_docs for r in hist)
+    assert total == q["dedup_cc_minhash"](spark, sf_dir).count()
