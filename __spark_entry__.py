@@ -32,64 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate walks this dict in order and caps the run at
-# 50 rows per round. Order therefore encodes check priority. Rounds 1+2
-# produced green rows for 99 of 122 registered queries; the 23 that have
-# never had a driver row (all local-oracle-parity green) lead round 3, new
-# round-3 queries follow, then the already-green set (re-verification) in
-# prior order — so evidence across rounds unions to full coverage.
+# 50 rows per round. Order therefore encodes check priority. Rounds 1-3
+# produced green rows for 149 of 184 registered queries (0 failures). Round 4
+# freezes large-scale registration (VERDICT r3 ask #1): the 35 queries that
+# have never had a driver row lead, the handful of VERDICT-requested round-4
+# additions follow, then the flagship set fills remaining cap slots for
+# re-verification — so evidence across rounds unions to full coverage.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (r01+r02 cap casualties) — highest priority ---
-    "streaming_stream_stream_join",
-    "streaming_anomaly_zscore",
-    "pagerank_customer_supplier",
-    "kmeans_fixed_point",
-    "events_variant_props",
-    "entity_resolution_blocked",
-    "incremental_agg_maintenance",
-    "sequence_packing_bins",
-    "contrastive_negative_pairs",
-    "multimodal_video_framesample",
-    "multimodal_image_resize",
-    "provenance_file_metadata",
-    "orders_mom_growth",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_suppliers",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    # --- round-3 additions (new this round, need their first row) ---
-    "multimodal_image_decode_png",
-    "pagerank_dangling",
-    "sequence_packing_sharded",
-    "scd2_point_in_time_join",
-    "snapshot_diff_cdc",
-    "ngram_novelty_score",
-    "window_rolling_median",
-    "corpus_domain_mixing",
-    "corpus_seeded_shuffle",
-    "percentiles_approx_sketch",
-    "streaming_static_enrich",
-    "interval_union_coverage",
-    "orders_pareto_abc",
-    "bpe_pair_counts",
-    "embedding_mean_pool",
-    "domain_token_budget",
-    "cluster_rep_best_quality",
-    "attribution_last_touch",
-    "triangle_count_neardup",
-    "heavy_hitters_cms",
-    "bloom_novelty_probe",
-    "scd3_products",
-    "embedding_dim_stats",
-    "ewma_monthly_revenue",
-    "multimodal_image_decode_jpeg",
-    "streaming_session_windows",
-    "streaming_tumbling_drain",
+    # --- never driver-checked (r03 cap casualties) — highest priority ---
     "null_semantics_audit",
     "dedup_substring_spans",
     "dedup_containment_pairs",
@@ -125,17 +75,32 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "basket_affinity_lift",
     "orders_seasonality_decomposition",
     "dedup_cluster_size_histogram",
-    # --- already green in r01/r02 (re-verification fills remaining cap) ---
+    # --- round-4 additions (VERDICT r3 asks #2/#4/#5/#6 only; registration
+    # otherwise frozen this round) ---
+    "dedup_containment_banded",
+    "dedup_containment_recall_sweep",
+    "events_dau_wau_approx",
+    "multimodal_video_nal_index",
+    # --- already green in r01-r03 (re-verification fills remaining cap) ---
     "streaming_ingest_exactly_once",
-    "streaming_scd2_incremental",
-    "streaming_scd2_multibatch",
     "scd2_products_b64price",
     "dedup_minhash_lsh",
     "dedup_cc_minhash",
-    "dedup_connected_components",
     "similarity_topk_cosine",
-    "embedding_cosine_neardup",
     "semantic_dedup_keeplist",
+    "heavy_hitters_cms",
+    "pagerank_dangling",
+    "sequence_packing_sharded",
+    "multimodal_image_decode_png",
+    "multimodal_image_decode_jpeg",
+    "streaming_scd2_incremental",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "events_funnel_conversion",
+    "corpus_decontamination",
+    "streaming_scd2_multibatch",
+    "dedup_connected_components",
+    "embedding_cosine_neardup",
     "multimodal_features",
     "multimodal_image_decode",
     "multimodal_audio_decode",
@@ -146,7 +111,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "count_distinct_approx",
     "percentiles_exact",
     "salted_join_supplier_revenue",
-    "events_funnel_conversion",
     "events_retention_cohorts",
     "events_anomaly_zscore",
     "merge_scd1_customer",
@@ -163,7 +127,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_repetition_quality",
     "pii_redaction",
     "url_domain_stats",
-    "corpus_decontamination",
     "corpus_stratified_sample",
     "corpus_lang_source_profile",
     "corpus_train_eval_split",
