@@ -77,7 +77,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_size_histogram",
     # --- round-4 additions (VERDICT r3 asks #2/#4/#5/#6 only; registration
     # otherwise frozen this round) ---
-    "dedup_containment_banded",
+    "dedup_containment_dfcap",
     "dedup_containment_recall_sweep",
     "events_dau_wau_approx",
     "multimodal_video_nal_index",

@@ -1595,6 +1595,86 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAU_WAU_APPROX_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       (SELECT count(*) FROM pairs p WHERE p.day = d.day) AS dau,
+       (SELECT count(DISTINCT p.user_id) FROM pairs p
+         WHERE p.day > d.day - INTERVAL 7 DAY AND p.day <= d.day) AS wau,
+       TRUE AS dau_within_tol,
+       TRUE AS wau_within_tol
+FROM days d
+"""
+
+
+def _dau_wau_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure sketch pipeline (no exact twin): one pass builds a per-day
+    HLL sketch of user ids; DAU is each day's estimate and WAU estimates
+    the UNION of the trailing 7 days' sketches — the planetary-scale form,
+    because the shuffled state is days × ~2.5 KB sketches instead of the
+    distinct (user, day) relation, and the trailing-window work is a
+    constant 7 register-maxes per day."""
+    e = load_table(spark, sf_dir, "events")
+    per_day = (
+        e.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .persist()
+    )
+    d = per_day.select("day").alias("d")
+    s = per_day.alias("s")
+    wau = (
+        d.join(
+            s,
+            (F.col("s.day") > F.date_sub(F.col("d.day"), 7))
+            & (F.col("s.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s.sk")).alias("wau_approx"))
+    )
+    dau = per_day.select(
+        "day", F.hll_sketch_estimate("sk").alias("dau_approx")
+    )
+    return dau.join(wau, "day")
+
+
+@query("events_dau_wau_approx", oracle=_DAU_WAU_APPROX_ORACLE)
+def events_dau_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU via per-day HyperLogLog sketches union-merged over the
+    trailing window (DataSketches ``hll_sketch_agg`` / ``hll_union_agg``)
+    — the documented approximate path of ``events_dau_wau``, now measured
+    instead of promised. Sketch union is commutative register-max, so the
+    estimates are deterministic under any partitioning.
+
+    The raw estimates are engine-specific, so (count_distinct_approx's
+    contract) the oracle hash-matches the EXACT counts and a boolean
+    asserting each estimate landed within tolerance; the pytest property
+    additionally bounds the error. The exact twin here exists only for the
+    audit — the production pipeline runs ``_dau_wau_sketches`` alone, whose
+    100× cost is the one-pass sketch build (see BENCH.md)."""
+    approx = _dau_wau_sketches(spark, sf_dir)
+    exact = events_dau_wau(spark, sf_dir)
+    tol = 0.06
+    return (
+        exact.join(
+            approx,
+            exact["day"] == F.date_format(approx["day"], "yyyy-MM-dd"),
+        )
+        .select(
+            exact["day"].alias("day"),
+            "dau",
+            "wau",
+            (F.abs(F.col("dau_approx") - F.col("dau")) <= tol * F.col("dau"))
+            .alias("dau_within_tol"),
+            (F.abs(F.col("wau_approx") - F.col("wau")) <= tol * F.col("wau"))
+            .alias("wau_within_tol"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # market-basket affinity: part-brand co-occurrence lift
 # ---------------------------------------------------------------------------

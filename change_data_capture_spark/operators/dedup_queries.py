@@ -725,8 +725,14 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-mutated near-dups score exactly 1.0 here.
 
     Same inverted-index join shape as ``dedup_ngram_jaccard`` — candidates
-    are O(shingle collisions), never all-pairs; at scale the MinHash
-    band-filter composes in front of this verify unchanged."""
+    are O(shingle collisions), so this is the EXACT/ground-truth form whose
+    cost grows with Σ df² over hot shingles; it exists at fixture scale to
+    audit the scale path. (MinHash banding does NOT compose in front of it:
+    MinHash estimates Jaccard, which under-recalls exactly the asymmetric
+    small⊂big pairs containment exists for.) The 100 TB form is
+    ``dedup_containment_dfcap`` — identical semantics behind a shingle
+    document-frequency cap — and ``dedup_containment_recall_sweep``
+    measures what that cap costs in recall against this oracle."""
     sh = doc_shingles(corpus(spark, sf_dir)).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -755,6 +761,195 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_outer"),
             contain.alias("containment"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# containment at scale: document-frequency-capped candidate generation
+# ---------------------------------------------------------------------------
+
+#: shingles seen in more than this many documents are dropped from the
+#: CANDIDATE index (they stop discriminating — boilerplate, stop-phrases);
+#: verification still uses the full shingle sets, so scores stay exact.
+DF_CAP = 16
+
+_CONTAIN_DFCAP_ORACLE = f"""
+WITH {CORPUS_SQL},
+{_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+df AS (SELECT shingle, count(*) AS df FROM doc_shingles GROUP BY shingle),
+rare AS (
+    SELECT s.doc_id, s.shingle FROM doc_shingles s
+    JOIN df ON df.shingle = s.shingle
+    WHERE df.df BETWEEN 2 AND {DF_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM rare a JOIN rare b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN doc_shingles sa ON sa.doc_id = c.doc_a
+    JOIN doc_shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT CASE WHEN sa.n <= sb.n THEN i.doc_a ELSE i.doc_b END AS doc_inner,
+       CASE WHEN sa.n <= sb.n THEN i.doc_b ELSE i.doc_a END AS doc_outer,
+       CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("dedup_containment_dfcap", oracle=_CONTAIN_DFCAP_ORACLE)
+def dedup_containment_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs, 100 TB form: the candidate index keeps only
+    DISCRIMINATIVE shingles — document frequency in [2, DF_CAP] — before
+    the self-join, then verifies candidates EXACTLY against the full
+    shingle sets. df=1 shingles can't produce a pair; df>DF_CAP shingles
+    are boilerplate whose join fan-out is the whole O(Σ df²) blow-up of
+    the exact form (standard prefix/df-filter from the set-similarity-join
+    literature, e.g. PPJoin).
+
+    Cost shape: candidate generation is bounded by DF_CAP · |rare index|
+    (each index row joins ≤ DF_CAP-1 others) — linear in corpus size at
+    fixed cap, vs the uncapped form's quadratic blow-up in hot shingles.
+    Verification touches only candidate pairs' shingle sets, and scores are
+    exact — the cap can only MISS pairs whose every shared shingle is hot;
+    ``dedup_containment_recall_sweep`` measures exactly that miss rate."""
+    sh = doc_shingles(corpus(spark, sf_dir)).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_rel = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = (
+        sh.join(
+            df_rel.where(F.col("df").between(2, DF_CAP)).select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+    )
+    ra, rb = rare.alias("ra"), rare.alias("rb")
+    cand = (
+        ra.join(
+            rb,
+            (F.col("ra.shingle") == F.col("rb.shingle"))
+            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+        )
+        .select(F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    contain = F.col("n_common").cast("double") / F.least("na", "nb")
+    small_first = F.col("na") <= F.col("nb")
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .where(contain >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.when(small_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_inner"),
+            F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_outer"),
+            contain.alias("containment"),
+        )
+    )
+
+
+_DFCAP_SWEEP = (2, 4, 8, 16, 32, 64)
+
+_CONTAIN_RECALL_ORACLE = f"""
+WITH {CORPUS_SQL},
+{_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+df AS (SELECT shingle, count(*) AS df FROM doc_shingles GROUP BY shingle),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_common, min(df.df) AS min_df
+    FROM doc_shingles a
+    JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN df ON df.shingle = a.shingle
+    GROUP BY 1, 2
+),
+true_pairs AS (
+    SELECT i.min_df
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n)
+          >= {CONTAINMENT_THRESHOLD}
+)
+SELECT k.df_cap,
+       CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(CASE WHEN p.min_df <= k.df_cap THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_caught,
+       CAST(SUM(CASE WHEN p.min_df <= k.df_cap THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS recall
+FROM (SELECT unnest(ARRAY[{", ".join(str(k) for k in _DFCAP_SWEEP)}]) AS df_cap) k
+CROSS JOIN true_pairs p
+GROUP BY k.df_cap
+"""
+
+
+@query("dedup_containment_recall_sweep", oracle=_CONTAIN_RECALL_ORACLE)
+def dedup_containment_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall curve for the df-cap containment prefilter: a true
+    containment pair survives a cap K iff SOME shared shingle has df ≤ K
+    (equivalently min shared df ≤ K — the pair then collides in the capped
+    index and exact verification recovers it). One ground-truth pass
+    computes each true pair's min shared df; one conditional agg scores
+    every K — the same audit `dedup_threshold_sweep` gives MinHash banding,
+    so a pipeline owner picks DF_CAP from a measured curve, not a guess.
+
+    Ground truth is the exact inverted-index join (fixture-scale only, by
+    design); the sweep itself adds one broadcast-sized df join to it."""
+    sh = doc_shingles(corpus(spark, sf_dir)).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_rel = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .join(df_rel, "shingle")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"), F.min("df").alias("min_df"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    contain = F.col("n_common").cast("double") / F.least("na", "nb")
+    true_pairs = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .where(contain >= CONTAINMENT_THRESHOLD)
+        .select("min_df")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_true")]
+    for idx, k in enumerate(_DFCAP_SWEEP):
+        aggs.append(
+            F.sum(F.when(F.col("min_df") <= k, 1).otherwise(0)).alias(f"caught_{idx}")
+        )
+    onerow = true_pairs.agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}L, n_true, caught_{i}" for i, k in enumerate(_DFCAP_SWEEP)
+    )
+    swept = onerow.selectExpr(
+        f"stack({len(_DFCAP_SWEEP)}, {stack_args}) AS (df_cap, n_true_pairs, n_caught)"
+    )
+    return swept.select(
+        F.col("df_cap").cast("int").alias("df_cap"),
+        "n_true_pairs",
+        "n_caught",
+        (F.col("n_caught").cast("double") / F.col("n_true_pairs")).alias("recall"),
     )
 
 

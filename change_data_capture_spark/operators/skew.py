@@ -76,14 +76,9 @@ def salted_aggregate(
 # skew diagnostics: measure key-distribution health before choosing a plan
 # ---------------------------------------------------------------------------
 
-_ENC = 10**12  # (count, key) pairs encode into one bigint for exact argmax
-
-_SKEW_DIAG_ORACLE = f"""
+_SKEW_DIAG_ORACLE = """
 WITH counts AS (
     SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY l_suppkey
-),
-enc AS (
-    SELECT k, c, c * {_ENC} + k AS code FROM counts
 )
 SELECT count(*) AS n_keys,
        CAST(SUM(c) AS BIGINT) AS total_rows,
@@ -92,8 +87,8 @@ SELECT count(*) AS n_keys,
        min(c) AS min_rows,
        CAST(max(c) AS DOUBLE) / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / count(*))
            AS skew_factor,
-       max(code) % {_ENC} AS hottest_key
-FROM enc
+       (max(struct_pack(c := c, k := k))).k AS hottest_key
+FROM counts
 """
 
 
@@ -113,25 +108,25 @@ def _query_registration():
         are the two mitigations it feeds.
 
         One map-side-combined count agg, then a constant-size reduction;
-        the deterministic hottest-key argmax rides the same pass as an
-        encoded ``count·10¹² + key`` integer max — no second shuffle, no
-        window, exact in both engines."""
+        the deterministic hottest-key argmax rides the same pass as a
+        lexicographic ``max(struct(c, k))`` — no second shuffle, no window,
+        exact in both engines at any count/key magnitude (an earlier
+        ``count·10¹² + key`` integer packing overflowed int64 for keys with
+        more than ~9.2M rows — exactly the hot-key regime this diagnostic
+        exists for)."""
         l = load_table(spark, sf_dir, "lineitem")
         counts = l.groupBy(F.col("l_suppkey").alias("k")).agg(
             F.count(F.lit(1)).alias("c")
         )
-        enc = counts.select(
-            "k", "c", (F.col("c") * _ENC + F.col("k")).alias("code")
-        )
         avg = F.sum("c").cast("double") / F.count(F.lit(1))
-        return enc.agg(
+        return counts.agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("c").alias("total_rows"),
             avg.alias("avg_rows_per_key"),
             F.max("c").alias("max_rows"),
             F.min("c").alias("min_rows"),
             (F.max("c").cast("double") / avg).alias("skew_factor"),
-            (F.max("code") % _ENC).alias("hottest_key"),
+            F.max(F.struct("c", "k"))["k"].alias("hottest_key"),
         )
 
     return skew_key_diagnostics

@@ -156,13 +156,28 @@ class CdcNdjsonWriter(DataSourceWriter):
         return _WroteFile(tmp, n)
 
     def commit(self, messages):
+        if self.overwrite:
+            # truncate-on-overwrite happens at COMMIT time, not write time:
+            # a failed overwrite job must leave the old segments readable.
+            # New temp files end in .inprogress so the glob can't hit them.
+            root = self.options.get("path")
+            for old in glob.glob(
+                os.path.join(root, "**", "*.json"), recursive=True
+            ):
+                os.remove(old)
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 d, base = os.path.split(m.tmp_path[: -len(".inprogress")])
+                dst = os.path.join(d, base.lstrip("."))
                 # strip the hidden-file dot: pre-commit temp files are
                 # invisible to the reader's glob BY CONSTRUCTION; the
                 # rename both publishes and un-hides atomically
-                os.rename(m.tmp_path, os.path.join(d, base.lstrip(".")))
+                os.rename(m.tmp_path, dst)
+                # stamp publish time: rename preserves the temp file's WRITE
+                # mtime, so a segment committed while a stream is running
+                # could sort before already-consumed files — publish order
+                # must equal listing order for the stream reader
+                os.utime(dst)
 
     def abort(self, messages):
         for m in messages:
@@ -171,7 +186,11 @@ class CdcNdjsonWriter(DataSourceWriter):
 
 
 def _from_row(value):
-    """JSON-encode a Spark row leaf (Row -> dict, Decimal -> str)."""
+    """JSON-encode a Spark row leaf: Row -> dict, Decimal -> str,
+    date/timestamp -> ISO-8601 string, bytes -> base64 string; recurses
+    through arrays and maps so nested Rows/Decimals survive too."""
+    import base64
+    import datetime
     import decimal
 
     from pyspark.sql import Row
@@ -180,53 +199,80 @@ def _from_row(value):
         return {k: _from_row(v) for k, v in value.asDict().items()}
     if isinstance(value, decimal.Decimal):
         return str(value)
+    if isinstance(value, datetime.datetime):
+        return value.isoformat(sep=" ")
+    if isinstance(value, datetime.date):
+        return value.isoformat()
+    if isinstance(value, (bytes, bytearray)):
+        return base64.b64encode(bytes(value)).decode("ascii")
+    if isinstance(value, (list, tuple)):
+        return [_from_row(v) for v in value]
+    if isinstance(value, dict):
+        return {k: _from_row(v) for k, v in value.items()}
     return value
 
 
 class CdcNdjsonStreamReader(SimpleDataSourceStreamReader):
     """STREAMING side of the envelope source (Spark 4 Python streaming
-    DataSource): offsets are the count of log files consumed, in sorted
-    name order — the rotated-segment-log model (files are immutable once
-    written, new segments only append to the listing). ``read`` advances
-    the offset over newly arrived files; ``readBetweenOffsets`` replays a
-    committed range DETERMINISTICALLY after restart (same sorted listing →
-    same rows), which is what makes checkpoint recovery exactly-once."""
+    DataSource): offsets are CONTENT-ADDRESSED — each offset carries the
+    sorted list of segment file names consumed so far (names are unique:
+    the writer uuid-names every segment; segments are immutable once
+    published). ``read`` advances over exactly the files not yet in the
+    offset; ``readBetweenOffsets`` replays exactly ``end - start`` by set
+    difference, which makes checkpoint recovery exactly-once REGARDLESS of
+    listing order. Earlier revisions used a bare index into an
+    (mtime, name)-sorted listing; that assumed the consumed listing stays a
+    stable prefix, which rename-on-commit broke (rename preserves the temp
+    file's earlier write mtime, so a segment committed mid-stream could
+    sort BEFORE already-consumed files, shifting every index). Offset size
+    grows with segment count — at log-rotation granularity that is bounded
+    (thousands of names per topic), the standard trade for content
+    addressing; Spark's own file stream source keeps a seen-file log the
+    same way."""
 
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
         self.root = options.get("path")
 
-    def _files(self):
-        # (mtime, name) order, NOT bare name order: index offsets are only
-        # exactly-once if the consumed listing stays a stable PREFIX as
-        # files arrive, and appended segments guarantee that through mtime
-        # (a fresh uuid-named file can lexicographically sort BEFORE
-        # already-consumed files — found by the checkpoint-restart test,
-        # which duplicated batch 0 and silently dropped the new segment).
-        return [
-            p
-            for _, _, p in sorted(
-                (os.path.getmtime(p), os.path.basename(p), p)
-                for p in glob.glob(
-                    os.path.join(self.root, "**", "*.json"), recursive=True
-                )
+    def _files(self) -> dict[str, str]:
+        """{basename: fullpath} for every published segment (basenames are
+        uuid-unique by the writer's construction)."""
+        return {
+            os.path.basename(p): p
+            for p in glob.glob(
+                os.path.join(self.root, "**", "*.json"), recursive=True
             )
-        ]
+        }
 
     def initialOffset(self) -> dict:
-        return {"idx": 0}
+        return {"files": []}
+
+    @staticmethod
+    def _consumed(offset: dict) -> set[str]:
+        # legacy {"idx": n} offsets (pre-content-addressing checkpoints)
+        # carry no file identity, so they cannot be mapped safely; refuse
+        # loudly rather than replay or skip.
+        if "files" not in offset:
+            raise ValueError(
+                f"unsupported cdc_ndjson offset {offset!r}: restart the "
+                "query with a fresh checkpoint (offsets are now "
+                "content-addressed file lists)"
+            )
+        return set(offset["files"])
 
     def read(self, start: dict):
         files = self._files()
-        lo = start["idx"]
+        done = self._consumed(start)
+        fresh = sorted(name for name in files if name not in done)
         rows = []
-        for p in files[lo:]:
-            rows.extend(_parse_file(p, self.schema_))
-        return iter(rows), {"idx": len(files)}
+        for name in fresh:
+            rows.extend(_parse_file(files[name], self.schema_))
+        return iter(rows), {"files": sorted(done | set(fresh))}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()[start["idx"] : end["idx"]]
+        files = self._files()
+        todo = sorted(self._consumed(end) - self._consumed(start))
         rows = []
-        for p in files:
-            rows.extend(_parse_file(p, self.schema_))
+        for name in todo:
+            rows.extend(_parse_file(files[name], self.schema_))
         return iter(rows)

@@ -31,6 +31,7 @@ ORACLE_CHECKED = [
     "nation_revenue_share",
     "cumulative_unique_users",
     "events_dau_wau",
+    "events_dau_wau_approx",
     "basket_affinity_lift",
     "orders_seasonality_decomposition",
     "dedup_cluster_size_histogram",

@@ -51,6 +51,9 @@ ORACLE_CHECKED = [
     "corpus_temperature_weights",
     "dedup_threshold_sweep",
     "text_charclass_profile",
+    "dedup_containment_dfcap",
+    "dedup_containment_recall_sweep",
+    "multimodal_video_nal_index",
 ]
 
 
@@ -143,12 +146,33 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
     assert 0.18 <= en_frac <= 0.42, f"en fraction {en_frac:.2f} far from 0.3"
 
 
-def test_multimodal_real_decode_is_stubbed():
-    """Only LOSSY codecs (JPEG/H.264) remain stubbed — PNG is real now."""
-    from change_data_capture_spark.operators.multimodal import decode_image_real
+def test_h264_annexb_parser_unit():
+    """The Annex-B NAL parser must handle both start-code lengths, classify
+    NAL types from the header byte, and index IDR keyframes with byte-exact
+    offsets and payload sizes (no stub remains: this replaced the old
+    decode_image_real NotImplementedError)."""
+    import math
 
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"\xff\xd8\xff\xe0jpeg")
+    from change_data_capture_spark.operators.multimodal import parse_h264_annexb
+
+    # SPS(2B) + PPS(1B) + IDR(3B payload) + non-IDR(2B) + IDR(4B)
+    stream = (
+        b"\x00\x00\x00\x01\x67\xaa\xaa"
+        b"\x00\x00\x00\x01\x68\xbb"
+        b"\x00\x00\x00\x01\x65\x81\x82\x83"
+        b"\x00\x00\x01\x41\x90\x91"
+        b"\x00\x00\x00\x01\x65\xa0\xa1\xa2\xa3"
+    )
+    n_nals, n_sps, n_pps, n_idr, n_nonidr, first_idr, mean_idr = (
+        parse_h264_annexb(stream)
+    )
+    assert (n_nals, n_sps, n_pps, n_idr, n_nonidr) == (5, 1, 1, 2, 1)
+    assert first_idr == 13  # 7 (SPS NAL) + 6 (PPS NAL)
+    assert mean_idr == 3.5  # (3 + 4) / 2
+
+    # no IDR → sentinel offset and NaN mean
+    *_, first_idr2, mean2 = parse_h264_annexb(b"\x00\x00\x01\x41\x90")
+    assert first_idr2 == -1 and math.isnan(mean2)
 
 
 def test_png_codec_roundtrip_random_images():
@@ -444,3 +468,33 @@ def test_threshold_sweep_recall_monotone_and_consistent(spark, sf_dir):
     assert all(b >= a - 1e-12 for a, b in zip(recalls, recalls[1:])), recalls
     lsh_pairs = entrymod.queries()["dedup_minhash_lsh"](spark, sf_dir).count()
     assert rows[0.6].n_lsh_caught == lsh_pairs
+
+
+def test_containment_dfcap_recall_against_exact(spark, sf_dir):
+    """The df-capped containment variant must be a SUBSET of the exact
+    pairs (verification is exact, so no false positives) and the measured
+    recall curve must be monotone in the cap and >= 0.95 at the shipped
+    DF_CAP operating point (VERDICT r3 ask #6's target)."""
+    from change_data_capture_spark.operators.dedup_queries import DF_CAP
+
+    q = entrymod.queries()
+    exact = {
+        (r.doc_inner, r.doc_outer)
+        for r in q["dedup_containment_pairs"](spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_inner, r.doc_outer)
+        for r in q["dedup_containment_dfcap"](spark, sf_dir).collect()
+    }
+    assert exact, "fixture must produce containment pairs"
+    assert capped.issubset(exact)
+    sweep = {
+        r.df_cap: r.recall
+        for r in q["dedup_containment_recall_sweep"](spark, sf_dir).collect()
+    }
+    caps = sorted(sweep)
+    assert all(sweep[a] <= sweep[b] for a, b in zip(caps, caps[1:])), (
+        "recall must be monotone in the df cap"
+    )
+    assert sweep[DF_CAP] >= 0.95, f"recall at DF_CAP={DF_CAP}: {sweep[DF_CAP]}"
+    assert len(capped) / len(exact) >= 0.95

@@ -294,3 +294,132 @@ def test_python_datasource_stream_restart_resumes_from_checkpoint(spark, sf_dir)
     sm = {tuple(r) for r in src.groupBy("id", "lsn").count().collect()}
     assert lm == sm
     src.unpersist()
+
+
+def test_python_datasource_writer_overwrite_truncates(spark, sf_dir):
+    """mode("overwrite") must replace previously committed segments, not
+    silently merge with them (regression: the overwrite flag was stored but
+    commit never deleted old files)."""
+    import os
+    import tempfile
+
+    from change_data_capture_spark.sources.cdc_generator import product_change_events
+    from change_data_capture_spark.sources.python_datasource import (
+        CdcNdjsonDataSource,
+    )
+
+    spark.dataSource.register(CdcNdjsonDataSource)
+    src = product_change_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="cdc_pyds_ow_")
+    w = src.repartition(2).write.format("cdc_ndjson").option("path", out)
+    w.mode("append").save()
+    w.mode("append").save()
+    assert (
+        spark.read.format("cdc_ndjson").option("path", out).load().count()
+        == 2 * src.count()
+    )
+    src.limit(10).write.format("cdc_ndjson").mode("overwrite").option(
+        "path", out
+    ).save()
+    back = spark.read.format("cdc_ndjson").option("path", out).load()
+    assert back.count() == 10, "overwrite must truncate, not append"
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+
+
+def test_python_datasource_stream_offsets_survive_mtime_disorder(spark, sf_dir):
+    """Content-addressed offsets: a segment published AFTER the first drain
+    but carrying an EARLIER mtime (rename-on-commit preserves the temp
+    file's write time; coarse filesystems tie) must still be consumed
+    exactly once on the next drain — a bare listing-index offset replays or
+    skips here."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.sources.cdc_generator import product_change_events
+    from change_data_capture_spark.sources.python_datasource import (
+        CdcNdjsonDataSource,
+    )
+
+    spark.dataSource.register(CdcNdjsonDataSource)
+    src = (
+        product_change_events(spark, sf_dir)
+        .select(
+            F.col("value.after.id").alias("id"),
+            F.col("value.source.lsn").alias("lsn"),
+            "value",
+        )
+        .persist()
+    )
+    par = F.coalesce(F.col("lsn"), F.lit(0)) % 2
+    half1, half2 = src.where(par == 0), src.where(par == 1)
+
+    ws = tempfile.mkdtemp(prefix="cdc_pyds_mt_")
+    data, ckpt, out = (os.path.join(ws, d) for d in ("data", "ckpt", "out"))
+    half1.select("value").coalesce(1).write.mode("append").json(data)
+
+    def drain():
+        stream = spark.readStream.format("cdc_ndjson").option("path", data).load()
+        q = (
+            stream.select(
+                F.col("value.after.id").alias("id"),
+                F.col("value.source.lsn").alias("lsn"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == half1.count()
+
+    # publish the second half with an mtime far in the PAST and a name that
+    # sorts first — the hostile case for prefix-index offsets
+    tmp = os.path.join(ws, "tmp2")
+    half2.select("value").coalesce(1).write.mode("append").json(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".json")][0]
+    dst = os.path.join(data, f"0000-early-{uuid.uuid4().hex[:6]}.json")
+    os.rename(os.path.join(tmp, part), dst)
+    os.utime(dst, (0, 0))
+
+    drain()
+    landed = spark.read.parquet(out)
+    assert landed.count() == src.count(), "disordered segment must land exactly once"
+    lm = {tuple(r) for r in landed.groupBy("id", "lsn").count().collect()}
+    sm = {tuple(r) for r in src.groupBy("id", "lsn").count().collect()}
+    assert lm == sm
+    src.unpersist()
+
+
+def test_python_datasource_from_row_leaf_coverage():
+    """_from_row must JSON-encode every Spark leaf type the writer can see:
+    dates, timestamps, bytes, Decimals — including nested inside
+    arrays/maps/Rows (regression: only top-level Row and Decimal were
+    handled, so df.write with a date column raised TypeError)."""
+    import datetime
+    import decimal
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from change_data_capture_spark.sources.python_datasource import _from_row
+
+    rec = _from_row(
+        Row(
+            d=datetime.date(2024, 3, 1),
+            ts=datetime.datetime(2024, 3, 1, 12, 30, 15),
+            b=b"\x00\xff",
+            arr=[decimal.Decimal("1.50"), None],
+            m={"k": Row(inner=datetime.date(2020, 1, 2))},
+        )
+    )
+    out = _json.dumps(rec, sort_keys=True)
+    assert '"2024-03-01"' in out and "12:30:15" in out
+    assert '"1.50"' in out and '"AP8="' in out  # base64 of 00 ff
+    assert '"2020-01-02"' in out
