@@ -32,68 +32,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate walks this dict in order and caps the run at
-# 50 rows per round. Order therefore encodes check priority. Rounds 1-3
-# produced green rows for 149 of 184 registered queries (0 failures). Round 4
-# freezes large-scale registration (VERDICT r3 ask #1): the 35 queries that
-# have never had a driver row lead, the handful of VERDICT-requested round-4
-# additions follow, then the flagship set fills remaining cap slots for
-# re-verification — so evidence across rounds unions to full coverage.
+# 50 rows per round. Order therefore encodes check priority. Cumulative
+# record through round 4: 188/188 registered queries have a driver row, 0
+# failures. Round 5 keeps the registration discipline (VERDICT r4 ask #7,
+# ≤15 new per round): the 4 new scan-format gates lead (never checked), the
+# 3 queries whose code changed this round follow (re-verification of
+# modified plans), then the set whose last driver row is OLDEST (not in
+# r04's 50-row window — last checked r01-r03) fills the cap, so every
+# query's most-recent row stays at most two rounds old.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (r03 cap casualties) — highest priority ---
-    "null_semantics_audit",
-    "dedup_substring_spans",
-    "dedup_containment_pairs",
-    "text_charclass_profile",
-    "streaming_outer_join_unmatched",
-    "events_mad_robust_zscore",
-    "asof_join_next_order",
-    "dedup_minhash_incremental",
-    "streaming_update_mode_counts",
-    "events_markov_transitions",
-    "events_ohlc_bars",
-    "events_time_weighted_avg",
-    "embedding_random_projection",
-    "text_commonness_score",
-    "text_feature_hashing",
-    "corpus_temperature_weights",
-    "late_arriving_dim_inferred",
-    "streaming_complete_mode_topk",
-    "events_top_paths",
-    "ab_test_welch",
-    "dedup_threshold_sweep",
-    "events_time_to_convert",
-    "corpus_exact_k_sample",
-    "corpus_pipeline_end_to_end",
-    "customer_rfm_scores",
-    "cohort_ltv_matrix",
-    "nation_balance_percentiles",
-    "streaming_python_datasource_drain",
-    "skew_key_diagnostics",
-    "nation_revenue_share",
-    "cumulative_unique_users",
-    "events_dau_wau",
-    "basket_affinity_lift",
-    "orders_seasonality_decomposition",
-    "dedup_cluster_size_histogram",
-    # --- round-4 additions (VERDICT r3 asks #2/#4/#5/#6 only; registration
-    # otherwise frozen this round) ---
+    # --- round-5 additions: in-env scan gates (VERDICT r4 ask #6) ---
+    "scan_csv_roundtrip",
+    "scan_json_auto_roundtrip",
+    "scan_text_roundtrip",
+    "scan_orc_roundtrip",
+    # --- code changed in round 5 → must re-verify ---
     "dedup_containment_dfcap",
     "dedup_containment_recall_sweep",
-    "events_dau_wau_approx",
-    "multimodal_video_nal_index",
-    # --- already green in r01-r03 (re-verification fills remaining cap) ---
-    "streaming_ingest_exactly_once",
-    "scd2_products_b64price",
-    "dedup_minhash_lsh",
-    "dedup_cc_minhash",
-    "similarity_topk_cosine",
-    "semantic_dedup_keeplist",
-    "heavy_hitters_cms",
-    "pagerank_dangling",
-    "sequence_packing_sharded",
-    "multimodal_image_decode_png",
-    "multimodal_image_decode_jpeg",
-    "streaming_scd2_incremental",
+    "streaming_python_datasource_drain",
+    # --- oldest driver rows (missed r04's cap window; last green r01-r03) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "events_funnel_conversion",
@@ -139,6 +96,55 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "profile_orders",
     "dq_audit",
+    # --- freshest rows (green in r04's window) — lowest priority this round ---
+    "null_semantics_audit",
+    "dedup_substring_spans",
+    "dedup_containment_pairs",
+    "text_charclass_profile",
+    "streaming_outer_join_unmatched",
+    "events_mad_robust_zscore",
+    "asof_join_next_order",
+    "dedup_minhash_incremental",
+    "streaming_update_mode_counts",
+    "events_markov_transitions",
+    "events_ohlc_bars",
+    "events_time_weighted_avg",
+    "embedding_random_projection",
+    "text_commonness_score",
+    "text_feature_hashing",
+    "corpus_temperature_weights",
+    "late_arriving_dim_inferred",
+    "streaming_complete_mode_topk",
+    "events_top_paths",
+    "ab_test_welch",
+    "dedup_threshold_sweep",
+    "events_time_to_convert",
+    "corpus_exact_k_sample",
+    "corpus_pipeline_end_to_end",
+    "customer_rfm_scores",
+    "cohort_ltv_matrix",
+    "nation_balance_percentiles",
+    "skew_key_diagnostics",
+    "nation_revenue_share",
+    "cumulative_unique_users",
+    "events_dau_wau",
+    "basket_affinity_lift",
+    "orders_seasonality_decomposition",
+    "dedup_cluster_size_histogram",
+    "events_dau_wau_approx",
+    "multimodal_video_nal_index",
+    "streaming_ingest_exactly_once",
+    "scd2_products_b64price",
+    "dedup_minhash_lsh",
+    "dedup_cc_minhash",
+    "similarity_topk_cosine",
+    "semantic_dedup_keeplist",
+    "heavy_hitters_cms",
+    "pagerank_dangling",
+    "sequence_packing_sharded",
+    "multimodal_image_decode_png",
+    "multimodal_image_decode_jpeg",
+    "streaming_scd2_incremental",
 )
 
 

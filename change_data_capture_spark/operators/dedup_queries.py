@@ -822,7 +822,6 @@ def dedup_containment_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact — the cap can only MISS pairs whose every shared shingle is hot;
     ``dedup_containment_recall_sweep`` measures exactly that miss rate."""
     sh = doc_shingles(corpus(spark, sf_dir)).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_rel = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = (
         sh.join(
@@ -841,22 +840,41 @@ def dedup_containment_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # exact verification against COLLECTED shingle-set arrays, not a
+    # re-join of the shingle relation: joining candidates back to the
+    # per-shingle rows fans the verify relation out to |cand| × |doc
+    # shingles| rows (measured 8 s at sf0.1 — the query's whole cost);
+    # collecting each doc's distinct shingles once and scoring with
+    # ``array_intersect`` keeps verification at ONE row per candidate pair
+    # with the set payload carried alongside (the verification-phase shape
+    # of PPJoin-family set-similarity joins: fetch the two sets, score
+    # in-place). Sets stay exact strings, so scores hash-match the oracle.
+    doc_sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set"))
+    scored = (
+        cand.join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
+            F.size("set_a").alias("na"),
+            F.size("set_b").alias("nb"),
+        )
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     contain = F.col("n_common").cast("double") / F.least("na", "nb")
     small_first = F.col("na") <= F.col("nb")
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .where(contain >= CONTAINMENT_THRESHOLD)
+        scored.where(contain >= CONTAINMENT_THRESHOLD)
         .select(
             F.when(small_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_inner"),
             F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_outer"),
@@ -945,11 +963,18 @@ def dedup_containment_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     swept = onerow.selectExpr(
         f"stack({len(_DFCAP_SWEEP)}, {stack_args}) AS (df_cap, n_true_pairs, n_caught)"
     )
-    return swept.select(
-        F.col("df_cap").cast("int").alias("df_cap"),
-        "n_true_pairs",
-        "n_caught",
-        (F.col("n_caught").cast("double") / F.col("n_true_pairs")).alias("recall"),
+    return (
+        swept
+        # degenerate-corpus guard: with zero true pairs the oracle's CROSS
+        # JOIN yields no rows, so drop the stacked rows too (recall would
+        # be 0/0) — both engines agree on empty input
+        .where(F.col("n_true_pairs") > 0)
+        .select(
+            F.col("df_cap").cast("int").alias("df_cap"),
+            "n_true_pairs",
+            "n_caught",
+            (F.col("n_caught").cast("double") / F.col("n_true_pairs")).alias("recall"),
+        )
     )
 
 

@@ -77,10 +77,24 @@ def _parse_file(path: str, schema: StructType):
 def _to_row(value, dtype):
     """Recursively shape parsed JSON into Spark's expected tuple rows,
     coercing leaves to the Python types the converter requires (JSON gives
-    float/int/str; DecimalType fields must arrive as decimal.Decimal)."""
+    float/int/str; DecimalType fields must arrive as decimal.Decimal).
+    Inverse of ``_from_row``: ISO-8601 strings back to date/datetime,
+    base64 back to bytes — every type the writer can emit round-trips."""
+    import base64
+    import datetime
     import decimal
 
-    from pyspark.sql.types import DecimalType, DoubleType, FloatType, LongType
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        LongType,
+        MapType,
+        TimestampType,
+    )
 
     if value is None:
         return None
@@ -92,6 +106,16 @@ def _to_row(value, dtype):
         return float(value)
     if isinstance(dtype, LongType):
         return int(value)
+    if isinstance(dtype, TimestampType):
+        return datetime.datetime.fromisoformat(value)
+    if isinstance(dtype, DateType):
+        return datetime.date.fromisoformat(value)
+    if isinstance(dtype, BinaryType):
+        return bytearray(base64.b64decode(value))
+    if isinstance(dtype, ArrayType):
+        return [_to_row(v, dtype.elementType) for v in value]
+    if isinstance(dtype, MapType):
+        return {k: _to_row(v, dtype.valueType) for k, v in value.items()}
     return value
 
 
@@ -160,6 +184,10 @@ class CdcNdjsonWriter(DataSourceWriter):
             # truncate-on-overwrite happens at COMMIT time, not write time:
             # a failed overwrite job must leave the old segments readable.
             # New temp files end in .inprogress so the glob can't hit them.
+            # NOTE: deleting segments invalidates any IN-FLIGHT stream
+            # checkpoint over this path — a recovering stream whose offsets
+            # reference the removed names fails loudly in
+            # CdcNdjsonStreamReader.readBetweenOffsets, by design.
             root = self.options.get("path")
             for old in glob.glob(
                 os.path.join(root, "**", "*.json"), recursive=True
@@ -173,10 +201,10 @@ class CdcNdjsonWriter(DataSourceWriter):
                 # invisible to the reader's glob BY CONSTRUCTION; the
                 # rename both publishes and un-hides atomically
                 os.rename(m.tmp_path, dst)
-                # stamp publish time: rename preserves the temp file's WRITE
-                # mtime, so a segment committed while a stream is running
-                # could sort before already-consumed files — publish order
-                # must equal listing order for the stream reader
+                # stamp publish time (rename preserves the temp file's WRITE
+                # mtime) so mtimes reflect when segments became visible —
+                # for operators and debugging only; the stream reader is
+                # content-addressed and never depends on listing/mtime order
                 os.utime(dst)
 
     def abort(self, messages):
@@ -272,6 +300,15 @@ class CdcNdjsonStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         files = self._files()
         todo = sorted(self._consumed(end) - self._consumed(start))
+        missing = [name for name in todo if name not in files]
+        if missing:
+            # segments are immutable once published, so a checkpointed name
+            # can only vanish if an overwrite commit truncated the log
+            raise ValueError(
+                "cdc_ndjson replay: segment(s) referenced by the stream "
+                f"checkpoint were deleted (overwrite commit ran?): {missing}; "
+                "restart the query with a fresh checkpoint"
+            )
         rows = []
         for name in todo:
             rows.extend(_parse_file(files[name], self.schema_))
