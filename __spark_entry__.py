@@ -41,15 +41,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # r04's 50-row window — last checked r01-r03) fills the cap, so every
 # query's most-recent row stays at most two rounds old.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # --- round-5 additions: in-env scan gates (VERDICT r4 ask #6) ---
+    # --- round-5 additions: in-env scan gates (VERDICT r4 ask #6) +
+    # SimHash Hamming-ball pairing (closes "signatures computed, unused") ---
     "scan_csv_roundtrip",
     "scan_json_auto_roundtrip",
     "scan_text_roundtrip",
     "scan_orc_roundtrip",
+    "simhash_hamming_neardup",
     # --- code changed in round 5 → must re-verify ---
     "dedup_containment_dfcap",
     "dedup_containment_recall_sweep",
     "streaming_python_datasource_drain",
+    "simhash_signatures",
     # --- oldest driver rows (missed r04's cap window; last green r01-r03) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -90,7 +93,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "corpus_hash_weighted_sample",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "simhash_signatures",
     "similarity_ivf_topk",
     "similarity_lsh_buckets",
     "embedding_quantize_int8",

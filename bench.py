@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_containment_pairs",
     "dedup_containment_dfcap",
+    "simhash_hamming_neardup",
     "text_charclass_profile",
     "events_mad_robust_zscore",
     "asof_join_next_order",

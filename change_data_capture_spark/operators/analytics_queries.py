@@ -1617,7 +1617,13 @@ def _dau_wau_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the shuffled state is days × ~2.5 KB sketches instead of the
     distinct (user, day) relation, and the trailing-window work is a
     constant 7 register-maxes per day."""
-    e = load_table(spark, sf_dir, "events")
+    return _dau_wau_sketches_from(load_table(spark, sf_dir, "events"))
+
+
+def _dau_wau_sketches_from(e: DataFrame) -> DataFrame:
+    """Sketch pipeline over any (ts, user_id) event relation — split from
+    the fixture loader so the hypothesis property can drive it with
+    arbitrary synthetic histories (tests/test_hygiene_queries.py)."""
     per_day = (
         e.select(F.col("ts").cast("date").alias("day"), "user_id")
         .groupBy("day")

@@ -303,33 +303,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 16
 
 
-def _simhash_sql() -> str:
+def _simhash_cte(n_bits: int = _SIMHASH_BITS) -> str:
+    """`doc_tokens` + `sigs` CTE bodies (shared by the signature gate and
+    the Hamming-ball near-dup gate, which uses a wider signature)."""
     h = _H_SQL.format(seed=0, col="token")
     bits = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN {1 << j} ELSE 0 END)"
-        for j in range(_SIMHASH_BITS)
+        for j in range(n_bits)
     )
     return f"""
-WITH {CORPUS_SQL},
 doc_tokens AS (
     SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
     FROM corpus
-)
-SELECT doc_id, {bits} AS simhash
-FROM doc_tokens
-GROUP BY doc_id
+),
+sigs AS (
+    SELECT doc_id, {bits} AS simhash
+    FROM doc_tokens
+    GROUP BY doc_id
+)"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH {CORPUS_SQL},
+{_simhash_cte()}
+SELECT doc_id, simhash FROM sigs
 """
 
 
-@query("simhash_signatures", oracle=_simhash_sql())
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over the distinct-token set: per bit, majority vote of
-    ±1 weighted by the token hash's bit value. One explode + one grouped
-    aggregation (16 conditional sums) — near-dup docs land at small Hamming
-    distance. Pairing by Hamming ≤ d is done by the pytest property test;
-    the oracle checks the signatures themselves bit-for-bit."""
-    c = corpus(spark, sf_dir)
+def _simhash_signatures_df(c: DataFrame, n_bits: int = _SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — shared by the signature gate (16-bit) and the
+    Hamming-ball near-dup gate (48-bit)."""
     toks = c.select(
         "doc_id",
         F.explode(
@@ -346,12 +351,144 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 0,
             F.lit(1 << j),
         ).otherwise(0),
-        range(1, _SIMHASH_BITS),
+        range(1, n_bits),
         F.when(
             F.sum(F.when(h.bitwiseAND(1) == 1, 1).otherwise(-1)) > 0, F.lit(1)
         ).otherwise(0),
     )
     return toks.groupBy("doc_id").agg(sim.alias("simhash"))
+
+
+@query("simhash_signatures", oracle=_simhash_sql())
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over the distinct-token set: per bit, majority vote of
+    ±1 weighted by the token hash's bit value. One explode + one grouped
+    aggregation (16 conditional sums) — near-dup docs land at small Hamming
+    distance. Pairing by Hamming ≤ d is ``simhash_hamming_neardup``;
+    the oracle checks the signatures themselves bit-for-bit."""
+    return _simhash_signatures_df(corpus(spark, sf_dir))
+
+
+_HAM_BITS = 60  # wider than the 16-bit signature gate: at 16 bits random
+#                 vocabulary correlation alone puts ~10% of all doc pairs
+#                 within Hamming 3 (measured 68k pairs on the 1.2k-doc
+#                 smoke fixture). 60 (not 64) fits the seeded 60-bit hash
+#                 and keeps every value inside a SIGNED 64-bit int on both
+#                 engines.
+_HAM_BLOCKS = 6          # 6 blocks × 10 bits
+_HAM_MAX = 3             # pigeonhole: ≤3 flips leave ≥3 blocks clean
+_HAM_BLOCK_W = _HAM_BITS // _HAM_BLOCKS
+#: Manku/Jain/Sarma block-COMBINATION tables: one join key per 3-subset of
+#: blocks (C(6,3) = 20 keys of 30 bits). A single-band split (4 × 12-bit
+#: values) has only 4096 buckets per band, so random bucket collisions grow
+#: as n²/4096 — the first 100× smoke of that design generated ~270M
+#: candidate pairs from bucket noise alone. 30-bit combination keys put the
+#: random-collision rate at n²/2³⁰ per table while keeping the d ≤ 3
+#: guarantee exact.
+_HAM_COMBOS: tuple[tuple[int, int, int], ...] = tuple(
+    (a, b, c)
+    for a in range(_HAM_BLOCKS)
+    for b in range(a + 1, _HAM_BLOCKS)
+    for c in range(b + 1, _HAM_BLOCKS)
+)
+
+
+def _ham_key_sql(combo: tuple[int, int, int]) -> str:
+    mask = (1 << _HAM_BLOCK_W) - 1
+    parts = [
+        f"(((simhash >> {blk * _HAM_BLOCK_W}) & {mask}) << {i * _HAM_BLOCK_W})"
+        for i, blk in enumerate(combo)
+    ]
+    return " + ".join(parts)
+
+
+_SIMHASH_NEARDUP_ORACLE = f"""
+WITH {CORPUS_SQL},
+{_simhash_cte(_HAM_BITS)},
+bands AS (
+{" UNION ALL ".join(f"    SELECT doc_id, {i} AS band, {_ham_key_sql(c)} AS bv FROM sigs"
+                    for i, c in enumerate(_HAM_COMBOS))}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_HAM_MAX}
+"""
+
+
+@query("simhash_hamming_neardup", oracle=_SIMHASH_NEARDUP_ORACLE)
+def simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRING at scale — the Manku/Jain/Sarma (WWW 2007)
+    web-crawl dedup shape with BLOCK-COMBINATION tables: the 60-bit
+    signature splits into 6 blocks of 10 bits, and each C(6,3) = 20
+    3-block subset concatenates into one 30-bit join key. By pigeonhole,
+    two signatures within Hamming distance ``_HAM_MAX = 3`` flip at most 3
+    blocks, so some 3-subset is clean on both and they collide in that
+    table — unlike MinHash banding, which trades recall probabilistically,
+    this candidate generation is EXACT for the distance threshold: recall
+    1.0 by construction, no sweep needed. Verification is one integer op
+    per candidate (``bit_count(a XOR b)``), the cheapest verify of any
+    dedup family here.
+
+    Why combination keys and not a plain 4-band split: 12-bit band values
+    give 4096 buckets, so random bucket collisions grow as n²/4096 — the
+    first 100× smoke of that design produced ~270M noise candidates. The
+    30-bit combination keys drop that rate to n²/2³⁰ per table (see
+    ``_HAM_COMBOS``). The residual hazard is identical-signature clusters
+    (true mass duplicates), whose pairs are the OUTPUT, not overhead. The
+    whole query is two hash aggs + one bucket equi-join + a codegen
+    popcount — no arrays, no verify-side re-scan of the corpus."""
+    sigs = _simhash_signatures_df(corpus(spark, sf_dir), _HAM_BITS).persist()
+    mask = (1 << _HAM_BLOCK_W) - 1
+
+    def _key(combo):
+        parts = None
+        for i, blk in enumerate(combo):
+            p = F.shiftleft(
+                F.shiftright("simhash", blk * _HAM_BLOCK_W).bitwiseAND(F.lit(mask)),
+                i * _HAM_BLOCK_W,
+            )
+            parts = p if parts is None else parts + p
+        return parts
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), _key(c).alias("bv"))
+                    for i, c in enumerate(_HAM_COMBOS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(ham <= _HAM_MAX)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -815,12 +952,32 @@ def dedup_containment_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact form (standard prefix/df-filter from the set-similarity-join
     literature, e.g. PPJoin).
 
-    Cost shape: candidate generation is bounded by DF_CAP · |rare index|
-    (each index row joins ≤ DF_CAP-1 others) — linear in corpus size at
-    fixed cap, vs the uncapped form's quadratic blow-up in hot shingles.
-    Verification touches only candidate pairs' shingle sets, and scores are
-    exact — the cap can only MISS pairs whose every shared shingle is hot;
-    ``dedup_containment_recall_sweep`` measures exactly that miss rate."""
+    Cost shape, three bounded phases (PPJoin-family candidate-filter-verify):
+
+    1. CANDIDATE GEN is bounded by DF_CAP · |rare index| (each df-filtered
+       index row joins ≤ DF_CAP-1 others) — linear in corpus size at fixed
+       cap, vs the uncapped form's quadratic blow-up in hot shingles.
+    2. COUNT-FILTER PRUNE (exact, the positional-filter idea): the pair
+       shuffle aggregates ``n_common_rare`` for free (count instead of
+       distinct — same exchange), and shared-hot shingles are bounded by
+       ``min(hot_a, hot_b)``, so ``n_common ≤ n_common_rare + min(na−nra,
+       nb−nrb)``. Pairs whose bound can't reach the threshold are dropped
+       carrying only int payloads — measured 1,178,624 → 1,683 pairs
+       (99.86%) at sf0.1, and the prune can never drop a true pair.
+    3. SET-ARRAY VERIFY on the survivors only: ``array_intersect`` over
+       collected shingle sets — one row per surviving pair. (Verifying by
+       re-joining the shingle relation fans out to |cand|×|doc shingles|
+       rows — measured 8 s at sf0.1; carrying set arrays for ALL candidates
+       instead shuffles |cand|×|set payload| — measured 34 GB of spill at
+       the 100× smoke before the prune existed. The prune is what makes
+       either verify shape affordable: array payloads ride only the ~0.1%
+       surviving relation.)
+
+    Scores are exact — the cap can only MISS pairs whose every shared
+    shingle is hot; ``dedup_containment_recall_sweep`` measures exactly
+    that miss rate. Measured operating point (BENCH.md round-5 table): at
+    DF_CAP=16 recall is 1.0000 at BOTH sf0.1 (1,682/1,682 true pairs) and
+    decorrelated 100× (169,221/169,221); the curve knees at cap 8 (0.90)."""
     sh = doc_shingles(corpus(spark, sf_dir)).persist()
     df_rel = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = (
@@ -830,28 +987,41 @@ def dedup_containment_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
     )
+    # per-doc stats: total shingles n, rare shingles nr (int payloads only;
+    # docs absent from `rare` can't form candidates, so inner joins are safe)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    n_rare = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nr"))
+    stats = sizes.join(n_rare, "doc_id")
     ra, rb = rare.alias("ra"), rare.alias("rb")
-    cand = (
+    pairs = (
         ra.join(
             rb,
             (F.col("ra.shingle") == F.col("rb.shingle"))
             & (F.col("ra.doc_id") < F.col("rb.doc_id")),
         )
-        .select(F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common_rare"))
     )
-    # exact verification against COLLECTED shingle-set arrays, not a
-    # re-join of the shingle relation: joining candidates back to the
-    # per-shingle rows fans the verify relation out to |cand| × |doc
-    # shingles| rows (measured 8 s at sf0.1 — the query's whole cost);
-    # collecting each doc's distinct shingles once and scoring with
-    # ``array_intersect`` keeps verification at ONE row per candidate pair
-    # with the set payload carried alongside (the verification-phase shape
-    # of PPJoin-family set-similarity joins: fetch the two sets, score
-    # in-place). Sets stay exact strings, so scores hash-match the oracle.
+    sa_stats = stats.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("nr").alias("nra")
+    )
+    sb_stats = stats.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("nr").alias("nrb")
+    )
+    bound = F.col("n_common_rare") + F.least(
+        F.col("na") - F.col("nra"), F.col("nb") - F.col("nrb")
+    )
+    survivors = (
+        pairs.join(sa_stats, "doc_a")
+        .join(sb_stats, "doc_b")
+        .where(bound.cast("double") / F.least("na", "nb") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
     doc_sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set"))
     scored = (
-        cand.join(
+        survivors.join(
             doc_sets.select(
                 F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
             ),

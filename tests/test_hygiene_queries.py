@@ -5,6 +5,8 @@ anomaly z-score) and the batch MERGE operator."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
@@ -311,3 +313,53 @@ def test_cluster_histogram_accounts_for_all_clustered_docs(spark, sf_dir):
     assert hist and all(r.cluster_size >= 2 for r in hist)
     total = sum(r.n_docs for r in hist)
     assert total == q["dedup_cc_minhash"](spark, sf_dir).count()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=13),     # day offset
+            st.integers(min_value=0, max_value=400),    # user id
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_dau_wau_sketch_tolerance_property(spark, events):
+    """The HLL-sketch DAU/WAU path must land within the registered query's
+    6% tolerance of the exact counts for ANY event history — arbitrary day
+    gaps, repeated users, single-day corpora (mirrors the
+    `count_distinct_approx` error-bound property; at these cardinalities
+    the DataSketches HLL is in sparse mode and typically exact, so the
+    bound also guards against windowing bugs like an off-by-one trailing
+    range, not just estimator noise)."""
+    import datetime
+
+    from change_data_capture_spark.operators.analytics_queries import (
+        _dau_wau_sketches_from,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(days=d), u)
+        for d, u in events
+    ]
+    e = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    got = {
+        r.day: (r.dau_approx, r.wau_approx)
+        for r in _dau_wau_sketches_from(e).collect()
+    }
+    days = sorted({d for d, _ in events})
+    for d in days:
+        day = (base + datetime.timedelta(days=d)).date()
+        exact_dau = len({u for dd, u in events if dd == d})
+        exact_wau = len({u for dd, u in events if d - 7 < dd <= d})
+        dau_est, wau_est = got[day]
+        assert abs(dau_est - exact_dau) <= max(0.06 * exact_dau, 1), (day, dau_est, exact_dau)
+        assert abs(wau_est - exact_wau) <= max(0.06 * exact_wau, 1), (day, wau_est, exact_wau)
+    assert set(got) == {(base + datetime.timedelta(days=d)).date() for d in days}

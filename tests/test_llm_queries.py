@@ -54,6 +54,7 @@ ORACLE_CHECKED = [
     "dedup_containment_dfcap",
     "dedup_containment_recall_sweep",
     "multimodal_video_nal_index",
+    "simhash_hamming_neardup",
 ]
 
 
@@ -498,3 +499,38 @@ def test_containment_dfcap_recall_against_exact(spark, sf_dir):
     )
     assert sweep[DF_CAP] >= 0.95, f"recall at DF_CAP={DF_CAP}: {sweep[DF_CAP]}"
     assert len(capped) / len(exact) >= 0.95
+
+
+def test_simhash_hamming_neardup_catches_replicas(spark, sf_dir):
+    """Every exact replica pair (doc_id%10==0 → +100000, identical text →
+    identical signature) must surface at hamming 0; appended-suffix mutants
+    (+200000, two extra tokens) must surface within the distance budget —
+    the banding is lossless for d ≤ bands−1 so this is a guarantee, not a
+    recall target. No pair may exceed the threshold."""
+    from change_data_capture_spark.operators.dedup_queries import _HAM_MAX, corpus
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in entrymod.queries()["simhash_hamming_neardup"](spark, sf_dir).collect()
+    }
+    assert got, "fixture replicas must produce pairs"
+    assert all(0 <= h <= _HAM_MAX for h in got.values())
+    all_ids = {
+        r.doc_id for r in corpus(spark, sf_dir).select("doc_id").collect()
+    }
+    exact_pairs = [
+        (d, d + 100000)
+        for d in all_ids
+        if d < 100000 and d % 10 == 0 and d + 100000 in all_ids
+    ]
+    assert exact_pairs
+    for a, b in exact_pairs:
+        assert got.get((a, b)) == 0, f"replica pair {(a, b)} missing or nonzero"
+
+
+def test_simhash_hamming_neardup_plan_is_bucketed(spark, sf_dir):
+    """Candidate generation must be the band equi-join — never all-pairs."""
+    from change_data_capture_spark.plans import plan_stats
+
+    s = plan_stats(entrymod.queries()["simhash_hamming_neardup"](spark, sf_dir))
+    assert not s.has_cartesian and not s.has_bnlj, s.text
