@@ -988,7 +988,13 @@ def dedup_containment_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # per-doc stats: total shingles n, rare shingles nr (int payloads only;
-    # docs absent from `rare` can't form candidates, so inner joins are safe)
+    # docs absent from `rare` can't form candidates, so inner joins are
+    # safe). Joined onto the AGGREGATED pair relation, not carried through
+    # the rare self-join: the stats relation is doc-count-sized, so AQE
+    # turns both joins into broadcasts streaming over the pairs — while
+    # carrying the stats as extra self-join columns recomputes the widened
+    # rare⋈stats subtree on both aliases (measured 142 s vs 77 s at the
+    # decorrelated 100× smoke).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     n_rare = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nr"))
     stats = sizes.join(n_rare, "doc_id")
@@ -1182,6 +1188,35 @@ WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= {JACCARD_THRESH
 """
 
 
+def minhash_signature_rel(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{N_PERMS-1}, n) MinHash signature relation from a
+    (doc_id, shingle) set relation — the schema of the persisted signature
+    store (shared by the batch and streaming incremental-dedup gates)."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(seeded_hash(F.col("shingle"), i)).alias(f"h{i}")
+            for i in range(N_PERMS)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def minhash_band_rel(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH banding of a signature relation (2 rows per
+    band)."""
+    return reduce(
+        DataFrame.unionAll,
+        [
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", f"h{2*b}", f"h{2*b+1}").alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ],
+    )
+
+
 @query("dedup_minhash_incremental", oracle=_MINHASH_INCR_ORACLE)
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL MinHash-LSH dedup: a newly-arrived delta batch
@@ -1203,28 +1238,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir)
     is_delta = F.col("doc_id") % _DELTA_MOD == 0
     sh_all = doc_shingles(c).persist()
-
-    def _signatures(sh: DataFrame) -> DataFrame:
-        return sh.groupBy("doc_id").agg(
-            *[
-                F.min(seeded_hash(F.col("shingle"), i)).alias(f"h{i}")
-                for i in range(N_PERMS)
-            ],
-            F.count(F.lit(1)).alias("n"),
-        )
-
-    def _bands(sig: DataFrame) -> DataFrame:
-        return reduce(
-            DataFrame.unionAll,
-            [
-                sig.select(
-                    "doc_id",
-                    F.lit(b).alias("band"),
-                    F.concat_ws("_", f"h{2*b}", f"h{2*b+1}").alias("sig"),
-                )
-                for b in range(N_BANDS)
-            ],
-        )
+    _signatures, _bands = minhash_signature_rel, minhash_band_rel
 
     # the "signature store": base signatures exist already (persisted);
     # the delta's signatures are the only new signature computation

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from change_data_capture_spark.operators.cdc_queries import _SCD2_ORACLE
+from change_data_capture_spark.operators.dedup_queries import _MINHASH_INCR_ORACLE
 from change_data_capture_spark.queries import query
 from change_data_capture_spark.sources.cdc_generator import (
     CDC_EVENTS_SQL,
@@ -1031,3 +1032,123 @@ def streaming_python_datasource_drain(spark: SparkSession, sf_dir: str) -> DataF
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query("streaming_dedup_minhash_incremental", oracle=_MINHASH_INCR_ORACLE)
+def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental MinHash-LSH dedup — the batch
+    ``dedup_minhash_incremental`` upgraded to the shape it models: a REAL
+    Structured Streaming query drains the delta corpus in micro-batches,
+    and ``foreachBatch`` near-dup-checks each batch against a PERSISTED
+    parquet signature store, then appends the batch's own signatures to the
+    store — so later batches pair against earlier ones without either
+    being recomputed. The store carries (doc_id, h0..h7, n, sh_set): the
+    LSH signatures for candidate generation plus the shingle SETS for
+    exact verification (the PPJoin fetch-the-sets verify shape — one
+    ``array_intersect`` row per candidate, no corpus re-scan).
+
+    Work per batch is delta-sized: shingle + signature computation touches
+    only the batch; candidate generation is batch_bands ⋈ store_bands on
+    (band, sig). Every qualifying pair is found exactly once regardless of
+    batch order — within-batch pairs in their own batch, cross-batch pairs
+    when the later doc arrives — so the drained pair log must equal the
+    batch query bit-for-bit, and both share the full-recompute oracle.
+
+    Production deltas land the store/pair appends in a transactional table
+    (Delta MERGE) so a replayed batch is idempotent; this gate's
+    availableNow drain executes each batch once (no delta-spark jar in this
+    env — documented in COVERAGE.md)."""
+    import os
+    import time as _time
+
+    from change_data_capture_spark.operators.dedup_queries import (
+        _DELTA_MOD,
+        JACCARD_THRESHOLD,
+        corpus,
+        doc_shingles,
+        minhash_band_rel,
+        minhash_signature_rel,
+    )
+
+    ws = tempfile.mkdtemp(prefix="cdc_sminc_")
+    store = f"{ws}/sig_store"
+    pairs_dir = f"{ws}/pairs"
+    c = corpus(spark, sf_dir)
+    is_delta = F.col("doc_id") % _DELTA_MOD == 0
+
+    def _with_sets(docs: DataFrame) -> DataFrame:
+        sh = doc_shingles(docs)
+        return minhash_signature_rel(sh).join(
+            sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set")),
+            "doc_id",
+        )
+
+    # the pre-existing production state: base-corpus signatures + sets
+    _with_sets(c.where(~is_delta)).write.mode("overwrite").parquet(store)
+
+    # today's crawl arrives as two micro-batches (parquet slices, mtime-ordered)
+    delta = c.where(is_delta).select("doc_id", "text")
+    slices = f"{ws}/slices"
+    os.makedirs(slices)
+    now = _time.time()
+    for i in (0, 1):
+        half = delta.where(((F.col("doc_id") / _DELTA_MOD).cast("long") % 2) == i)
+        hdir = f"{ws}/h{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(hdir)
+        part = [f for f in os.listdir(hdir) if f.endswith(".parquet")][0]
+        dst = f"{slices}/slice_{i}.parquet"
+        os.rename(f"{hdir}/{part}", dst)
+        os.utime(dst, (now + i, now + i))
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_store = _with_sets(batch_df).persist()
+        union_store = spark.read.parquet(store).unionByName(batch_store)
+        a = minhash_band_rel(batch_store).alias("a")
+        b = minhash_band_rel(union_store).alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+        sa = union_store.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh_set").alias("set_a"),
+            F.col("n").alias("na"),
+        )
+        sb = union_store.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh_set").alias("set_b"),
+            F.col("n").alias("nb"),
+        )
+        n_common = F.size(F.array_intersect("set_a", "set_b"))
+        jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
+        (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .write.mode("append")
+            .parquet(pairs_dir)
+        )
+        batch_store.write.mode("append").parquet(store)
+        batch_store.unpersist()
+
+    q = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(slices)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{ws}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_dir)

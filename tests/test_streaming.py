@@ -117,3 +117,23 @@ def test_outer_join_emits_unmatched_views(spark, sf_dir):
     missing = views.join(out.select("view_id").distinct(), "view_id", "left_anti").count()
     assert missing == 0
     out.unpersist()
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, sf_dir):
+    """The streaming signature-store drain must reproduce the batch
+    incremental query's pair set BIT-FOR-BIT (same banding, same exact
+    verify, same threshold) — the streaming execution changes only WHEN
+    work happens, never the answer."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    batch = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q["dedup_minhash_incremental"](spark, sf_dir).collect()
+    }
+    streamed = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q["streaming_dedup_minhash_incremental"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert batch, "fixture delta must produce near-dup pairs"
