@@ -49,6 +49,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scan_orc_roundtrip",
     "simhash_hamming_neardup",
     "streaming_dedup_minhash_incremental",
+    "corpus_split_neardup_safe",
     # --- code changed in round 5 → must re-verify ---
     "dedup_containment_dfcap",
     "dedup_containment_recall_sweep",

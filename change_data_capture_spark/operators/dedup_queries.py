@@ -614,11 +614,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_MINHASH_ORACLE = f"""
-WITH RECURSIVE {CORPUS_SQL},
-{_SHINGLES_SQL},
-{_minhash_sig_sql()},
-{_bands_sql()},
+#: shared CTE chain: banded LSH candidates → exact-Jaccard verify →
+#: symmetric edges → recursive min-label walk → `comp(doc_id, component_id)`
+#: (used by the cluster gate and the near-dup-safe split gate)
+_LSH_CC_CTE = f"""
 candidates AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -650,7 +649,14 @@ walk(node, label) AS (
     UNION
     SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
 ),
-comp AS (SELECT node AS doc_id, min(label) AS component_id FROM walk GROUP BY node)
+comp AS (SELECT node AS doc_id, min(label) AS component_id FROM walk GROUP BY node)"""
+
+_CC_MINHASH_ORACLE = f"""
+WITH RECURSIVE {CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+{_LSH_CC_CTE}
 SELECT c.doc_id, c.component_id, s.n_members
 FROM comp c
 JOIN (SELECT component_id, count(*) AS n_members FROM comp GROUP BY 1) s
@@ -670,6 +676,59 @@ def dedup_cc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, making even this approximate path hash-checkable)."""
     return _connected_components(
         dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+_SPLIT_SAFE_HASH = _H_SQL.format(
+    seed="split", col="CAST(COALESCE(cp.component_id, c0.doc_id) AS VARCHAR)"
+)
+
+_SPLIT_SAFE_ORACLE = f"""
+WITH RECURSIVE {CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+{_LSH_CC_CTE}
+SELECT c0.doc_id,
+       COALESCE(cp.component_id, c0.doc_id) AS cluster_rep,
+       CASE WHEN ({_SPLIT_SAFE_HASH}) % 100 < 90 THEN 'train' ELSE 'eval' END
+           AS split
+FROM corpus c0
+LEFT JOIN comp cp USING (doc_id)
+"""
+
+
+@query("corpus_split_neardup_safe", oracle=_SPLIT_SAFE_ORACLE)
+def corpus_split_neardup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP-SAFE train/eval split — the leakage-free upgrade of
+    ``corpus_train_eval_split``: the plain per-doc content-hash split can
+    put a document in train and its near-duplicate in eval, silently
+    inflating eval scores. Here the split hashes each document's duplicate
+    CLUSTER representative (connected components over the MinHash-LSH
+    verified pair graph; singletons are their own representative), so a
+    whole near-dup cluster lands on ONE side — cross-split leakage is zero
+    BY CONSTRUCTION for every pair the LSH graph finds, not audited after
+    the fact (the pytest pins exactly that invariant). Same seeded-md5
+    family and 90/100 bucket rule as the plain split, so singleton docs
+    receive the identical assignment — only clustered docs move.
+
+    Scale shape: inherits `dedup_cc_minhash`'s banded-edge + iterative-CC
+    cost (33.8 s at the 100× smoke) plus one broadcast-sized left join of
+    the label relation onto the corpus; the split expression itself is a
+    codegen projection."""
+    comp = _connected_components(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    ).select("doc_id", "component_id")
+    rep = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    bucket = seeded_hash(rep.cast("string"), seed="split") % 100
+    return (
+        corpus(spark, sf_dir)
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("cluster_rep"),
+            F.when(bucket < 90, "train").otherwise("eval").alias("split"),
+        )
     )
 
 

@@ -55,6 +55,7 @@ ORACLE_CHECKED = [
     "dedup_containment_recall_sweep",
     "multimodal_video_nal_index",
     "simhash_hamming_neardup",
+    "corpus_split_neardup_safe",
 ]
 
 
@@ -534,3 +535,36 @@ def test_simhash_hamming_neardup_plan_is_bucketed(spark, sf_dir):
 
     s = plan_stats(entrymod.queries()["simhash_hamming_neardup"](spark, sf_dir))
     assert not s.has_cartesian and not s.has_bnlj, s.text
+
+
+def test_neardup_safe_split_zero_leakage_and_singleton_stability(spark, sf_dir):
+    """The cluster-rep split must put every LSH-verified near-dup pair on
+    ONE side (zero cross-split leakage by construction), while singleton
+    docs keep exactly the plain content-hash split's assignment — and the
+    fixture must demonstrate the problem: the plain split DOES leak."""
+    import hashlib
+
+    q = entrymod.queries()
+    split = {
+        r.doc_id: r.split
+        for r in q["corpus_split_neardup_safe"](spark, sf_dir).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in q["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b").collect()
+    ]
+    assert pairs
+    assert not [p for p in pairs if split[p[0]] != split[p[1]]], "leakage!"
+
+    def plain(d):
+        h = int(hashlib.md5(f"split|{d}".encode()).hexdigest()[:15], 16)
+        return "train" if h % 100 < 90 else "eval"
+
+    # the reason this operator exists: the naive split straddles clusters
+    assert any(plain(a) != plain(b) for a, b in pairs), (
+        "fixture no longer demonstrates plain-split leakage — rework it"
+    )
+    clustered = {d for p in pairs for d in p}
+    singles = [d for d in split if d not in clustered]
+    assert singles
+    assert all(split[d] == plain(d) for d in singles)

@@ -62,6 +62,13 @@ QUERIES = [
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
     "text_quality_stats",
+    # round-4/5 additions with recorded 100× points (BENCH.md)
+    "dedup_containment_dfcap",
+    "events_dau_wau_approx",
+    "multimodal_video_nal_index",
+    "simhash_hamming_neardup",
+    "streaming_dedup_minhash_incremental",
+    "corpus_split_neardup_safe",
 ]
 
 
