@@ -50,6 +50,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "simhash_hamming_neardup",
     "streaming_dedup_minhash_incremental",
     "corpus_split_neardup_safe",
+    "scd2_schema_evolution",
     # --- code changed in round 5 → must re-verify ---
     "dedup_containment_dfcap",
     "dedup_containment_recall_sweep",

@@ -533,3 +533,114 @@ def scd3_products(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_all).alias("n_versions"),
     )
     return versioned.where(F.col("rn") == 1).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# CDC schema evolution: the source table gains a column mid-stream
+# ---------------------------------------------------------------------------
+
+_SCD2_EVOLVED_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+evolved AS (
+    SELECT *,
+           CASE WHEN lsn % 10 >= 2 AND op <> 'd'
+                THEN 'cat-' || CAST(id % 5 AS VARCHAR) END AS category
+    FROM cdc_events
+),
+events_clean AS (
+    SELECT * FROM evolved
+    WHERE lsn IS NOT NULL
+    QUALIFY row_number() OVER (PARTITION BY id, lsn ORDER BY ts_ms) = 1
+)
+SELECT
+    e.id, e.name, e.description,
+    CAST(e.price AS DOUBLE) AS price,
+    e.category,
+    epoch_ms(e.ts_ms) AS row_valid_start_timestamp,
+    COALESCE(LEAD(epoch_ms(e.ts_ms)) OVER (PARTITION BY e.id ORDER BY e.lsn),
+             TIMESTAMP '2260-01-01') AS row_valid_expiration_timestamp
+FROM events_clean e
+WHERE e.id IN (SELECT id FROM events_clean GROUP BY id HAVING count(*) > 1)
+"""
+
+
+@query("scd2_schema_evolution", oracle=_SCD2_EVOLVED_ORACLE)
+def scd2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship under SCHEMA DRIFT — the CDC failure mode pinned
+    schemas must survive: the source table gains a column mid-stream
+    (``ALTER TABLE products ADD COLUMN category``, here: every event with
+    ``lsn % 10 >= 2`` — the updates and deletes, which postdate the initial
+    snapshot/create wave). The wire log is genuinely MIXED-VERSION: each
+    envelope is re-serialized to its JSON line with ``to_json`` (null
+    fields omitted, so pre-evolution lines carry NO ``category`` key —
+    byte-for-byte v1), then every line is re-parsed with ONE evolved
+    superset schema. ``from_json`` yields NULL for the absent field, which
+    is exactly Debezium/Kafka consumer semantics for pre-migration events:
+    old history keeps flowing, new rows carry the new column, and the SCD2
+    output shows NULL category on pre-evolution validity intervals.
+
+    The engine-side recipe this proves: evolve the pinned ``StructType`` to
+    the superset and redeploy — no backfill, no dual-reader. The oracle
+    recomputes the same mixed-version log arithmetically."""
+    from change_data_capture_spark.schemas import (
+        SOURCE_BLOCK,
+        envelope_schema,
+    )
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    env = product_change_events(spark, sf_dir)
+    v = F.col("value")
+    post = v["source"]["lsn"] % 10 >= 2
+    cat = F.concat(F.lit("cat-"), (v["after"]["id"] % 5).cast("string"))
+    after2 = F.when(
+        v["after"].isNotNull(),
+        F.struct(
+            v["after"]["id"].alias("id"),
+            v["after"]["name"].alias("name"),
+            v["after"]["description"].alias("description"),
+            v["after"]["price"].alias("price"),
+            F.when(post, cat).alias("category"),
+        ),
+    )
+    value2 = F.struct(
+        v["before"].alias("before"),
+        after2.alias("after"),
+        v["source"].alias("source"),
+        v["op"].alias("op"),
+        v["ts_ms"].alias("ts_ms"),
+    )
+    # the mixed-version wire line: to_json omits null fields, so the
+    # category key EXISTS only on post-evolution events
+    line = F.to_json(F.struct(value2.alias("value")))
+
+    row_v2 = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("description", StringType()),
+            StructField("price", DecimalType(10, 2)),
+            StructField("category", StringType()),
+        ]
+    )
+    parsed = env.select(
+        F.from_json(line, envelope_schema(row_v2)).alias("wrapped")
+    ).select(F.col("wrapped.value").alias("value"))
+    pv = F.col("value")
+    decoded = parsed.select(
+        F.coalesce(pv["after"]["id"], pv["before"]["id"]).alias("id"),
+        pv["source"]["lsn"].alias("lsn"),
+        pv["source"]["ts_ms"].alias("ts_ms"),
+        pv["after"]["name"].alias("name"),
+        pv["after"]["description"].alias("description"),
+        pv["after"]["price"].alias("price"),
+        pv["after"]["category"].alias("category"),
+    )
+    return scd2(
+        decoded, payload=("name", "description", "price", "category")
+    ).withColumn("price", F.col("price").cast("double"))

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
 from tests.oracle import compare
 
-CDC_QUERIES = ["scd2_products", "scd2_products_sql", "scd2_products_b64price", "cdc_change_log", "cdc_dedup_op_counts", "dim_current_products", "scd2_point_in_time_join", "snapshot_diff_cdc", "scd3_products"]
+CDC_QUERIES = ["scd2_products", "scd2_schema_evolution", "scd2_products_sql", "scd2_products_b64price", "cdc_change_log", "cdc_dedup_op_counts", "dim_current_products", "scd2_point_in_time_join", "snapshot_diff_cdc", "scd3_products"]
 
 
 @pytest.mark.parametrize("name", CDC_QUERIES)
@@ -105,3 +105,62 @@ def test_debezium_decimal_codec(spark):
     ).collect()]
     import decimal as _d
     assert got == [_d.Decimal("-1.28"), _d.Decimal("-12345.67")]
+
+
+def test_schema_evolution_wire_lines_are_genuinely_mixed_version(spark, sf_dir):
+    """The evolution gate's claim is wire-level: pre-evolution JSON lines
+    must LACK the ``category`` key entirely (not carry category:null) and
+    post-evolution after-images must carry it — and the SCD2 output must
+    show both NULL-category intervals (old history) and populated ones."""
+    import json
+
+    from change_data_capture_spark.sources.cdc_generator import (
+        product_change_events,
+    )
+
+    env = product_change_events(spark, sf_dir)
+    v = F.col("value")
+    post = v["source"]["lsn"] % 10 >= 2
+    cat = F.concat(F.lit("cat-"), (v["after"]["id"] % 5).cast("string"))
+    after2 = F.when(
+        v["after"].isNotNull(),
+        F.struct(
+            v["after"]["id"].alias("id"),
+            v["after"]["name"].alias("name"),
+            v["after"]["description"].alias("description"),
+            v["after"]["price"].alias("price"),
+            F.when(post, cat).alias("category"),
+        ),
+    )
+    value2 = F.struct(
+        v["before"].alias("before"),
+        after2.alias("after"),
+        v["source"].alias("source"),
+        v["op"].alias("op"),
+        v["ts_ms"].alias("ts_ms"),
+    )
+    lines = [
+        r.line
+        for r in env.select(
+            F.to_json(F.struct(value2.alias("value"))).alias("line")
+        ).collect()
+    ]
+    pre = [
+        json.loads(s) for s in lines
+        if (json.loads(s)["value"].get("source") or {}).get("lsn") is not None
+        and json.loads(s)["value"]["source"]["lsn"] % 10 < 2
+        and json.loads(s)["value"].get("after") is not None
+    ]
+    post_l = [
+        json.loads(s) for s in lines
+        if (json.loads(s)["value"].get("source") or {}).get("lsn") is not None
+        and json.loads(s)["value"]["source"]["lsn"] % 10 >= 2
+        and json.loads(s)["value"].get("after") is not None
+    ]
+    assert pre and post_l
+    assert all("category" not in e["value"]["after"] for e in pre)
+    assert all("category" in e["value"]["after"] for e in post_l)
+
+    out = entrymod.queries()["scd2_schema_evolution"](spark, sf_dir).collect()
+    cats = {r.category for r in out}
+    assert None in cats and any(c is not None for c in cats)

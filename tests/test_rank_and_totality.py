@@ -81,3 +81,21 @@ def test_orders_tier_total_on_empty_input(spark, empty_tpch_dir, name):
     # skew diagnostics on empty input: one row of NULL/zero stats is fine,
     # zero rows is fine — it only must not error (agg over empty yields one
     # row with count 0)
+
+
+_R5_DEDUP_TIER = [
+    "simhash_hamming_neardup",
+    "dedup_containment_dfcap",
+    "dedup_containment_recall_sweep",
+    "corpus_split_neardup_safe",
+]
+
+
+@pytest.mark.parametrize("name", _R5_DEDUP_TIER)
+def test_r5_dedup_tier_total_on_empty_corpus(spark, empty_tpch_dir, name):
+    """A zero-row documents table must yield a well-formed empty result —
+    no division crash, no empty-aggregate error, no degenerate stacked rows
+    (the recall sweep's n_true_pairs>0 guard is exactly this contract)."""
+    df = entrymod.queries()[name](spark, empty_tpch_dir)
+    assert df.count() == 0
+    assert len(df.schema.fields) >= 2

@@ -69,6 +69,7 @@ QUERIES = [
     "simhash_hamming_neardup",
     "streaming_dedup_minhash_incremental",
     "corpus_split_neardup_safe",
+    "scd2_schema_evolution",
 ]
 
 
