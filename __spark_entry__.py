@@ -51,6 +51,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_dedup_minhash_incremental",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
+    "multimodal_audio_energy_windows",
     # --- code changed in round 5 → must re-verify ---
     "dedup_containment_dfcap",
     "dedup_containment_recall_sweep",

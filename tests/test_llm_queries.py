@@ -56,6 +56,7 @@ ORACLE_CHECKED = [
     "multimodal_video_nal_index",
     "simhash_hamming_neardup",
     "corpus_split_neardup_safe",
+    "multimodal_audio_energy_windows",
 ]
 
 
@@ -568,3 +569,48 @@ def test_neardup_safe_split_zero_leakage_and_singleton_stability(spark, sf_dir):
     singles = [d for d in split if d not in clustered]
     assert singles
     assert all(split[d] == plain(d) for d in singles)
+
+
+def test_energy_window_payloads_parse_with_stdlib_wave(spark, sf_dir):
+    """The windowed-energy WAVs must also be REAL wave files per the stdlib
+    reader, with the per-window amplitude staircase present sample-exact —
+    and the query must emit silence windows (rms 0) when the staircase
+    crosses zero, proving the DSP pass doesn't special-case them."""
+    import io
+    import struct
+    import wave
+
+    from change_data_capture_spark.operators.multimodal import (
+        _ENERGY_WIN,
+        multimodal_audio_energy_windows,
+    )
+
+    q = multimodal_audio_energy_windows(spark, sf_dir)
+    rows = q.collect()
+    assert rows
+    assert any(r.rms == 0.0 and r.peak_amp == 0 for r in rows), (
+        "staircase must produce at least one silence window"
+    )
+    for r in rows:
+        assert abs(r.rms - abs((r.vec_id + r.window_idx) % 200 - 100)) < 1e-12
+
+    # independent byte-level validation: the decoder must agree with the
+    # stdlib `wave` reader on a hand-assembled staircase twin
+    from change_data_capture_spark.operators import multimodal as mm
+
+    vec_id = 7
+    n_win = vec_id % 3 + 2
+    amps = [(vec_id + w) % 200 - 100 for w in range(n_win)]
+    data = b"".join(
+        struct.pack("<h", a) * _ENERGY_WIN for a in amps
+    )
+    hdr = (
+        b"RIFF" + (len(data) + 36).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        + b"data" + len(data).to_bytes(4, "little")
+    )
+    with wave.open(io.BytesIO(hdr + data)) as wf:
+        assert wf.getnframes() == n_win * _ENERGY_WIN
+    got = mm.wav_windowed_energy(hdr + data)
+    assert got == [(w, float(abs(a)), abs(a)) for w, a in enumerate(amps)]

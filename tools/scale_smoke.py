@@ -70,6 +70,7 @@ QUERIES = [
     "streaming_dedup_minhash_incremental",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
+    "multimodal_audio_energy_windows",
 ]
 
 
