@@ -35,14 +35,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50 rows per round. Order therefore encodes check priority. Cumulative
 # record through round 4: 188/188 registered queries have a driver row, 0
 # failures. Round 5 keeps the registration discipline (VERDICT r4 ask #7,
-# ≤15 new per round): the 4 new scan-format gates lead (never checked), the
-# 3 queries whose code changed this round follow (re-verification of
+# ≤15 new per round): the 9 round-5 additions lead (never checked), the 4
+# queries whose code changed this round follow (re-verification of
 # modified plans), then the set whose last driver row is OLDEST (not in
 # r04's 50-row window — last checked r01-r03) fills the cap, so every
 # query's most-recent row stays at most two rounds old.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # --- round-5 additions: in-env scan gates (VERDICT r4 ask #6) +
-    # SimHash Hamming-ball pairing (closes "signatures computed, unused") ---
+    # --- round-5 additions: in-env scan gates (VERDICT r4 ask #6), SimHash
+    # Hamming-ball pairing, streaming signature-store dedup, near-dup-safe
+    # split, CDC schema evolution, windowed audio energy ---
     "scan_csv_roundtrip",
     "scan_json_auto_roundtrip",
     "scan_text_roundtrip",

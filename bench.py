@@ -103,6 +103,10 @@ HEADLINE = [
     "dedup_containment_pairs",
     "dedup_containment_dfcap",
     "simhash_hamming_neardup",
+    "streaming_dedup_minhash_incremental",
+    "corpus_split_neardup_safe",
+    "scd2_schema_evolution",
+    "multimodal_audio_energy_windows",
     "text_charclass_profile",
     "events_mad_robust_zscore",
     "asof_join_next_order",
