@@ -127,7 +127,42 @@ def main() -> None:
     ap.add_argument("--decorrelate", action="store_true",
                     help="make replica content distinct (realistic dup "
                          "density) instead of copies-sized cliques")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run each query in a FRESH subprocess/JVM. At "
+                         "≥300× a single shared 48g heap accumulates GC "
+                         "pressure across queries and runs (measured: the "
+                         "same q3 plan 17.9 s and 70.3 s back-to-back), so "
+                         "min-of-N within one JVM stops isolating the plan "
+                         "cost; a fresh heap per query does — at the price "
+                         "of paying JVM+codegen warm-up once per query. "
+                         "Requires --data-dir (the subprocesses share it).")
     args = ap.parse_args()
+
+    if args.isolate:
+        import re
+        import subprocess
+        import sys as _sys
+
+        assert args.data_dir, "--isolate needs --data-dir (shared fixtures)"
+        names = args.queries.split(",") if args.queries else QUERIES
+        total = 0.0
+        for name in names:
+            proc = subprocess.run(
+                [_sys.executable, os.path.abspath(__file__),
+                 "--data-dir", args.data_dir, "--copies", str(args.copies),
+                 "--runs", str(args.runs), "--queries", name],
+                capture_output=True, text=True,
+            )
+            m = re.search(rf"^  {re.escape(name)}: ([0-9.]+)s$",
+                          proc.stdout, flags=re.M)
+            if not m:
+                print(f"  {name}: FAILED\n{proc.stdout}\n{proc.stderr[-2000:]}")
+                continue
+            dt = float(m.group(1))
+            total += dt
+            print(f"  {name}: {dt:.2f}s (isolated)", flush=True)
+        print(f"TOTAL ({args.copies}x sf0.1, isolated): {total:.1f}s")
+        return
 
     # A 100×-data local test needs a realistic memory budget: the box has
     # 128 GiB and a real 32-executor slice would too. 8g (the unit-test
