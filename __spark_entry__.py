@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50 rows per round. Order therefore encodes check priority. Cumulative
 # record through round 4: 188/188 registered queries have a driver row, 0
 # failures. Round 5 keeps the registration discipline (VERDICT r4 ask #7,
-# ≤15 new per round): the 9 round-5 additions lead (never checked), the 4
+# ≤15 new per round): the 10 round-5 additions lead (never checked), the 4
 # queries whose code changed this round follow (re-verification of
 # modified plans), then the set whose last driver row is OLDEST (not in
 # r04's 50-row window — last checked r01-r03) fills the cap, so every
@@ -53,6 +53,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",
+    "sink_dynamic_partition_overwrite",
     # --- code changed in round 5 → must re-verify ---
     "dedup_containment_dfcap",
     "dedup_containment_recall_sweep",

@@ -139,3 +139,53 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice + CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN 1.0 ELSE 0.0 END) AS min_price,
+       max(o_totalprice + CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN 1.0 ELSE 0.0 END) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sink BACKFILL semantics gate: load orders partitioned by
+    priority, then rewrite ONE partition's rows (prices +1.00 for
+    '1-URGENT') with ``partitionOverwriteMode=dynamic`` — the incremental
+    reprocessing shape every warehouse needs (re-run yesterday's partition
+    without touching the rest). The oracle distinguishes the three possible
+    sink semantics by value: STATIC overwrite would delete every other
+    partition (row counts collapse), APPEND would double the target
+    partition (counts double), only DYNAMIC yields exactly this relation.
+    The companion pytest additionally pins that untouched partitions keep
+    their exact files (no silent full rewrite)."""
+    out = _gate_dir(sf_dir, "dynpart")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    upd = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    )
+    (
+        upd.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
