@@ -16,9 +16,13 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from change_data_capture_spark.operators.cdc_queries import _SCD2_ORACLE
-from change_data_capture_spark.operators.dedup_queries import _MINHASH_INCR_ORACLE
+from change_data_capture_spark.operators.dedup_queries import (
+    _MINHASH_INCR_ORACLE,
+    JACCARD_THRESHOLD,
+)
 from change_data_capture_spark.queries import query
 from change_data_capture_spark.sources.cdc_generator import (
     CDC_EVENTS_SQL,
@@ -1034,6 +1038,43 @@ def streaming_python_datasource_drain(spark: SparkSession, sf_dir: str) -> DataF
     return spark.table(sink)
 
 
+def _verify_candidate_pairs(union_store: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs with a
+    CANDIDATE-sized set fetch: each (doc_a, doc_b) pair explodes into two
+    broadcast edge rows that fetch ``sh_set`` through ONE broadcast-hash
+    join against a single scan of the signature store, then a per-pair
+    groupBy scores ``array_intersect`` over the two collected sets. The
+    store's ~KB arrays stay on the probe side of the broadcast join —
+    scanned, never shuffled — and the only array payloads that move are
+    the 2-per-candidate fetched rows flowing into the groupBy. The r5
+    form instead joined the FULL union store's arrays onto the candidates
+    through two shuffle joins (store-sized array shuffle per micro-batch
+    — the same array-carry shape whose 34 GB spill killed the first dfcap
+    fix); a broadcast-semi-via-ids alternative measured ~2x slower than
+    this at sf0.1 (extra exchange per side). collect_list's element order
+    is nondeterministic but both array_intersect and the n_sum form of
+    the Jaccard denominator are symmetric, so the answer is exact.
+    Plan-pinned by tests/test_plans.py (broadcast fetch, single store
+    scan, single candidate-sized shuffle)."""
+    edge = cand.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    )
+    fetched = union_store.select("doc_id", "sh_set", "n").join(
+        F.broadcast(edge), "doc_id"
+    )
+    per_pair = fetched.groupBy("doc_a", "doc_b").agg(
+        F.collect_list("sh_set").alias("sets"),
+        F.sum("n").alias("n_sum"),
+    )
+    n_common = F.size(F.array_intersect(F.col("sets")[0], F.col("sets")[1]))
+    jac = n_common.cast("double") / (F.col("n_sum") - n_common)
+    return per_pair.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
 @query("streaming_dedup_minhash_incremental", oracle=_MINHASH_INCR_ORACLE)
 def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental MinHash-LSH dedup — the batch
@@ -1049,7 +1090,15 @@ def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
 
     Work per batch is delta-sized: shingle + signature computation touches
     only the batch; candidate generation is batch_bands ⋈ store_bands on
-    (band, sig). Every qualifying pair is found exactly once regardless of
+    (band, sig). The exact-verify set fetch is CANDIDATE-sized, not
+    store-sized: candidate pairs explode into broadcast edge rows that
+    fetch ``sh_set`` through ONE broadcast-hash join against a single
+    store scan, so the store's ~KB arrays are scanned but never shuffled
+    and the only array payloads that move are the 2-per-candidate fetched
+    rows (the same prune-before-array-carry discipline as
+    ``dedup_containment_dfcap`` — the r5 form shuffle-joined the FULL
+    store's arrays every batch, the 34 GB-spill pattern measured and
+    rejected at 100×). Every qualifying pair is found exactly once regardless of
     batch order — within-batch pairs in their own batch, cross-batch pairs
     when the later doc arrives — so the drained pair log must equal the
     batch query bit-for-bit, and both share the full-recompute oracle.
@@ -1063,7 +1112,6 @@ def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
 
     from change_data_capture_spark.operators.dedup_queries import (
         _DELTA_MOD,
-        JACCARD_THRESHOLD,
         corpus,
         doc_shingles,
         minhash_band_rel,
@@ -1085,6 +1133,22 @@ def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
 
     # the pre-existing production state: base-corpus signatures + sets
     _with_sets(c.where(~is_delta)).write.mode("overwrite").parquet(store)
+
+    # seed the pair log with a zero-row schema-carrying file so a drain in
+    # which NO batch emits a qualifying pair (degenerate/empty corpus) still
+    # read-backs as a well-typed empty DataFrame instead of a parquet
+    # schema-inference error
+    id_type = c.schema["doc_id"].dataType
+    spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("doc_a", id_type),
+                T.StructField("doc_b", id_type),
+                T.StructField("jaccard", T.DoubleType()),
+            ]
+        ),
+    ).write.mode("overwrite").parquet(pairs_dir)
 
     # today's crawl arrives as two micro-batches (parquet slices, mtime-ordered)
     delta = c.where(is_delta).select("doc_id", "text")
@@ -1118,25 +1182,8 @@ def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
             )
             .distinct()
         )
-        sa = union_store.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("sh_set").alias("set_a"),
-            F.col("n").alias("na"),
-        )
-        sb = union_store.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("sh_set").alias("set_b"),
-            F.col("n").alias("nb"),
-        )
-        n_common = F.size(F.array_intersect("set_a", "set_b"))
-        jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
-        (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
-            .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-            .write.mode("append")
-            .parquet(pairs_dir)
+        _verify_candidate_pairs(union_store, cand).write.mode("append").parquet(
+            pairs_dir
         )
         batch_store.write.mode("append").parquet(store)
         batch_store.unpersist()

@@ -88,6 +88,11 @@ _R5_DEDUP_TIER = [
     "dedup_containment_dfcap",
     "dedup_containment_recall_sweep",
     "corpus_split_neardup_safe",
+    # r6: the streaming drain pre-seeds its pair log with a zero-row
+    # schema-carrying file, so a drain in which no batch emits a pair
+    # read-backs as a typed empty frame instead of a parquet
+    # schema-inference error (ADVICE r5)
+    "streaming_dedup_minhash_incremental",
 ]
 
 
