@@ -334,7 +334,7 @@ SELECT doc_id, simhash FROM sigs
 
 def _simhash_signatures_df(c: DataFrame, n_bits: int = _SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — shared by the signature gate (16-bit) and the
-    Hamming-ball near-dup gate (48-bit)."""
+    Hamming-ball near-dup gate (``_HAM_BITS`` = 60-bit)."""
     toks = c.select(
         "doc_id",
         F.explode(

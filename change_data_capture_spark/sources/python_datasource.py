@@ -115,7 +115,13 @@ def _to_row(value, dtype):
     if isinstance(dtype, ArrayType):
         return [_to_row(v, dtype.elementType) for v in value]
     if isinstance(dtype, MapType):
-        return {k: _to_row(v, dtype.valueType) for k, v in value.items()}
+        # JSON object keys arrive as strings — coerce them through the
+        # declared keyType too (int/long/double keys must round-trip, not
+        # just values)
+        return {
+            _to_row(k, dtype.keyType): _to_row(v, dtype.valueType)
+            for k, v in value.items()
+        }
     return value
 
 

@@ -423,3 +423,43 @@ def test_python_datasource_from_row_leaf_coverage():
     assert '"2024-03-01"' in out and "12:30:15" in out
     assert '"1.50"' in out and '"AP8="' in out  # base64 of 00 ff
     assert '"2020-01-02"' in out
+
+
+def test_python_datasource_to_row_round_trips_writer_leaves():
+    """_to_row must decode every leaf _from_row can emit — the read path is
+    the writer's inverse (dates/timestamps from ISO strings, bytes from
+    base64, Decimals from strings) AND map KEYS must coerce through the
+    declared keyType: JSON object keys are always strings, so a
+    map<bigint, x> column round-trips only if keys re-typed (ADVICE r5)."""
+    import datetime
+    import decimal
+
+    from pyspark.sql.types import (
+        BinaryType,
+        DateType,
+        DecimalType,
+        LongType,
+        MapType,
+        StringType,
+        TimestampType,
+    )
+
+    from change_data_capture_spark.sources.python_datasource import (
+        _from_row,
+        _to_row,
+    )
+
+    assert _to_row("2024-03-01", DateType()) == datetime.date(2024, 3, 1)
+    assert _to_row("2024-03-01 12:30:15", TimestampType()) == datetime.datetime(
+        2024, 3, 1, 12, 30, 15
+    )
+    assert bytes(_to_row("AP8=", BinaryType())) == b"\x00\xff"
+    assert _to_row("1.50", DecimalType(10, 2)) == decimal.Decimal("1.50")
+    # map keys: the wire is json.dumps(_from_row(...)) which stringifies
+    # int keys — {"7": "x"}; a long-keyed map must come back as {7: "x"}
+    import json as _json
+
+    wire = _json.loads(_json.dumps(_from_row({7: "x", 9: "y"})))
+    got = _to_row(wire, MapType(LongType(), StringType()))
+    assert got == {7: "x", 9: "y"}
+    assert all(isinstance(k, int) for k in got)

@@ -146,22 +146,30 @@ def main() -> None:
         assert args.data_dir, "--isolate needs --data-dir (shared fixtures)"
         names = args.queries.split(",") if args.queries else QUERIES
         total = 0.0
+        failed: list[str] = []
         for name in names:
-            proc = subprocess.run(
-                [_sys.executable, os.path.abspath(__file__),
-                 "--data-dir", args.data_dir, "--copies", str(args.copies),
-                 "--runs", str(args.runs), "--queries", name],
-                capture_output=True, text=True,
-            )
+            child = [_sys.executable, os.path.abspath(__file__),
+                     "--data-dir", args.data_dir, "--copies", str(args.copies),
+                     "--runs", str(args.runs), "--queries", name]
+            if args.decorrelate:
+                # harmless when --data-dir skips replication, but keeps the
+                # child's invocation label identical to the parent's so a
+                # child that DOES replicate (dir missing) builds the same data
+                child.append("--decorrelate")
+            proc = subprocess.run(child, capture_output=True, text=True)
             m = re.search(rf"^  {re.escape(name)}: ([0-9.]+)s$",
                           proc.stdout, flags=re.M)
             if not m:
                 print(f"  {name}: FAILED\n{proc.stdout}\n{proc.stderr[-2000:]}")
+                failed.append(name)
                 continue
             dt = float(m.group(1))
             total += dt
             print(f"  {name}: {dt:.2f}s (isolated)", flush=True)
-        print(f"TOTAL ({args.copies}x sf0.1, isolated): {total:.1f}s")
+        suffix = f" — EXCLUDES {len(failed)} FAILED: {failed}" if failed else ""
+        print(f"TOTAL ({args.copies}x sf0.1, isolated): {total:.1f}s{suffix}")
+        if failed:
+            _sys.exit(1)
         return
 
     # A 100×-data local test needs a realistic memory budget: the box has
