@@ -33,69 +33,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks this dict in order and caps the run at
 # 50 rows per round. Order therefore encodes check priority. Cumulative
-# record through round 4: 188/188 registered queries have a driver row, 0
-# failures. Round 5 keeps the registration discipline (VERDICT r4 ask #7,
-# ≤15 new per round): the 10 round-5 additions lead (never checked), the 4
-# queries whose code changed this round follow (re-verification of
-# modified plans), then the set whose last driver row is OLDEST (not in
-# r04's 50-row window — last checked r01-r03) fills the cap, so every
-# query's most-recent row stays at most two rounds old.
+# record through round 5: 198/198 registered queries have a driver row, 0
+# failures. Round 6 keeps the registration discipline (≤15 new per round):
+# the 2 round-6 additions lead (never checked), the 3 queries whose code
+# changed this round follow, then the 8-query carryover whose last driver
+# row is r01-r03 (they missed r05's cap window — ADVICE r5 flagged exactly
+# this overflow), then the set last checked in r04. 2+3+8 = 13 + the first
+# 37 of the r04 set fill the 50-row cap; the r04 set's last 11 names carry
+# to round 7 (stated here so the overflow is explicit, not silent).
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # --- round-5 additions: in-env scan gates (VERDICT r4 ask #6), SimHash
-    # Hamming-ball pairing, streaming signature-store dedup, near-dup-safe
-    # split, CDC schema evolution, windowed audio energy ---
-    "scan_csv_roundtrip",
-    "scan_json_auto_roundtrip",
-    "scan_text_roundtrip",
-    "scan_orc_roundtrip",
-    "simhash_hamming_neardup",
-    "streaming_dedup_minhash_incremental",
-    "corpus_split_neardup_safe",
-    "scd2_schema_evolution",
-    "multimodal_audio_energy_windows",
-    "sink_dynamic_partition_overwrite",
-    # --- code changed in round 5 → must re-verify ---
-    "dedup_containment_dfcap",
-    "dedup_containment_recall_sweep",
-    "streaming_python_datasource_drain",
-    "simhash_signatures",
-    # --- oldest driver rows (missed r04's cap window; last green r01-r03) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "events_funnel_conversion",
-    "corpus_decontamination",
-    "streaming_scd2_multibatch",
-    "dedup_connected_components",
-    "embedding_cosine_neardup",
-    "multimodal_features",
-    "multimodal_image_decode",
-    "multimodal_audio_decode",
-    "stats_corr_regr",
-    "grouping_sets_customer",
-    "window_distribution_funcs",
-    "lateral_topn_per_nation",
-    "count_distinct_approx",
-    "percentiles_exact",
-    "salted_join_supplier_revenue",
-    "events_retention_cohorts",
-    "events_anomaly_zscore",
-    "merge_scd1_customer",
-    "histogram_price_buckets",
-    "timeseries_gapfill_locf",
-    "calendar_spine_monthly",
-    "text_quality_stats",
-    "token_counting",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "document_chunking",
-    "text_tfidf_top_terms",
-    "text_bigram_counts",
-    "text_repetition_quality",
-    "pii_redaction",
-    "url_domain_stats",
-    "corpus_stratified_sample",
-    "corpus_lang_source_profile",
-    "corpus_train_eval_split",
+    # --- round-6 additions: M1 wire-schema introspection, streaming SimHash
+    # incremental dedup ---
+    "cdc_wire_schema_introspection",
+    "streaming_dedup_simhash_incremental",
+    # --- code changed in round 6 → must re-verify ---
+    "streaming_dedup_minhash_incremental",  # candidate-sized verify rebuild
+    "corpus_stratified_sample",             # exact-fraction, now oracle-checked
+    "simhash_hamming_neardup",              # band rel factored for streaming reuse
+    # --- 3-round-stale carryover (last green r01-r03; missed r05's window) ---
     "corpus_hash_weighted_sample",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -104,7 +59,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "profile_orders",
     "dq_audit",
-    # --- freshest rows (green in r04's window) — lowest priority this round ---
+    # --- last checked r04 (oldest full section; first 37 fit the cap) ---
     "null_semantics_audit",
     "dedup_substring_spans",
     "dedup_containment_pairs",
@@ -142,6 +97,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_dau_wau_approx",
     "multimodal_video_nal_index",
     "streaming_ingest_exactly_once",
+    # cap boundary ~here; the 11 below are the round-7 carryover
     "scd2_products_b64price",
     "dedup_minhash_lsh",
     "dedup_cc_minhash",
@@ -153,6 +109,54 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_image_decode_png",
     "multimodal_image_decode_jpeg",
     "streaming_scd2_incremental",
+    # --- checked green in r05's window — lowest priority this round ---
+    "scan_csv_roundtrip",
+    "scan_json_auto_roundtrip",
+    "scan_text_roundtrip",
+    "scan_orc_roundtrip",
+    "corpus_split_neardup_safe",
+    "scd2_schema_evolution",
+    "multimodal_audio_energy_windows",
+    "sink_dynamic_partition_overwrite",
+    "dedup_containment_dfcap",
+    "dedup_containment_recall_sweep",
+    "streaming_python_datasource_drain",
+    "simhash_signatures",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "events_funnel_conversion",
+    "corpus_decontamination",
+    "streaming_scd2_multibatch",
+    "dedup_connected_components",
+    "embedding_cosine_neardup",
+    "multimodal_features",
+    "multimodal_image_decode",
+    "multimodal_audio_decode",
+    "stats_corr_regr",
+    "grouping_sets_customer",
+    "window_distribution_funcs",
+    "lateral_topn_per_nation",
+    "count_distinct_approx",
+    "percentiles_exact",
+    "salted_join_supplier_revenue",
+    "events_retention_cohorts",
+    "events_anomaly_zscore",
+    "merge_scd1_customer",
+    "histogram_price_buckets",
+    "timeseries_gapfill_locf",
+    "calendar_spine_monthly",
+    "text_quality_stats",
+    "token_counting",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "document_chunking",
+    "text_tfidf_top_terms",
+    "text_bigram_counts",
+    "text_repetition_quality",
+    "pii_redaction",
+    "url_domain_stats",
+    "corpus_lang_source_profile",
+    "corpus_train_eval_split",
 )
 
 

@@ -644,3 +644,118 @@ def scd2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2(
         decoded, payload=("name", "description", "price", "category")
     ).withColumn("price", F.col("price").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# M1: JSON schema introspection of the raw wire (the pre-pinning probe)
+# ---------------------------------------------------------------------------
+
+_WIRE_SCHEMA_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+agg AS (
+    SELECT count(*) AS n_all,
+           count(*) FILTER (WHERE op IN ('u', 'd')) AS n_before,
+           count(*) FILTER (WHERE op <> 'd')        AS n_after,
+           count(*) FILTER (WHERE lsn IS NOT NULL)  AS n_lsn
+    FROM cdc_events
+)
+SELECT path, jtype, n FROM (
+    SELECT '$.value' AS path, 'object' AS jtype, n_all AS n FROM agg
+    UNION ALL SELECT '$.value.op',    'string', n_all FROM agg
+    UNION ALL SELECT '$.value.ts_ms', 'number', n_all FROM agg
+    UNION ALL SELECT '$.value.before',             'object', n_before FROM agg
+    UNION ALL SELECT '$.value.before.id',          'number', n_before FROM agg
+    UNION ALL SELECT '$.value.before.name',        'string', n_before FROM agg
+    UNION ALL SELECT '$.value.before.description', 'string', n_before FROM agg
+    UNION ALL SELECT '$.value.before.price',       'number', n_before FROM agg
+    UNION ALL SELECT '$.value.after',              'object', n_after FROM agg
+    UNION ALL SELECT '$.value.after.id',           'number', n_after FROM agg
+    UNION ALL SELECT '$.value.after.name',         'string', n_after FROM agg
+    UNION ALL SELECT '$.value.after.description',  'string', n_after FROM agg
+    UNION ALL SELECT '$.value.after.price',        'number', n_after FROM agg
+    UNION ALL SELECT '$.value.source',           'object', n_all FROM agg
+    UNION ALL SELECT '$.value.source.version',   'string', n_all FROM agg
+    UNION ALL SELECT '$.value.source.connector', 'string', n_all FROM agg
+    UNION ALL SELECT '$.value.source.name',      'string', n_all FROM agg
+    UNION ALL SELECT '$.value.source.ts_ms',     'number', n_all FROM agg
+    UNION ALL SELECT '$.value.source.snapshot',  'string', n_all FROM agg
+    UNION ALL SELECT '$.value.source.db',        'string', n_all FROM agg
+    UNION ALL SELECT '$.value.source.schema',    'string', n_all FROM agg
+    UNION ALL SELECT '$.value.source.table',     'string', n_all FROM agg
+    UNION ALL SELECT '$.value.source.txId',      'number', n_lsn FROM agg
+    UNION ALL SELECT '$.value.source.lsn',       'number', n_lsn FROM agg
+) WHERE n > 0
+"""
+
+
+def _walk_json_value(prefix: str, val, out: list, emit_root: bool = True) -> None:
+    """Recursively emit (path, normalized-json-type) for a parsed JSON
+    value: object/array/string/number/boolean/null; objects recurse into
+    ``prefix.key`` children (array elements are not walked — the path
+    reports the array itself). ``emit_root=False`` skips the synthetic
+    root path and walks only its children (the per-line entry point)."""
+    if isinstance(val, bool):  # before number: bool is an int subclass
+        t = "boolean"
+    elif isinstance(val, (int, float)):
+        t = "number"
+    elif isinstance(val, str):
+        t = "string"
+    elif isinstance(val, dict):
+        t = "object"
+    elif isinstance(val, list):
+        t = "array"
+    else:
+        t = "null"
+    if emit_root:
+        out.append((prefix, t))
+    if isinstance(val, dict):
+        for k, v in val.items():
+            _walk_json_value(f"{prefix}.{k}", v, out)
+
+
+@query("cdc_wire_schema_introspection", oracle=_WIRE_SCHEMA_ORACLE)
+def cdc_wire_schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — JSON schema introspection of the RAW wire log, the probe a
+    consumer runs BEFORE pinning an envelope StructType (the reference
+    inspects its untyped ``json`` column with ``json_type(*)`` —
+    ``README.md:216-218``): every NDJSON line is walked recursively and
+    each present key path reports its normalized JSON type
+    (object, array, string, number, boolean, null) with an occurrence
+    count. Because the wire omits null fields (Debezium/to_json
+    semantics), presence counts ARE the schema's nullability story: the
+    probe shows ``$.value.before`` on exactly the update/delete events,
+    ``$.value.source.lsn`` absent on the lsn-less duplicate-update events, and
+    ``$.value.source.sequence``/``xmin``/``transaction`` never — which is
+    how an operator discovers optional fields without any schema document.
+
+    Spark-first shape: the walk is genuinely dynamic (paths are data, so
+    no ``get_json_object`` literal-path projection can express it) —
+    ONE scan, ``to_json`` serialization JVM-side, one Arrow-batched
+    ``mapInPandas`` walking each line with the stdlib parser, then a
+    partial-agg groupBy on (path, jtype) whose cardinality is the schema
+    size (~24 rows), not the data size. Scan-rate-bound, no skew, no
+    array carry — safe at any corpus size.
+
+    The oracle does NOT re-walk JSON: it PREDICTS the schema report
+    arithmetically from the generator's event mix (op determines
+    before/after presence; the null-lsn replay rows lose lsn/txId), so a
+    hash match proves the byte-level introspection recovers exactly the
+    declared wire semantics."""
+    env = product_change_events(spark, sf_dir)
+    lines = env.select(
+        F.to_json(F.struct(F.col("value").alias("value"))).alias("line")
+    )
+
+    def _walk(batches):
+        import json
+
+        import pandas as pd
+
+        for pdf in batches:
+            out: list = []
+            for line in pdf["line"]:
+                _walk_json_value("$", json.loads(line), out, emit_root=False)
+            yield pd.DataFrame(out, columns=["path", "jtype"])
+
+    walked = lines.mapInPandas(_walk, "path string, jtype string")
+    return walked.groupBy("path", "jtype").agg(F.count(F.lit(1)).alias("n"))

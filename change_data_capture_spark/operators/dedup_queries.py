@@ -402,6 +402,63 @@ def _ham_key_sql(combo: tuple[int, int, int]) -> str:
     return " + ".join(parts)
 
 
+def simhash_band_rel(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bv) block-combination keys of a (doc_id, simhash)
+    relation — one 30-bit key per C(6,3) 3-block subset (see
+    ``_HAM_COMBOS``). Shared by the batch pairing gate and the streaming
+    incremental gate (``streaming/streaming_queries.py``); one explode,
+    fully codegen'd."""
+    mask = (1 << _HAM_BLOCK_W) - 1
+
+    def _key(combo):
+        parts = None
+        for i, blk in enumerate(combo):
+            p = F.shiftleft(
+                F.shiftright("simhash", blk * _HAM_BLOCK_W).bitwiseAND(F.lit(mask)),
+                i * _HAM_BLOCK_W,
+            )
+            parts = p if parts is None else parts + p
+        return parts
+
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), _key(c).alias("bv"))
+                    for i, c in enumerate(_HAM_COMBOS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+
+
+#: full-recompute SimHash pairing restricted to pairs that involve a delta
+#: doc (doc_id % _DELTA_MOD == 0) — the shared oracle of the STREAMING
+#: incremental SimHash gate, mirroring _MINHASH_INCR_ORACLE's contract:
+#: banding and popcount are deterministic, so the incremental drain must
+#: equal this slice bit-for-bit.
+_SIMHASH_INCR_ORACLE_TEMPLATE = """
+WITH {corpus_sql},
+{simhash_cte},
+bands AS (
+{band_union}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {ham_max}
+  AND (c.doc_a % {delta_mod} = 0 OR c.doc_b % {delta_mod} = 0)
+"""
+
+
 _SIMHASH_NEARDUP_ORACLE = f"""
 WITH {CORPUS_SQL},
 {_simhash_cte(_HAM_BITS)},
@@ -446,29 +503,7 @@ def simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole query is two hash aggs + one bucket equi-join + a codegen
     popcount — no arrays, no verify-side re-scan of the corpus."""
     sigs = _simhash_signatures_df(corpus(spark, sf_dir), _HAM_BITS).persist()
-    mask = (1 << _HAM_BLOCK_W) - 1
-
-    def _key(combo):
-        parts = None
-        for i, blk in enumerate(combo):
-            p = F.shiftleft(
-                F.shiftright("simhash", blk * _HAM_BLOCK_W).bitwiseAND(F.lit(mask)),
-                i * _HAM_BLOCK_W,
-            )
-            parts = p if parts is None else parts + p
-        return parts
-
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), _key(c).alias("bv"))
-                    for i, c in enumerate(_HAM_COMBOS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    bands = simhash_band_rel(sigs)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -1218,6 +1253,17 @@ def dedup_containment_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 _DELTA_MOD = 3  # docs with doc_id % 3 == 0 form the "newly arrived" batch
+
+_SIMHASH_INCR_ORACLE = _SIMHASH_INCR_ORACLE_TEMPLATE.format(
+    corpus_sql=CORPUS_SQL,
+    simhash_cte=_simhash_cte(_HAM_BITS),
+    band_union=" UNION ALL ".join(
+        f"    SELECT doc_id, {i} AS band, {_ham_key_sql(c)} AS bv FROM sigs"
+        for i, c in enumerate(_HAM_COMBOS)
+    ),
+    ham_max=_HAM_MAX,
+    delta_mod=_DELTA_MOD,
+)
 
 _MINHASH_INCR_ORACLE = f"""
 WITH {CORPUS_SQL},

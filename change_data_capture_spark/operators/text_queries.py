@@ -206,18 +206,85 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("corpus_stratified_sample")  # rows-only: sampling RNGs are engine-specific
+#: per-stratum keep percentage (integer so the keep rule is exact in both
+#: engines: rnk * 100 <= pct * n_stratum — no float fraction ever multiplies
+#: a count)
+_STRAT_PCT_EN = 30
+
+#: draw-range buckets for the two-phase per-stratum rank: seeded_hash is a
+#: uniform 60-bit integer, so draw >> 50 yields 1024 balanced buckets with
+#: NO min/max pass — bucket boundaries are monotone in draw by construction
+_STRAT_BUCKET_SHIFT = 50
+
+_STRAT_ORACLE = f"""
+WITH drawn AS (
+    SELECT doc_id, lang, source,
+           CAST(('0x' || substr(md5('ssample|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS draw
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rnk,
+           count(*) OVER (PARTITION BY lang) AS n_stratum
+    FROM drawn
+)
+SELECT doc_id, lang, source
+FROM ranked
+WHERE rnk * 100 <= (CASE WHEN lang = 'en' THEN {_STRAT_PCT_EN} ELSE 100 END)
+                   * n_stratum
+"""
+
+
+@query("corpus_stratified_sample", oracle=_STRAT_ORACLE)
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified corpus sampling — the down-sampling step of a training-data
-    mix: keep 100% of low-resource langs, 30% of 'en'. ``sampleBy`` is a
-    per-row Bernoulli draw (no shuffle, no global count) — the only sampling
-    shape that works on an unbounded/100 TB input. Seeded and deterministic
-    per plan; engine-specific RNG → rows-only gate + pytest bounds."""
+    """EXACT-FRACTION stratified corpus sampling — the down-sampling step of
+    a training-data mix: keep 100% of low-resource langs and exactly
+    floor(30% · n) of 'en', chosen as the stratum's lowest seeded-hash
+    draws (a uniform fixed-size subset, deterministic and
+    append/repartition-stable — what Bernoulli ``sampleBy`` only gives in
+    expectation; this query was rows-only until round 6, when the
+    hash-order-statistics form made the exact kept set cross-engine).
+
+    The per-stratum rank does NOT use a ``partitionBy(lang)`` window — at
+    100 TB the 'en' stratum is most of the corpus and a single-reducer
+    stratum sort is a skew bomb. Instead the two-phase bucket rank
+    (``analytics_queries._ranks_long_form``'s shape, specialized): the
+    60-bit draw's top 10 bits split every stratum into 1024
+    uniform-by-construction range buckets, tiny per-(lang, bucket) counts
+    give each bucket's global offset via a broadcast prefix sum, and
+    row_number runs per (lang, bucket) — the widest window partition is
+    stratum/1024. The keep rule is integer-exact on both engines:
+    ``rnk * 100 <= pct * n_stratum`` (no float · count)."""
     d = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.3, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
-    return d.sampleBy("lang", fractions=fractions, seed=42).select(
-        "doc_id", "lang", "source"
+    draw = seeded_hash(F.col("doc_id").cast("string"), "ssample")
+    b = d.select(
+        "doc_id", "lang", "source", draw.alias("draw")
+    ).withColumn("bkt", F.shiftright("draw", _STRAT_BUCKET_SHIFT))
+    counts = b.groupBy("lang", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    offsets = counts.select(
+        "lang",
+        "bkt",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n_stratum"),
+    )
+    w_in = Window.partitionBy("lang", "bkt").orderBy("draw", "doc_id")
+    ranked = b.join(F.broadcast(offsets), ["lang", "bkt"]).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_stratum",
+        (F.col("off") + F.row_number().over(w_in)).alias("rnk"),
+    )
+    pct = F.when(F.col("lang") == "en", F.lit(_STRAT_PCT_EN)).otherwise(F.lit(100))
+    return ranked.where(
+        F.col("rnk") * 100 <= pct * F.col("n_stratum")
+    ).select("doc_id", "lang", "source")
 
 
 _LANG_ROLLUP_ORACLE = """

@@ -21,6 +21,7 @@ from pyspark.sql import types as T
 from change_data_capture_spark.operators.cdc_queries import _SCD2_ORACLE
 from change_data_capture_spark.operators.dedup_queries import (
     _MINHASH_INCR_ORACLE,
+    _SIMHASH_INCR_ORACLE,
     JACCARD_THRESHOLD,
 )
 from change_data_capture_spark.queries import query
@@ -1187,6 +1188,131 @@ def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
         )
         batch_store.write.mode("append").parquet(store)
         batch_store.unpersist()
+
+    q = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(slices)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{ws}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_dir)
+
+
+@query("streaming_dedup_simhash_incremental", oracle=_SIMHASH_INCR_ORACLE)
+def streaming_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental SimHash dedup — the Manku-style Hamming-ball
+    pairing (``simhash_hamming_neardup``) on the same persisted-store
+    skeleton as ``streaming_dedup_minhash_incremental``: a Structured
+    Streaming drain near-dup-checks each micro-batch of new docs against a
+    persisted (doc_id, simhash) signature store, then appends the batch's
+    signatures — later batches pair against earlier ones with nothing
+    recomputed. The store row is ONE 8-byte long per doc (no shingle
+    arrays at all — the lightest possible dedup state), which is why
+    web-scale crawlers run SimHash stores in the first place.
+
+    Per-batch plan, mirroring the r6 candidate-sized-verify discipline:
+    candidate generation BROADCASTS the delta-sized batch band relation
+    against one scan of the union store's band projection (20
+    block-combination keys per doc, exploded in codegen — no store
+    shuffle); the popcount verify fetches signatures by BROADCASTING the
+    exploded candidate edges against one more store scan, then
+    ``bit_count(min XOR max)`` per pair (xor is symmetric, so the
+    min/max pair of the two fetched longs is exact — no collect_list,
+    no arrays). Candidate exactness is inherited: Hamming ≤ 3 pairs
+    cannot be missed (pigeonhole over the 3-block subsets), so the
+    drained pair log equals the full-recompute oracle slice
+    bit-for-bit — within-batch pairs in their own batch, cross-batch
+    pairs when the later doc arrives, each exactly once."""
+    import os
+    import time as _time
+
+    from change_data_capture_spark.operators.dedup_queries import (
+        _DELTA_MOD,
+        _HAM_BITS,
+        _HAM_MAX,
+        _simhash_signatures_df,
+        corpus,
+        simhash_band_rel,
+    )
+
+    ws = tempfile.mkdtemp(prefix="cdc_ssim_")
+    store = f"{ws}/sig_store"
+    pairs_dir = f"{ws}/pairs"
+    c = corpus(spark, sf_dir)
+    is_delta = F.col("doc_id") % _DELTA_MOD == 0
+
+    # pre-existing production state: base-corpus signatures (one long/doc)
+    _simhash_signatures_df(c.where(~is_delta), _HAM_BITS).write.mode(
+        "overwrite"
+    ).parquet(store)
+
+    # typed empty seed so a pair-less drain reads back cleanly
+    id_type = c.schema["doc_id"].dataType
+    spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("doc_a", id_type),
+                T.StructField("doc_b", id_type),
+                T.StructField("hamming", T.IntegerType()),
+            ]
+        ),
+    ).write.mode("overwrite").parquet(pairs_dir)
+
+    delta = c.where(is_delta).select("doc_id", "text")
+    slices = f"{ws}/slices"
+    os.makedirs(slices)
+    now = _time.time()
+    for i in (0, 1):
+        half = delta.where(((F.col("doc_id") / _DELTA_MOD).cast("long") % 2) == i)
+        hdir = f"{ws}/h{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(hdir)
+        part = [f for f in os.listdir(hdir) if f.endswith(".parquet")][0]
+        dst = f"{slices}/slice_{i}.parquet"
+        os.rename(f"{hdir}/{part}", dst)
+        os.utime(dst, (now + i, now + i))
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sigs = _simhash_signatures_df(batch_df, _HAM_BITS).persist()
+        union_sigs = spark.read.parquet(store).unionByName(batch_sigs)
+        a = simhash_band_rel(batch_sigs).alias("a")
+        b = simhash_band_rel(union_sigs).alias("b")
+        cand = (
+            F.broadcast(a)
+            .join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+        edge = cand.select(
+            "doc_a",
+            "doc_b",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        )
+        fetched = union_sigs.join(F.broadcast(edge), "doc_id")
+        per_pair = fetched.groupBy("doc_a", "doc_b").agg(
+            F.min("simhash").alias("s_lo"), F.max("simhash").alias("s_hi")
+        )
+        ham = F.bit_count(F.col("s_lo").bitwiseXOR(F.col("s_hi")))
+        (
+            per_pair.where(ham <= _HAM_MAX)
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+            .write.mode("append")
+            .parquet(pairs_dir)
+        )
+        batch_sigs.write.mode("append").parquet(store)
+        batch_sigs.unpersist()
 
     q = (
         spark.readStream.schema(delta.schema)

@@ -164,3 +164,39 @@ def test_schema_evolution_wire_lines_are_genuinely_mixed_version(spark, sf_dir):
     out = entrymod.queries()["scd2_schema_evolution"](spark, sf_dir).collect()
     cats = {r.category for r in out}
     assert None in cats and any(c is not None for c in cats)
+
+
+def test_json_walk_normalized_types_and_nesting():
+    """The introspection walker must label every JSON type correctly on a
+    hostile document (bools before numbers — bool is an int subclass —
+    explicit nulls, arrays not recursed into) and build dotted paths
+    through nested objects."""
+    from change_data_capture_spark.operators.cdc_queries import _walk_json_value
+
+    out: list = []
+    _walk_json_value(
+        "$",
+        {
+            "b": True,
+            "i": 3,
+            "f": 1.5,
+            "s": "x",
+            "z": None,
+            "arr": [{"hidden": 1}],
+            "o": {"inner": "y"},
+        },
+        out,
+        emit_root=False,
+    )
+    got = dict(out)
+    assert got == {
+        "$.b": "boolean",
+        "$.i": "number",
+        "$.f": "number",
+        "$.s": "string",
+        "$.z": "null",
+        "$.arr": "array",
+        "$.o": "object",
+        "$.o.inner": "string",
+    }
+    assert "$.arr.hidden" not in got  # array elements are not walked

@@ -124,9 +124,12 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert avg >= 0.5, f"IVF avg recall {avg:.2f} too low"
 
 
-def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
-    """sampleBy must honor per-stratum fractions (±12% absolute at n=500+)
-    and be reproducible for a fixed seed."""
+def test_stratified_sample_exact_fractions_and_determinism(spark, sf_dir):
+    """The exact-fraction stratified sample must keep EXACTLY
+    floor(pct·n/100) docs per stratum (not ±noise like the old Bernoulli
+    sampleBy form), be reproducible, and keep the stratum's lowest-draw
+    docs (order-statistics contract, so appends can only displace — never
+    reshuffle — the kept set)."""
     q = entrymod.queries()["corpus_stratified_sample"]
     a = q(spark, sf_dir).collect()
     b = q(spark, sf_dir).collect()
@@ -144,9 +147,9 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
     got = {}
     for r in a:
         got[r.lang] = got.get(r.lang, 0) + 1
-    assert got.get("de", 0) == totals["de"]  # fraction 1.0 keeps everything
-    en_frac = got.get("en", 0) / totals["en"]
-    assert 0.18 <= en_frac <= 0.42, f"en fraction {en_frac:.2f} far from 0.3"
+    for lang, n in totals.items():
+        pct = 30 if lang == "en" else 100
+        assert got.get(lang, 0) == pct * n // 100, (lang, got.get(lang), n)
 
 
 def test_h264_annexb_parser_unit():
