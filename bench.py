@@ -104,6 +104,12 @@ HEADLINE = [
     "dedup_containment_dfcap",
     "simhash_hamming_neardup",
     "streaming_dedup_minhash_incremental",
+    "streaming_dedup_simhash_incremental",
+    "cdc_wire_schema_introspection",
+    "corpus_stratified_sample",
+    "txlog_time_travel",
+    "txlog_change_feed",
+    "streaming_txlog_idempotent_replay",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

@@ -21,6 +21,7 @@ _QUERY_MODULES = (
     "change_data_capture_spark.operators.graph_queries",
     "change_data_capture_spark.operators.analytics_queries",
     "change_data_capture_spark.operators.maintenance",
+    "change_data_capture_spark.operators.txlog_queries",
     "change_data_capture_spark.operators.skew",
     "change_data_capture_spark.streaming.streaming_queries",
     "change_data_capture_spark.sources.scan_gates",
