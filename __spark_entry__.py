@@ -35,21 +35,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50 rows per round. Order therefore encodes check priority. Cumulative
 # record through round 5: 198/198 registered queries have a driver row, 0
 # failures. Round 6 keeps the registration discipline (≤15 new per round):
-# the 5 round-6 additions lead (never checked), the 3 queries whose code
+# the 10 round-6 additions lead (never checked), the 3 queries whose code
 # changed this round follow, then the 8-query carryover whose last driver
 # row is r01-r03 (they missed r05's cap window — ADVICE r5 flagged exactly
-# this overflow), then the set last checked in r04. 5+3+8 = 16 + the first
-# 34 of the r04 set fill the 50-row cap; the r04 set's last 14 names carry
+# this overflow), then the set last checked in r04. 10+3+8 = 21 + the first
+# 29 of the r04 set fill the 50-row cap; the r04 set's last 19 names carry
 # to round 7 (stated here so the overflow is explicit, not silent).
 _CHECK_PRIORITY: tuple[str, ...] = (
     # --- round-6 additions: M1 wire-schema introspection, streaming SimHash
     # incremental dedup, transaction-log family (time travel / change feed /
-    # idempotent streaming replay) ---
+    # idempotent streaming replay / compaction+checkpoint / data skipping /
+    # file-pruned MERGE / vacuum / z-order multi-axis skipping) ---
     "cdc_wire_schema_introspection",
     "streaming_dedup_simhash_incremental",
     "txlog_time_travel",
     "txlog_change_feed",
     "streaming_txlog_idempotent_replay",
+    "txlog_compaction",
+    "txlog_data_skipping",
+    "txlog_merge_upsert",
+    "txlog_vacuum",
+    "txlog_zorder_skipping",
     # --- code changed in round 6 → must re-verify ---
     "streaming_dedup_minhash_incremental",  # candidate-sized verify rebuild
     "corpus_stratified_sample",             # exact-fraction, now oracle-checked
@@ -93,12 +99,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "nation_balance_percentiles",
     "skew_key_diagnostics",
     "nation_revenue_share",
+    # cap boundary ~here; the 19 below are the round-7 carryover
     "cumulative_unique_users",
     "events_dau_wau",
     "basket_affinity_lift",
     "orders_seasonality_decomposition",
     "dedup_cluster_size_histogram",
-    # cap boundary ~here; the 14 below are the round-7 carryover
     "events_dau_wau_approx",
     "multimodal_video_nal_index",
     "streaming_ingest_exactly_once",

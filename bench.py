@@ -110,6 +110,11 @@ HEADLINE = [
     "txlog_time_travel",
     "txlog_change_feed",
     "streaming_txlog_idempotent_replay",
+    "txlog_compaction",
+    "txlog_data_skipping",
+    "txlog_merge_upsert",
+    "txlog_vacuum",
+    "txlog_zorder_skipping",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

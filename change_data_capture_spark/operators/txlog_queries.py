@@ -54,6 +54,55 @@ WITH {CDC_EVENTS_SQL},
 SELECT id, name, description, price FROM state3
 """
 
+_TIP_STATE_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+{_STATE_CTE.format(m=4)}
+SELECT id, name, description, price FROM state4
+"""
+
+_SKIP_LO, _SKIP_HI = 100, 299
+
+_DATA_SKIPPING_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+{_STATE_CTE.format(m=4)}
+SELECT id, name, description, price FROM state4
+WHERE id BETWEEN {_SKIP_LO} AND {_SKIP_HI}
+"""
+
+_MERGE_LO, _MERGE_HI = 100, 299
+
+# MERGE result = (target anti-join source keys) ∪ source — exact because
+# the engine's WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *
+# replaces the whole row image either way. The source is deterministic
+# from the same tip state on both engines.
+_MERGE_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+{_STATE_CTE.format(m=4)},
+merge_src AS (
+    SELECT id, 'upd-' || name AS name, description,
+           price + CAST(100 AS DOUBLE) AS price
+    FROM state4 WHERE id BETWEEN {_MERGE_LO} AND {_MERGE_HI}
+    UNION ALL
+    SELECT id, 'new-' || CAST(id AS VARCHAR) AS name,
+           'merged insert' AS description,
+           CAST(id AS DOUBLE) / 1000 AS price
+    FROM range(900001, 900041) t(id)
+)
+SELECT id, name, description, price FROM state4
+WHERE id NOT IN (SELECT id FROM merge_src)
+UNION ALL
+SELECT id, name, description, price FROM merge_src
+"""
+
+_ZORDER_LO, _ZORDER_HI = 930.0, 960.0
+
+_ZORDER_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+{_STATE_CTE.format(m=4)}
+SELECT id, name, description, price FROM state4
+WHERE price BETWEEN {_ZORDER_LO} AND {_ZORDER_HI}
+"""
+
 _CHANGE_FEED_ORACLE = f"""
 WITH {CDC_EVENTS_SQL},
 {_STATE_CTE.format(m=1)},
@@ -171,3 +220,217 @@ def txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.price").alias("price_before"),
         F.col("a.price").alias("price_after"),
     )
+
+
+@query("txlog_compaction", oracle=_TIP_STATE_ORACLE)
+def txlog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (Delta ``OPTIMIZE``) + log checkpoint over the
+    3-version products txlog: bin-pack the tip snapshot's many small
+    files into one commit's worth of right-sized files (a rewrite commit
+    — add compacted, remove fragments, ``expected_version`` guarded like
+    any rewrite), then :func:`txlog.write_checkpoint` so later readers
+    fold from the materialized snapshot instead of replaying the whole
+    log. Data is bit-identical before/after BY CONSTRUCTION (compaction
+    moves bytes, never rows — the oracle recomputes the same state
+    relationally), time travel to pre-compaction versions still works
+    (copy-on-write keeps the fragments on disk; pinned in
+    ``tests/test_txlog.py``), and the read path after compaction is the
+    same one-scan distributed read over fewer, larger files.
+
+    Scale: small-file proliferation is THE operational failure mode of
+    streaming ingest into a lake (every micro-batch commits a few files;
+    a week of 1-minute batches is ~10k files whose per-file open/seek
+    overhead dominates the scan). Compaction is an O(partition) rewrite
+    of data, O(1) metadata; the checkpoint keeps the driver-side fold
+    O(tail) on long-lived tables."""
+    tdir = build_products_txlog(spark, sf_dir)
+    tip = txlog.latest_version(tdir)
+    # reproduce streaming ingest's failure mode: rewrite the tip as many
+    # small files (what a day of micro-batch commits leaves behind)
+    small = txlog.write_files(
+        txlog.read_version(spark, tdir, tip).repartition(8), tdir
+    )
+    txlog.commit(
+        tdir,
+        add=small,
+        remove=txlog.snapshot_files(tdir, tip),
+        expected_version=tip + 1,
+    )
+    tip += 1
+    frag = txlog.snapshot_files(tdir, tip)
+    compacted = txlog.write_files(
+        txlog.read_version(spark, tdir, tip).coalesce(1), tdir
+    )
+    txlog.commit(tdir, add=compacted, remove=frag, expected_version=tip + 1)
+    txlog.write_checkpoint(tdir)
+    return txlog.read_version(spark, tdir)
+
+
+@query("txlog_data_skipping", oracle=_DATA_SKIPPING_ORACLE)
+def txlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping (Delta per-file ``stats``): the products
+    tip state is written range-clustered on ``id``
+    (``repartitionByRange`` — disjoint per-file key ranges, the layout
+    OPTIMIZE ZORDER maintains in production) with per-file min/max
+    committed alongside each add action; a ranged read then prunes
+    non-overlapping files DRIVER-SIDE from log metadata alone before
+    Spark lists a single file, and applies the row-level predicate to
+    the survivors (skipping is an optimization, never the filter — files
+    without stats are conservatively kept). ``tests/test_txlog.py`` pins
+    that the pruned resolution actually drops files and that a
+    stats-less table degrades to reading everything, correctly.
+
+    Scale: this is the metadata pruning that makes point/range lookups
+    affordable on a 100 TB range-clustered table — the scan cost becomes
+    O(files overlapping the predicate), not O(table), and the pruning
+    itself is a driver-side fold over KB-sized JSON."""
+    tdir = tempfile.mkdtemp(prefix="cdc_txskip_")
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base).repartitionByRange(8, "id")
+    actions = txlog.write_files(state, tdir, stats_cols=["id"])
+    txlog.commit(tdir, add=actions, expected_version=0)
+    lo, hi = _SKIP_LO, _SKIP_HI
+    return txlog.read_version(
+        spark, tdir, predicate_range=("id", lo, hi)
+    ).where(F.col("id").between(lo, hi))
+
+
+@query("txlog_merge_upsert", oracle=_MERGE_ORACLE)
+def txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style ``MERGE INTO`` with file-pruned copy-on-write
+    (:func:`txlog.merge_into`): the products tip state, range-clustered
+    on ``id`` with per-file stats, takes an upsert whose source is a
+    deterministic delta — a price/name update for keys in
+    [{lo}, {hi}] plus 40 brand-new keys. Touched-file discovery prunes
+    by the source's key envelope from log stats, then one semi join
+    collects the files actually containing a match; the rewrite is a
+    single full-outer join of touched rows ∪ source (both delta-sized),
+    committed as add+remove under an ``expected_version`` guard.
+    ``tests/test_txlog.py`` pins that untouched files keep their exact
+    add actions (paths unchanged in the snapshot) and that a
+    disjoint-key merge touches ZERO files (pure append).
+
+    Scale: this is the upsert shape that keeps a 100 TB dimension
+    maintainable — cost O(touched files + delta), never O(table); the
+    oracle proves the semantics relationally (anti-join ∪ source, which
+    is exactly what UPDATE SET * / INSERT * reduce to)."""
+    tdir = tempfile.mkdtemp(prefix="cdc_txmerge_")
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base).repartitionByRange(8, "id")
+    txlog.commit(
+        tdir,
+        add=txlog.write_files(state, tdir, stats_cols=["id"]),
+        expected_version=0,
+    )
+    tgt = txlog.read_version(spark, tdir)
+    upd = tgt.where(F.col("id").between(_MERGE_LO, _MERGE_HI)).select(
+        "id",
+        F.concat(F.lit("upd-"), F.col("name")).alias("name"),
+        "description",
+        (F.col("price") + F.lit(100.0)).alias("price"),
+    )
+    ins = spark.range(900001, 900041).select(
+        F.col("id"),
+        F.concat(F.lit("new-"), F.col("id").cast("string")).alias("name"),
+        F.lit("merged insert").alias("description"),
+        (F.col("id").cast("double") / F.lit(1000)).alias("price"),
+    )
+    txlog.merge_into(
+        spark, tdir, upd.unionByName(ins), key="id", stats_cols=["id"]
+    )
+    return txlog.read_version(spark, tdir)
+
+
+txlog_merge_upsert.__doc__ = txlog_merge_upsert.__doc__.format(
+    lo=_MERGE_LO, hi=_MERGE_HI
+)
+
+
+@query("txlog_vacuum", oracle=_TIP_STATE_ORACLE)
+def txlog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VACUUM`` (retention-0 form): reclaim the data files that
+    copy-on-write rewrites stranded on disk — the 3-version products
+    build leaves v0's and v1's files unreferenced by the tip — then
+    prove the tip read is bit-identical (the oracle recomputes the tip
+    state relationally; vacuum never touches a live file). The
+    destructive edge is pinned in ``tests/test_txlog.py``: after
+    vacuum, time travel to the reclaimed versions fails loudly at read
+    time, ``dry_run`` lists without deleting, and the reclaim set is
+    exactly the non-tip files.
+
+    Scale: time travel's cost is storage — every rewrite doubles the
+    touched bytes until something reclaims them. Vacuum is the
+    metadata-only fold (O(files on disk), zero data read) that closes
+    the loop; production retention (N hours, not 0) is a parameter of
+    the same walk."""
+    tdir = build_products_txlog(spark, sf_dir)
+    txlog.vacuum(tdir)
+    return txlog.read_version(spark, tdir)
+
+
+@query("txlog_zorder_skipping", oracle=_ZORDER_ORACLE)
+def txlog_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (Delta ``OPTIMIZE ZORDER BY (id, price)``):
+    interleave the bits of both columns' min-max bucket ranks into one
+    Morton key, range-partition the tip state on that key, and commit
+    with per-file stats on BOTH columns. Because the Morton curve keeps
+    each file a small rectangle in (id, price) space, a range predicate
+    on EITHER column prunes files from log metadata — unlike single-key
+    clustering, where files are tight on the leading column and span
+    the full range of every other (``tests/test_txlog.py`` pins exactly
+    that contrast on a controlled table: z-order prunes on both axes,
+    id-clustering prunes only on id). The returned query is a price
+    range over the z-ordered table — the NON-leading axis, the one
+    plain clustering can't serve.
+
+    Scale: multi-dimensional skipping is how a 100 TB table answers
+    range lookups on more than one column without duplicate layouts;
+    the bucket ranks come from one broadcast 1-row min/max join and the
+    interleave is pure codegen bit math, so the clustering write costs
+    one extra range shuffle."""
+    tdir = tempfile.mkdtemp(prefix="cdc_txz_")
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base)
+    zed = _zorder_key(state, "id", "price").repartitionByRange(
+        8, "__z"
+    ).select(*state.columns)
+    actions = txlog.write_files(zed, tdir, stats_cols=["id", "price"])
+    txlog.commit(tdir, add=actions, expected_version=0)
+    lo, hi = _ZORDER_LO, _ZORDER_HI
+    return txlog.read_version(
+        spark, tdir, predicate_range=("price", lo, hi)
+    ).where(F.col("price").between(lo, hi))
+
+
+def _zorder_key(df: DataFrame, c1: str, c2: str, bits: int = 8) -> DataFrame:
+    """Append a ``__z`` Morton key: each column min-max-normalized to a
+    ``bits``-bit bucket (one broadcast 1-row min/max join — the only
+    non-local step), buckets bit-interleaved with pure codegen
+    shift/or arithmetic. Constant columns degrade to bucket 0, which is
+    correct (no information to cluster on)."""
+    mm = df.agg(
+        F.min(c1).alias("__mn1"),
+        F.max(c1).alias("__mx1"),
+        F.min(c2).alias("__mn2"),
+        F.max(c2).alias("__mx2"),
+    )
+    j = df.crossJoin(F.broadcast(mm))
+
+    def bucket(c: str, mn: str, mx: str):
+        span = F.col(mx).cast("double") - F.col(mn).cast("double")
+        frac = F.when(
+            span > 0, (F.col(c).cast("double") - F.col(mn).cast("double")) / span
+        ).otherwise(F.lit(0.0))
+        return F.least(
+            F.floor(frac * (1 << bits)).cast("int"), F.lit((1 << bits) - 1)
+        )
+
+    b1, b2 = bucket(c1, "__mn1", "__mx1"), bucket(c2, "__mn2", "__mx2")
+    z = F.lit(0)
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return j.withColumn("__z", z).drop("__mn1", "__mx1", "__mn2", "__mx2")

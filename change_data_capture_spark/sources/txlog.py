@@ -26,12 +26,22 @@ log of add/remove file actions, folded into a snapshot):
   :func:`last_txn` before applying, so the at-least-once replay Spark
   gives after a failure (or a checkpoint reset) becomes a no-op — the
   Delta ``txn`` action that upgrades foreachBatch to exactly-once.
+- **Log checkpoints.** :func:`write_checkpoint` materializes the fold
+  at version ``N`` (Delta's ``_last_checkpoint``); later snapshot
+  resolutions start from the newest checkpoint at or below the target
+  version and replay only the tail, so the driver-side fold stays
+  O(commits since last checkpoint) no matter how long the table lives.
+- **File-level data skipping.** An ``add`` action may carry per-file
+  min/max column stats (Delta's ``stats`` field, which production
+  writers lift from parquet footers); :func:`snapshot_files` with a
+  ``predicate_range`` prunes non-overlapping files DRIVER-SIDE, before
+  Spark ever lists them — the metadata-only pruning that turns a
+  100 TB scan into a few-file read when the data is range-clustered.
 
 Scale: the log is metadata — KB-sized JSON per commit, folded
-driver-side in O(#commits) (a production log checkpoints the fold every
-K commits so the tail stays short; same as Delta's `_last_checkpoint`).
-The data path stays fully distributed: a snapshot read is one parquet
-scan of the resolved file list, with normal pushdown/pruning.
+driver-side in O(tail since checkpoint). The data path stays fully
+distributed: a snapshot read is one parquet scan of the resolved file
+list, with normal pushdown/pruning below the file-level skip.
 """
 
 from __future__ import annotations
@@ -61,7 +71,7 @@ def latest_version(table_dir: str) -> int:
     versions = [
         int(f[: -len(".json")])
         for f in os.listdir(ldir)
-        if f.endswith(".json")
+        if f.endswith(".json") and not f.endswith(".checkpoint.json")
     ]
     return max(versions, default=-1)
 
@@ -70,17 +80,26 @@ def _commit_path(table_dir: str, version: int) -> str:
     return os.path.join(_log_dir(table_dir), f"{version:020d}.json")
 
 
+def _action_path(action) -> str:
+    """An ``add`` action is a bare path string or a
+    ``{"path": ..., "stats": {col: [min, max]}}`` dict."""
+    return action if isinstance(action, str) else action["path"]
+
+
 def commit(
     table_dir: str,
-    add: list[str],
+    add: list,
     remove: list[str] | None = None,
     txn: dict | None = None,
     expected_version: int | None = None,
 ) -> int:
     """Atomically commit the next log version.
 
-    ``add``/``remove`` are data-file paths entering/leaving the snapshot;
-    ``txn`` is an optional ``{"app_id": ..., "batch_id": ...}`` marker.
+    ``add`` entries are data files entering the snapshot — bare paths,
+    or ``{"path", "stats"}`` dicts when the writer collected per-file
+    min/max column stats (see :func:`write_files`); ``remove`` entries
+    are paths leaving it; ``txn`` is an optional
+    ``{"app_id": ..., "batch_id": ...}`` marker.
     With ``expected_version`` set (rewrites: the caller's remove-set was
     computed against ``expected_version - 1``), a lost race raises
     :class:`ConcurrentCommitError` instead of silently clobbering the
@@ -116,60 +135,312 @@ def commit(
         return version
 
 
-def _commits_upto(table_dir: str, version: int | None) -> list[dict]:
+def _checkpoint_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"{version:020d}.checkpoint.json")
+
+
+def _newest_checkpoint(table_dir: str, version: int) -> dict | None:
+    """Newest checkpoint at or below ``version``, or None. Checkpoints
+    never replace commits (time travel to pre-checkpoint versions replays
+    from an older checkpoint, or from 0) — they only shorten the fold."""
+    ldir = _log_dir(table_dir)
+    if not os.path.isdir(ldir):
+        return None
+    best = max(
+        (
+            int(f[: -len(".checkpoint.json")])
+            for f in os.listdir(ldir)
+            if f.endswith(".checkpoint.json")
+            and int(f[: -len(".checkpoint.json")]) <= version
+        ),
+        default=None,
+    )
+    if best is None:
+        return None
+    with open(_checkpoint_path(table_dir, best)) as f:
+        return json.load(f)
+
+
+def _resolve(table_dir: str, version: int | None) -> tuple[list, dict, int]:
+    """(actions, txn_app_versions, version) as of ``version`` — fold from
+    the newest checkpoint ≤ version, replaying only the tail commits."""
     tip = latest_version(table_dir)
     if version is None:
         version = tip
     if version > tip or version < 0:
         raise ValueError(f"version {version} not in log (tip {tip})")
-    out = []
-    for v in range(version + 1):
+    ckpt = _newest_checkpoint(table_dir, version)
+    actions: list = list(ckpt["actions"]) if ckpt else []
+    txns: dict = dict(ckpt["txn_app_versions"]) if ckpt else {}
+    start = ckpt["version"] + 1 if ckpt else 0
+    for v in range(start, version + 1):
         with open(_commit_path(table_dir, v)) as f:
-            out.append(json.load(f))
-    return out
-
-
-def snapshot_files(table_dir: str, version: int | None = None) -> list[str]:
-    """Data files of the snapshot as of ``version`` (default: log tip) —
-    the fold of add/remove actions over commits ``0..version``."""
-    files: list[str] = []
-    for c in _commits_upto(table_dir, version):
+            c = json.load(f)
         removed = set(c["remove"])
-        files = [f for f in files if f not in removed]
-        files.extend(c["add"])
-    return files
+        actions = [a for a in actions if _action_path(a) not in removed]
+        actions.extend(c["add"])
+        t = c.get("txn")
+        if t:
+            prev = txns.get(t["app_id"])
+            b = int(t["batch_id"])
+            if prev is None or b > int(prev):
+                txns[t["app_id"]] = b
+    return actions, txns, version
+
+
+def write_checkpoint(table_dir: str, version: int | None = None) -> int:
+    """Materialize the fold at ``version`` (default: tip) as
+    ``<version>.checkpoint.json`` — Delta's ``_last_checkpoint``. Later
+    resolutions for any target ≥ this version replay only the commits
+    after it, keeping the driver-side fold O(tail) for long-lived tables.
+    Also carries the per-app txn high-water marks so :func:`last_txn`
+    stays checkpoint-compatible."""
+    actions, txns, version = _resolve(table_dir, version)
+    path = _checkpoint_path(table_dir, version)
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"version": version, "actions": actions, "txn_app_versions": txns}, f
+        )
+    os.rename(tmp, path)  # atomic publish; idempotent (same fold content)
+    return version
+
+
+def snapshot_files(
+    table_dir: str,
+    version: int | None = None,
+    predicate_range: tuple[str, object, object] | None = None,
+) -> list[str]:
+    """Data files of the snapshot as of ``version`` (default: log tip) —
+    the fold of add/remove actions over commits ``0..version``.
+
+    ``predicate_range=(col, lo, hi)`` applies file-level data skipping:
+    files whose committed ``stats[col]`` range does not overlap
+    ``[lo, hi]`` are pruned HERE, driver-side, from metadata alone —
+    Spark never lists or opens them. Files committed without stats for
+    ``col`` are conservatively kept (skipping is an optimization, never
+    a filter — callers still apply the row-level predicate)."""
+    actions, _, _ = _resolve(table_dir, version)
+    if predicate_range is None:
+        return [_action_path(a) for a in actions]
+    col, lo, hi = predicate_range
+    keep = []
+    for a in actions:
+        stats = a.get("stats", {}) if isinstance(a, dict) else {}
+        if col in stats:
+            mn, mx = stats[col]
+            if mn is not None and mx is not None and (mx < lo or mn > hi):
+                continue
+        keep.append(_action_path(a))
+    return keep
 
 
 def read_version(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    predicate_range: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Snapshot read: one distributed parquet scan of the resolved file
-    list (time travel via ``version=``). The resolution is immune to
-    commits that land after it — copy-on-write never deletes data files."""
-    return spark.read.parquet(*snapshot_files(table_dir, version))
+    list (time travel via ``version=``, file-level data skipping via
+    ``predicate_range`` — see :func:`snapshot_files`). The resolution is
+    immune to commits that land after it — copy-on-write never deletes
+    data files. A predicate that prunes EVERY file returns a typed empty
+    DataFrame (schema lifted from one live file, zero rows read), not a
+    schema-inference error."""
+    files = snapshot_files(table_dir, version, predicate_range)
+    if not files and predicate_range is not None:
+        all_files = snapshot_files(table_dir, version)
+        if all_files:
+            return spark.read.parquet(all_files[0]).limit(0)
+    return spark.read.parquet(*files)
 
 
-def write_files(df: DataFrame, table_dir: str) -> list[str]:
+def write_files(
+    df: DataFrame, table_dir: str, stats_cols: list[str] | None = None
+) -> list:
     """Write ``df`` as immutable parquet data files under ``table_dir``
     (a uniquely-named subdir, so concurrent writers never collide) and
-    return their paths — NOT yet part of any snapshot until a
-    :func:`commit` references them."""
+    return their add actions — NOT yet part of any snapshot until a
+    :func:`commit` references them.
+
+    With ``stats_cols``, each action is a ``{"path", "stats"}`` dict
+    carrying per-file min/max for those columns (enables
+    ``predicate_range`` skipping). Stats come from one distributed
+    read-back aggregation grouped by ``input_file_name()`` — a
+    production writer lifts the identical numbers from the parquet
+    footers it just wrote; the collect is per-FILE metadata, bounded by
+    file count, never row count."""
     out = os.path.join(table_dir, "data", uuid.uuid4().hex)
     df.write.parquet(out)
-    return sorted(
+    paths = sorted(
         os.path.join(out, f)
         for f in os.listdir(out)
         if f.endswith(".parquet")
     )
+    if not stats_cols:
+        return paths
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    rows = (
+        df.sparkSession.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_file = {}
+    for r in rows:
+        p = r["f"]
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        by_file[os.path.abspath(p)] = {
+            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
+        }
+    return [
+        {"path": p, "stats": by_file.get(os.path.abspath(p), {})}
+        for p in paths
+    ]
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, list[str]]:
+    """Delta-style ``MERGE INTO`` (``WHEN MATCHED THEN UPDATE SET * /
+    WHEN NOT MATCHED THEN INSERT *``) as a file-pruned copy-on-write
+    rewrite. Returns ``(committed_version, touched_file_paths)``.
+
+    The two-pass shape is Delta's own (PROTOCOL.md merge semantics over
+    add/remove actions):
+
+    1. **Touched-file discovery.** The source's key range prunes the
+       snapshot via per-file stats (files that cannot contain a source
+       key are never listed), then one inner join of the surviving
+       files against the broadcast source keys collects the DISTINCT
+       ``input_file_name()`` set — per-FILE metadata, bounded by file
+       count. Files without a match are never rewritten.
+    2. **Rewrite.** One full-outer join of the touched files' rows with
+       the source on ``key``: matched rows take the source image
+       (``UPDATE SET *`` — including nulls, which is why this is a
+       side-indicator select, not a COALESCE), unmatched target rows
+       pass through, source-only rows are the inserts (a source key
+       that matches anywhere matches in a touched file BY DEFINITION,
+       so anti-join-against-touched is exact, not approximate). The
+       result commits as add(new files) + remove(touched files) under
+       an ``expected_version`` guard.
+
+    Scale: the rewrite cost is O(touched files + source), never
+    O(table) — on a range-clustered 100 TB table a delta-sized upsert
+    rewrites a handful of files. The full-outer join shuffles only
+    touched-rows ∪ source (both delta-sized); untouched files keep
+    their add actions (and stats) unchanged in the snapshot.
+    """
+    from pyspark.sql import functions as F
+
+    tip = latest_version(table_dir)
+    cols = read_version(spark, table_dir, tip).columns
+    src = source.select(*cols)
+
+    # pass 1: prune by the source's key envelope, then find touched files
+    lo, hi = src.agg(F.min(key), F.max(key)).collect()[0]
+    cand = (
+        snapshot_files(table_dir, tip, predicate_range=(key, lo, hi))
+        if lo is not None
+        else []  # empty source: no file can be touched
+    )
+    touched: list[str] = []
+    if cand:
+        keys = src.select(key).distinct()
+        hit = (
+            spark.read.parquet(*cand)
+            # file name projected AT THE SCAN — post-join provenance is
+            # not guaranteed for input_file_name()
+            .select(F.col(key), F.input_file_name().alias("f"))
+            .join(F.broadcast(keys), key, "left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        )
+        hit_paths = set()
+        for r in hit:
+            p = r["f"]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            hit_paths.add(os.path.abspath(p))
+        touched = [p for p in cand if os.path.abspath(p) in hit_paths]
+
+    # pass 2: rewrite touched rows ∪ source in ONE full-outer join
+    marked = src.select(
+        F.col(key),
+        *[F.col(c).alias(f"__s_{c}") for c in cols if c != key],
+        F.lit(True).alias("__src"),
+    )
+    if touched:
+        tgt = spark.read.parquet(*touched)
+        joined = tgt.join(marked, key, "full_outer")
+        merged = joined.select(
+            F.col(key),
+            *[
+                F.when(F.col("__src").isNotNull(), F.col(f"__s_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in cols
+                if c != key
+            ],
+        ).select(*cols)
+    else:
+        merged = src  # nothing matched anywhere: pure insert
+    new_actions = write_files(merged, table_dir, stats_cols=stats_cols)
+    version = commit(
+        table_dir, add=new_actions, remove=touched, expected_version=tip + 1
+    )
+    return version, touched
+
+
+def vacuum(table_dir: str, dry_run: bool = False) -> list[str]:
+    """Delete data files no longer referenced by the TIP snapshot and
+    return their paths (Delta ``VACUUM`` at retention 0 — production
+    retention keeps files younger than N hours so concurrent readers
+    of recent versions finish; the reclamation set is the same fold).
+
+    Copy-on-write rewrites (compaction, MERGE, deletes) strand their
+    pre-images on disk for time travel; vacuum is the explicit,
+    destructive end of that window. After it runs, tip reads are
+    bit-identical (vacuum never touches a live file) and time travel to
+    versions whose files were reclaimed fails loudly at read time —
+    pinned in ``tests/test_txlog.py``. ``dry_run=True`` lists without
+    deleting. The walk is metadata-only: O(files on disk), no data read.
+    """
+    live = {
+        os.path.abspath(_action_path(a))
+        for a in _resolve(table_dir, None)[0]
+    }
+    victims = []
+    for dirpath, _, files in os.walk(os.path.join(table_dir, "data")):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.abspath(os.path.join(dirpath, f))
+            if p not in live:
+                victims.append(p)
+    if not dry_run:
+        for p in victims:
+            os.remove(p)
+    return sorted(victims)
 
 
 def last_txn(table_dir: str, app_id: str) -> int | None:
     """Highest ``batch_id`` committed under ``app_id``, or None — the
     foreachBatch idempotence check (skip when ``batch_id <= last_txn``)."""
-    best: int | None = None
-    for c in _commits_upto(table_dir, None) if latest_version(table_dir) >= 0 else []:
-        t = c.get("txn")
-        if t and t.get("app_id") == app_id:
-            b = int(t["batch_id"])
-            best = b if best is None or b > best else best
-    return best
+    if latest_version(table_dir) < 0:
+        return None
+    _, txns, _ = _resolve(table_dir, None)
+    b = txns.get(app_id)
+    return int(b) if b is not None else None

@@ -93,6 +93,94 @@ def test_txn_marker_guard_is_load_bearing(spark, tmp_path):
     assert txlog.last_txn(t_guarded, "other_app") is None
 
 
+def test_checkpoint_shortens_fold_preserves_history(spark, tmp_path):
+    """A checkpoint materializes the fold (same snapshot, same txn
+    high-water marks) without replacing commits: resolutions past it
+    replay only the tail, time travel BEFORE it still works, and
+    latest_version ignores checkpoint files."""
+    t = str(tmp_path / "t")
+    for i in range(4):
+        txlog.commit(
+            t,
+            add=txlog.write_files(_df(spark, [(i, f"v{i}")]), t),
+            txn={"app_id": "app", "batch_id": i},
+        )
+    before = set(txlog.snapshot_files(t))
+    ck = txlog.write_checkpoint(t)
+    assert ck == 3
+    assert txlog.latest_version(t) == 3  # checkpoint is not a commit
+    assert set(txlog.snapshot_files(t)) == before
+    assert txlog.last_txn(t, "app") == 3  # marks survive the checkpoint
+    # pre-checkpoint time travel replays from 0 (commits are all retained)
+    assert txlog.read_version(spark, t, 1).count() == 2
+    # commits after the checkpoint fold on top of it
+    txlog.commit(t, add=txlog.write_files(_df(spark, [(9, "v9")]), t))
+    assert txlog.read_version(spark, t).count() == 5
+
+
+def test_compaction_preserves_data_and_history(spark, sf_dir):
+    """OPTIMIZE: the compacted tip is row-identical to the fragmented
+    tip, the file count strictly drops, and pre-compaction time travel
+    still resolves (copy-on-write keeps fragments on disk)."""
+    from change_data_capture_spark.operators.txlog_queries import (
+        build_products_txlog,
+    )
+
+    t = build_products_txlog(spark, sf_dir)
+    tip = txlog.latest_version(t)
+    # fragment the tip first (streaming ingest's small-file aftermath)
+    small = txlog.write_files(
+        txlog.read_version(spark, t, tip).repartition(8), t
+    )
+    txlog.commit(
+        t, add=small, remove=txlog.snapshot_files(t, tip),
+        expected_version=tip + 1,
+    )
+    tip += 1
+    frag = txlog.snapshot_files(t, tip)
+    assert len(frag) > 1
+    rows_before = txlog.read_version(spark, t, tip).count()
+    compacted = txlog.write_files(
+        txlog.read_version(spark, t, tip).coalesce(1), t
+    )
+    txlog.commit(t, add=compacted, remove=frag, expected_version=tip + 1)
+    assert len(txlog.snapshot_files(t)) < len(frag)
+    after = txlog.read_version(spark, t)
+    assert after.count() == rows_before
+    # time travel across the compaction boundary still works
+    assert txlog.read_version(spark, t, 1).count() > 0
+    old = txlog.read_version(spark, t, tip)
+    assert old.exceptAll(after).count() == 0 and after.exceptAll(old).count() == 0
+
+
+def test_data_skipping_prunes_files_conservatively(spark, tmp_path):
+    """Range-clustered writes with stats let a ranged resolution drop
+    non-overlapping files driver-side; a stats-less table degrades to
+    reading everything (skipping is an optimization, never a filter)."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id AS STRING) AS v")
+    actions = txlog.write_files(
+        df.repartitionByRange(8, "id"), t, stats_cols=["id"]
+    )
+    assert all(isinstance(a, dict) and "id" in a["stats"] for a in actions)
+    txlog.commit(t, add=actions, expected_version=0)
+    all_files = txlog.snapshot_files(t)
+    pruned = txlog.snapshot_files(t, predicate_range=("id", 100, 150))
+    assert 0 < len(pruned) < len(all_files)
+    got = (
+        txlog.read_version(spark, t, predicate_range=("id", 100, 150))
+        .where("id BETWEEN 100 AND 150")
+        .count()
+    )
+    assert got == 51
+    # stats-less table: every file survives the ranged resolution
+    t2 = str(tmp_path / "t2")
+    txlog.commit(t2, add=txlog.write_files(df.repartition(4), t2))
+    assert len(
+        txlog.snapshot_files(t2, predicate_range=("id", 100, 150))
+    ) == len(txlog.snapshot_files(t2))
+
+
 def test_products_txlog_versions_are_distinct_states(spark, sf_dir):
     """The 3-version products table: v0 (creates) < v1 (updates applied)
     have equal key sets, v2 (deletes applied) is a strict subset, and
@@ -118,3 +206,124 @@ def test_products_txlog_versions_are_distinct_states(spark, sf_dir):
     assert changed.count() > 0
     tip = txlog.read_version(spark, t)
     assert tip.exceptAll(v2).count() == 0 and v2.exceptAll(tip).count() == 0
+
+
+def test_merge_into_rewrites_only_touched_files(spark, tmp_path):
+    """MERGE: untouched files keep their exact add actions in the
+    snapshot, update/insert semantics are exact (including NULLs via
+    UPDATE SET *), and a disjoint-key merge touches ZERO files."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 800).selectExpr("id", "CAST(id AS STRING) AS v")
+    txlog.commit(
+        t,
+        add=txlog.write_files(
+            df.repartitionByRange(8, "id"), t, stats_cols=["id"]
+        ),
+        expected_version=0,
+    )
+    before = set(txlog.snapshot_files(t))
+    # source: update a narrow key band (+ a NULL payload to pin SET *
+    # semantics) and insert keys beyond the table's range
+    src = spark.createDataFrame(
+        [(100, "updated"), (101, None), (5000, "inserted")], "id long, v string"
+    )
+    version, touched = txlog.merge_into(spark, t, src, key="id")
+    assert version == 1
+    # the narrow key band lives in 1-2 range-clustered files (2 only if
+    # the sampled range boundary happens to split it), never all 8
+    assert 1 <= len(touched) <= 2
+    after = set(txlog.snapshot_files(t))
+    # every untouched file survives with its path unchanged
+    assert before - set(touched) <= after
+    got = {r.id: r.v for r in txlog.read_version(spark, t).collect()}
+    assert len(got) == 801
+    assert got[100] == "updated"
+    assert got[101] is None  # UPDATE SET * writes NULLs, not COALESCE
+    assert got[5000] == "inserted"
+    assert got[99] == "99" and got[102] == "102"
+    # disjoint-key merge: stats pruning finds no candidate, zero rewrites
+    ins_only = spark.createDataFrame([(9000, "x")], "id long, v string")
+    v2, touched2 = txlog.merge_into(spark, t, ins_only, key="id")
+    assert v2 == 2 and touched2 == []
+    assert txlog.read_version(spark, t).count() == 802
+
+
+def test_vacuum_reclaims_exactly_the_stranded_files(spark, tmp_path):
+    """VACUUM: dry_run lists without deleting, the reclaim set is
+    exactly the non-tip files, tip reads are bit-identical after, and
+    time travel to reclaimed versions fails loudly at read time."""
+    t = str(tmp_path / "t")
+    f0 = txlog.write_files(_df(spark, [(1, "v0"), (2, "v0")]), t)
+    txlog.commit(t, add=f0, expected_version=0)
+    f1 = txlog.write_files(_df(spark, [(1, "v1"), (2, "v1")]), t)
+    txlog.commit(t, add=f1, remove=f0, expected_version=1)
+    tip_rows = sorted(
+        (r.id, r.v) for r in txlog.read_version(spark, t).collect()
+    )
+    listed = txlog.vacuum(t, dry_run=True)
+    assert sorted(listed) == sorted(os.path.abspath(p) for p in f0)
+    assert all(os.path.exists(p) for p in f0)  # dry run deleted nothing
+    deleted = txlog.vacuum(t)
+    assert sorted(deleted) == sorted(listed)
+    assert not any(os.path.exists(p) for p in f0)
+    assert sorted(
+        (r.id, r.v) for r in txlog.read_version(spark, t).collect()
+    ) == tip_rows
+    # time travel to the reclaimed version fails loudly, never silently
+    with pytest.raises(Exception):
+        txlog.read_version(spark, t, 0).collect()
+    # idempotent: nothing left to reclaim
+    assert txlog.vacuum(t) == []
+
+
+def test_zorder_prunes_both_axes_single_key_does_not(spark, tmp_path):
+    """The contrast that justifies ZORDER: on a z-ordered table a range
+    predicate on EITHER column prunes files; on a single-key-clustered
+    table only the leading column prunes."""
+    from change_data_capture_spark.operators.txlog_queries import _zorder_key
+
+    df = spark.range(0, 4096).selectExpr(
+        "id AS x", "(id * 2654435761) % 4096 AS y"
+    )
+    # z-ordered layout
+    tz = str(tmp_path / "tz")
+    zed = _zorder_key(df, "x", "y").repartitionByRange(16, "__z").select(
+        "x", "y"
+    )
+    txlog.commit(
+        tz,
+        add=txlog.write_files(zed, tz, stats_cols=["x", "y"]),
+        expected_version=0,
+    )
+    # single-key layout (clustered on x only)
+    tx = str(tmp_path / "tx")
+    txlog.commit(
+        tx,
+        add=txlog.write_files(
+            df.repartitionByRange(16, "x"), tx, stats_cols=["x", "y"]
+        ),
+        expected_version=0,
+    )
+    nz = len(txlog.snapshot_files(tz))
+    nx = len(txlog.snapshot_files(tx))
+    # leading axis: both layouts prune
+    assert len(txlog.snapshot_files(tz, predicate_range=("x", 0, 255))) < nz
+    assert len(txlog.snapshot_files(tx, predicate_range=("x", 0, 255))) < nx
+    # NON-leading axis: only z-order prunes
+    assert len(txlog.snapshot_files(tz, predicate_range=("y", 0, 255))) < nz
+    assert len(
+        txlog.snapshot_files(tx, predicate_range=("y", 0, 255))
+    ) == nx
+    # and the pruned read is still exact
+    got = (
+        txlog.read_version(spark, tz, predicate_range=("y", 0, 255))
+        .where("y BETWEEN 0 AND 255")
+        .count()
+    )
+    expect = df.where("y BETWEEN 0 AND 255").count()
+    assert got == expect
+    # an all-pruned resolution returns a typed empty frame, not an error
+    empty = txlog.read_version(
+        spark, tz, predicate_range=("y", 10**9, 2 * 10**9)
+    )
+    assert empty.count() == 0 and empty.columns == ["x", "y"]
