@@ -402,12 +402,19 @@ def _ham_key_sql(combo: tuple[int, int, int]) -> str:
     return " + ".join(parts)
 
 
-def simhash_band_rel(sigs: DataFrame) -> DataFrame:
+def simhash_band_rel(sigs: DataFrame, carry_sig: bool = False) -> DataFrame:
     """(doc_id, band, bv) block-combination keys of a (doc_id, simhash)
     relation — one 30-bit key per C(6,3) 3-block subset (see
     ``_HAM_COMBOS``). Shared by the batch pairing gate and the streaming
     incremental gate (``streaming/streaming_queries.py``); one explode,
-    fully codegen'd."""
+    fully codegen'd.
+
+    ``carry_sig=True`` keeps the 8-byte ``simhash`` column on every band
+    row so the pairing join can verify ``bit_count(a XOR b)`` INLINE and
+    filter BEFORE the pair distinct — 8 bytes/row of extra shuffle buys
+    the removal of two doc-level signature joins (or, in the streaming
+    form, a candidate-sized broadcast that ballooned to 75M rows on a
+    dense corpus at 100×)."""
     mask = (1 << _HAM_BLOCK_W) - 1
 
     def _key(combo):
@@ -420,8 +427,9 @@ def simhash_band_rel(sigs: DataFrame) -> DataFrame:
             parts = p if parts is None else parts + p
         return parts
 
+    keep = ["doc_id", "simhash"] if carry_sig else ["doc_id"]
     return sigs.select(
-        "doc_id",
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -430,7 +438,7 @@ def simhash_band_rel(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    ).select(*keep, F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
 
 
 #: full-recompute SimHash pairing restricted to pairs that involve a delta
@@ -502,27 +510,29 @@ def simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (true mass duplicates), whose pairs are the OUTPUT, not overhead. The
     whole query is two hash aggs + one bucket equi-join + a codegen
     popcount — no arrays, no verify-side re-scan of the corpus."""
+    # persisted: the self-join would otherwise recompute the signature
+    # subtree (tokenize + hash over the corpus) on both aliases
     sigs = _simhash_signatures_df(corpus(spark, sf_dir), _HAM_BITS).persist()
-    bands = simhash_band_rel(sigs)
+    bands = simhash_band_rel(sigs, carry_sig=True)
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    # signatures ride the band rows (8 bytes each), so the verify is an
+    # inline popcount filtered BEFORE the pair distinct — no doc-level
+    # signature joins, and only true near-dup pairs reach the shuffle
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bv") == F.col("y.bv"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .where(ham <= _HAM_MAX)
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
     )
 
 

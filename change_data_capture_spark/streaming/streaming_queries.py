@@ -1159,7 +1159,10 @@ def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
     for i in (0, 1):
         half = delta.where(((F.col("doc_id") / _DELTA_MOD).cast("long") % 2) == i)
         hdir = f"{ws}/h{i}"
-        half.coalesce(1).write.mode("overwrite").parquet(hdir)
+        # repartition(1), NOT coalesce(1): one file per slice is required
+        # (file = micro-batch) but coalesce would pull the whole corpus
+        # scan+filter into a single task; the shuffle keeps the scan wide
+        half.repartition(1).write.mode("overwrite").parquet(hdir)
         part = [f for f in os.listdir(hdir) if f.endswith(".parquet")][0]
         dst = f"{slices}/slice_{i}.parquet"
         os.rename(f"{hdir}/{part}", dst)
@@ -1214,18 +1217,16 @@ def streaming_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
     arrays at all — the lightest possible dedup state), which is why
     web-scale crawlers run SimHash stores in the first place.
 
-    Per-batch plan, mirroring the r6 candidate-sized-verify discipline:
-    candidate generation joins the delta-sized batch band relation
+    Per-batch plan: ONE join — the delta-sized batch band relation
     against one scan of the union store's band projection (20
-    block-combination keys per doc, exploded in codegen; AQE picks the
-    strategy — it broadcasts the batch side only while it is genuinely
-    small, because a forced broadcast of the exploded band relation
-    measured 239 s at 100×, see the inline note); the popcount verify
-    fetches signatures by BROADCASTING the
-    exploded candidate edges against one more store scan, then
-    ``bit_count(min XOR max)`` per pair (xor is symmetric, so the
-    min/max pair of the two fetched longs is exact — no collect_list,
-    no arrays). Candidate exactness is inherited: Hamming ≤ 3 pairs
+    block-combination keys per doc, exploded in codegen), with the
+    8-byte signature carried on every band row so the popcount verify
+    is an INLINE ``bit_count(a XOR b)`` filtered before the pair
+    distinct. No separate fetch step exists to mis-size: an earlier
+    broadcast-the-candidate-edges fetch assumed candidates stay small,
+    and a dense corpus at 100× produced 37M per batch — a 75M-row
+    broadcast that cost 45 s/batch. Candidate exactness is inherited:
+    Hamming ≤ 3 pairs
     cannot be missed (pigeonhole over the 3-block subsets), so the
     drained pair log equals the full-recompute oracle slice
     bit-for-bit — within-batch pairs in their own batch, cross-batch
@@ -1273,7 +1274,10 @@ def streaming_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
     for i in (0, 1):
         half = delta.where(((F.col("doc_id") / _DELTA_MOD).cast("long") % 2) == i)
         hdir = f"{ws}/h{i}"
-        half.coalesce(1).write.mode("overwrite").parquet(hdir)
+        # repartition(1), NOT coalesce(1): one file per slice is required
+        # (file = micro-batch) but coalesce would pull the whole corpus
+        # scan+filter into a single task; the shuffle keeps the scan wide
+        half.repartition(1).write.mode("overwrite").parquet(hdir)
         part = [f for f in os.listdir(hdir) if f.endswith(".parquet")][0]
         dst = f"{slices}/slice_{i}.parquet"
         os.rename(f"{hdir}/{part}", dst)
@@ -1282,38 +1286,35 @@ def streaming_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_sigs = _simhash_signatures_df(batch_df, _HAM_BITS).persist()
         union_sigs = spark.read.parquet(store).unionByName(batch_sigs)
-        a = simhash_band_rel(batch_sigs).alias("a")
-        b = simhash_band_rel(union_sigs).alias("b")
-        # no broadcast hint: the batch band relation is delta×20 rows
-        # (millions at 100×) — forcing it to the driver measured 239 s
-        # at 100× vs ~90 s for the AQE-chosen shuffle join; AQE still
-        # broadcasts it when the batch is genuinely small
-        cand = (
+        # signatures ride the band rows (carry_sig: 8 bytes each), so
+        # the popcount verify is INLINE in the band join and only true
+        # near-dup pairs reach the distinct. The earlier fetch-by-
+        # broadcast-edge shape assumed candidate-sized edges; on a
+        # dense corpus at 100× one batch produced 37M candidates →
+        # a 75M-row broadcast + store re-scan + min/max agg, 45 s of
+        # the measured 248 s. Inline verify needs none of those.
+        # No broadcast hint on the join either: the batch band relation
+        # is delta×20 rows (millions at 100×) — forcing it to the
+        # driver measured 239 s at 100×.
+        a = simhash_band_rel(batch_sigs, carry_sig=True).alias("a")
+        b = simhash_band_rel(union_sigs, carry_sig=True).alias("b")
+        ham = F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        )
+        (
             a.join(
                 b,
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.bv") == F.col("b.bv"))
                 & (F.col("a.doc_id") != F.col("b.doc_id")),
             )
+            .where(ham <= _HAM_MAX)
             .select(
                 F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
                 F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                ham.cast("int").alias("hamming"),
             )
             .distinct()
-        )
-        edge = cand.select(
-            "doc_a",
-            "doc_b",
-            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
-        )
-        fetched = union_sigs.join(F.broadcast(edge), "doc_id")
-        per_pair = fetched.groupBy("doc_a", "doc_b").agg(
-            F.min("simhash").alias("s_lo"), F.max("simhash").alias("s_hi")
-        )
-        ham = F.bit_count(F.col("s_lo").bitwiseXOR(F.col("s_hi")))
-        (
-            per_pair.where(ham <= _HAM_MAX)
-            .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
             .write.mode("append")
             .parquet(pairs_dir)
         )
@@ -1388,7 +1389,12 @@ def streaming_txlog_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataF
     for i in (0, 1):
         half = wire.where((F.col("id") % 2) == i)
         hdir = f"{ws}/h{i}"
-        half.coalesce(1).write.mode("overwrite").parquet(hdir)
+        # repartition(1), NOT coalesce(1): each slice must be one file
+        # (maxFilesPerTrigger=1 ⇒ file = micro-batch), but coalesce
+        # would collapse the whole upstream wire decode into a single
+        # task — measured 369 s at 100×; the shuffle keeps the decode
+        # on all cores and funnels only the write (47 s)
+        half.repartition(1).write.mode("overwrite").parquet(hdir)
         part = [f for f in os.listdir(hdir) if f.endswith(".parquet")][0]
         dst = f"{slices}/slice_{i}.parquet"
         os.rename(f"{hdir}/{part}", dst)

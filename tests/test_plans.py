@@ -338,3 +338,24 @@ def test_containment_dfcap_prunes_index_and_verifies_on_sets(spark, sf_dir):
     assert "LeftSemi" in s.text, "df filter must prune the candidate index"
     assert "array_intersect" in s.text, "verify must score collected sets"
     assert not s.has_bnlj and not s.has_cartesian, s.text
+
+
+def test_simhash_pairing_verifies_inline_no_sig_joins(spark, sf_dir):
+    """The SimHash pairing (batch form; the streaming form shares the
+    shape) must verify with an INLINE popcount on signatures carried
+    through the band rows — filtered BEFORE the pair distinct. The plan
+    therefore holds exactly the band self-join plus the distinct; a
+    regression to doc-level signature fetch joins (or to the streaming
+    form's old broadcast-edge fetch, which ballooned to a 75M-row
+    broadcast on a dense 100x corpus) adds shuffles beyond this pin."""
+    from change_data_capture_spark.operators.dedup_queries import (
+        simhash_hamming_neardup,
+    )
+    from change_data_capture_spark.plans import plan_stats
+
+    s = plan_stats(simhash_hamming_neardup(spark, sf_dir))
+    # 2 exchanges feed the band self-join + 1 for the pair distinct;
+    # the removed signature joins would add two more
+    assert s.shuffle_exchanges <= 3, s.text
+    assert "bit_count" in s.text, "verify must be the inline popcount"
+    assert not s.has_bnlj and not s.has_cartesian

@@ -93,6 +93,7 @@ _R5_DEDUP_TIER = [
     # read-backs as a typed empty frame instead of a parquet
     # schema-inference error (ADVICE r5)
     "streaming_dedup_minhash_incremental",
+    "streaming_dedup_simhash_incremental",
 ]
 
 
