@@ -115,6 +115,7 @@ HEADLINE = [
     "txlog_merge_upsert",
     "txlog_vacuum",
     "txlog_zorder_skipping",
+    "streaming_txlog_source_feed",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

@@ -1426,3 +1426,105 @@ def streaming_txlog_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataF
     # 0 and 1; the txn guard must make both no-ops
     _drain("ckpt_replay")
     return txlog.read_version(spark, tdir)
+
+
+_TXLOG_SOURCE_FEED_ORACLE = """
+WITH {cdc_events_sql}
+SELECT op, COUNT(*) AS n_events, CAST(SUM(lsn) AS BIGINT) AS lsn_sum
+FROM cdc_events
+GROUP BY op
+""".format(cdc_events_sql=CDC_EVENTS_SQL)
+
+
+@query("streaming_txlog_source_feed", oracle=_TXLOG_SOURCE_FEED_ORACLE)
+def streaming_txlog_source_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transaction log as a STREAMING SOURCE (Delta's
+    ``readStream.format("delta")``, rebuilt as the repo's own Spark 4
+    Python streaming DataSource — ``sources/txlog_stream.py``): the wire
+    events land in an append-only txlog table over THREE commits, and a
+    downstream per-op aggregate (a streaming materialized view) tails the
+    table through three RESTARTS of the same checkpoint — each run's
+    offset is the log version the previous run checkpointed, so each run
+    consumes exactly the one new commit. foreachBatch merges the batch's
+    per-op partials into a running state (count and sum are the mergeable
+    forms), and the final state must equal the one-shot relational
+    aggregate over the whole wire log — which is exactly what the oracle
+    computes.
+
+    Why the offset design matters: the log's total order makes the
+    stream offset ONE INTEGER (the consumed version), where the
+    file-listing source (``streaming_python_datasource_drain``) needs a
+    content-addressed file list that grows with segment count. Replay is
+    exactly-once because commits and data files are immutable —
+    ``readBetweenOffsets`` re-reads precisely the committed range
+    (pinned in ``tests/test_txlog.py``, along with the append-only
+    contract: a rewrite commit in the consumed range raises rather than
+    double-emitting rewritten rows).
+
+    Scale: the simple reader routes rows through the driver (Spark's
+    stated fit: control-plane/low-volume sources); the scale path is the
+    partition-based reader with one InputPartition per added file —
+    same offsets, executor-side reads. The downstream state is
+    op-cardinality-sized, the classic streaming-agg footprint."""
+    import uuid as _uuid
+
+    from change_data_capture_spark.functions.envelope import decode_envelope
+    from change_data_capture_spark.sources import txlog
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamDataSource,
+    )
+
+    ws = tempfile.mkdtemp(prefix="cdc_txsrc_")
+    src_table = f"{ws}/src"
+    wire = decode_envelope(product_change_events(spark, sf_dir)).select(
+        "id",
+        "op",
+        "lsn",
+        "ts_ms",
+        "name",
+        "description",
+        F.col("price").cast("double").alias("price"),
+    )
+    spark.dataSource.register(TxlogStreamDataSource)
+
+    state: list[str] = []  # dir of the current materialized state
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("op").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("lsn").alias("lsn_sum"),
+        )
+        if state:
+            delta = (
+                spark.read.parquet(state[-1])
+                .unionByName(delta)
+                .groupBy("op")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("lsn_sum").alias("lsn_sum"),
+                )
+            )
+        new_dir = f"{ws}/state_{_uuid.uuid4().hex}"
+        delta.write.parquet(new_dir)
+        state.append(new_dir)
+
+    for i in range(3):
+        third = wire.where(
+            F.pmod(F.coalesce(F.col("id"), F.lit(0)), F.lit(3)) == i
+        )
+        txlog.commit(src_table, add=txlog.write_files(third, src_table))
+        q = (
+            spark.readStream.format("cdc_txlog")
+            .schema(wire.schema)
+            .option("path", src_table)
+            .load()
+            .writeStream.foreachBatch(_merge_batch)
+            .option("checkpointLocation", f"{ws}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.read.parquet(state[-1]).select(
+        "op", "n_events", F.col("lsn_sum").cast("long").alias("lsn_sum")
+    )

@@ -327,3 +327,45 @@ def test_zorder_prunes_both_axes_single_key_does_not(spark, tmp_path):
         spark, tz, predicate_range=("y", 10**9, 2 * 10**9)
     )
     assert empty.count() == 0 and empty.columns == ["x", "y"]
+
+
+def test_txlog_stream_source_offsets_are_versions(spark, tmp_path):
+    """The streaming-source contract over the log: read(start) returns
+    exactly the rows of commits after start and advances the offset to
+    the tip; readBetweenOffsets replays exactly the committed range
+    (commits + files are immutable, so recovery is exactly-once); a
+    rewrite commit in the consumed range raises (append-only, the Delta
+    streaming-source contract without skipChangeCommits)."""
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    txlog.commit(t, add=txlog.write_files(_df(spark, [(1, "a"), (2, "b")]), t))
+    txlog.commit(t, add=txlog.write_files(_df(spark, [(3, "c")]), t))
+    r = TxlogStreamReader(
+        spark.createDataFrame([], "id long, v string").schema, {"path": t}
+    )
+    rows, off = r.read(r.initialOffset())
+    assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c")]
+    assert off == {"version": 1}
+    # nothing new: same offset back, zero rows
+    rows2, off2 = r.read(off)
+    assert list(rows2) == [] and off2 == off
+    # a new commit is picked up incrementally, not re-read
+    txlog.commit(t, add=txlog.write_files(_df(spark, [(4, "d")]), t))
+    rows3, off3 = r.read(off)
+    assert sorted(rows3) == [(4, "d")] and off3 == {"version": 2}
+    # checkpoint recovery: replay exactly the committed range
+    replay = sorted(r.readBetweenOffsets({"version": 0}, {"version": 2}))
+    assert replay == [(3, "c"), (4, "d")]
+    # append-only contract: a rewrite commit in range raises loudly
+    frag = txlog.snapshot_files(t)
+    txlog.commit(
+        t,
+        add=txlog.write_files(txlog.read_version(spark, t).coalesce(1), t),
+        remove=frag,
+        expected_version=3,
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        r.read(off3)
