@@ -330,11 +330,12 @@ def test_zorder_prunes_both_axes_single_key_does_not(spark, tmp_path):
 
 
 def test_txlog_stream_source_offsets_are_versions(spark, tmp_path):
-    """The streaming-source contract over the log: read(start) returns
-    exactly the rows of commits after start and advances the offset to
-    the tip; readBetweenOffsets replays exactly the committed range
-    (commits + files are immutable, so recovery is exactly-once); a
-    rewrite commit in the consumed range raises (append-only, the Delta
+    """The streaming-source contract over the log: offsets are versions,
+    partitions(start, end) plans exactly the files of the commits in
+    range (one InputPartition per file — the executor parallelism unit),
+    replanning the same range yields the same rows (commits + files are
+    immutable, so checkpoint recovery is exactly-once), and a rewrite
+    commit in the consumed range raises (append-only, the Delta
     streaming-source contract without skipChangeCommits)."""
     from change_data_capture_spark.sources.txlog_stream import (
         TxlogStreamReader,
@@ -346,19 +347,24 @@ def test_txlog_stream_source_offsets_are_versions(spark, tmp_path):
     r = TxlogStreamReader(
         spark.createDataFrame([], "id long, v string").schema, {"path": t}
     )
-    rows, off = r.read(r.initialOffset())
-    assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c")]
-    assert off == {"version": 1}
-    # nothing new: same offset back, zero rows
-    rows2, off2 = r.read(off)
-    assert list(rows2) == [] and off2 == off
+    assert r.initialOffset() == {"version": -1}
+    tip = r.latestOffset()
+    assert tip == {"version": 1}
+
+    def drain(start, end):
+        return sorted(
+            row for p in r.partitions(start, end) for row in r.read(p)
+        )
+
+    assert drain({"version": -1}, tip) == [(1, "a"), (2, "b"), (3, "c")]
+    # nothing new: empty plan
+    assert r.partitions(tip, tip) == []
     # a new commit is picked up incrementally, not re-read
     txlog.commit(t, add=txlog.write_files(_df(spark, [(4, "d")]), t))
-    rows3, off3 = r.read(off)
-    assert sorted(rows3) == [(4, "d")] and off3 == {"version": 2}
-    # checkpoint recovery: replay exactly the committed range
-    replay = sorted(r.readBetweenOffsets({"version": 0}, {"version": 2}))
-    assert replay == [(3, "c"), (4, "d")]
+    assert r.latestOffset() == {"version": 2}
+    assert drain({"version": 1}, {"version": 2}) == [(4, "d")]
+    # checkpoint recovery: replanning a committed range is bit-identical
+    assert drain({"version": 0}, {"version": 2}) == [(3, "c"), (4, "d")]
     # append-only contract: a rewrite commit in range raises loudly
     frag = txlog.snapshot_files(t)
     txlog.commit(
@@ -368,4 +374,4 @@ def test_txlog_stream_source_offsets_are_versions(spark, tmp_path):
         expected_version=3,
     )
     with pytest.raises(ValueError, match="append-only"):
-        r.read(off3)
+        r.partitions({"version": 2}, {"version": 3})
