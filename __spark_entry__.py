@@ -35,18 +35,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50 rows per round. Order therefore encodes check priority. Cumulative
 # record through round 5: 198/198 registered queries have a driver row, 0
 # failures. Round 6 keeps the registration discipline (≤15 new per round):
-# the 11 round-6 additions lead (never checked), the 3 queries whose code
+# the 13 round-6 additions lead (never checked), the 3 queries whose code
 # changed this round follow, then the 8-query carryover whose last driver
 # row is r01-r03 (they missed r05's cap window — ADVICE r5 flagged exactly
-# this overflow), then the set last checked in r04. 11+3+8 = 22 + the first
-# 28 of the r04 set fill the 50-row cap; the r04 set's last 20 names carry
+# this overflow), then the set last checked in r04. 13+3+8 = 24 + the first
+# 26 of the r04 set fill the 50-row cap; the r04 set's last 22 names carry
 # to round 7 (stated here so the overflow is explicit, not silent).
 _CHECK_PRIORITY: tuple[str, ...] = (
     # --- round-6 additions: M1 wire-schema introspection, streaming SimHash
     # incremental dedup, transaction-log family (time travel / change feed /
     # idempotent streaming replay / compaction+checkpoint / data skipping /
     # file-pruned MERGE / vacuum / z-order multi-axis skipping / txlog as
-    # a streaming SOURCE) ---
+    # a streaming SOURCE / RESTORE / metadata-only COUNT) ---
     "cdc_wire_schema_introspection",
     "streaming_dedup_simhash_incremental",
     "txlog_time_travel",
@@ -58,6 +58,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "txlog_vacuum",
     "txlog_zorder_skipping",
     "streaming_txlog_source_feed",
+    "txlog_restore",
+    "txlog_metadata_count",
     # --- code changed in round 6 → must re-verify ---
     "streaming_dedup_minhash_incremental",  # candidate-sized verify rebuild
     "corpus_stratified_sample",             # exact-fraction, now oracle-checked
@@ -98,9 +100,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "corpus_pipeline_end_to_end",
     "customer_rfm_scores",
     "cohort_ltv_matrix",
+    # cap boundary ~here; the 22 below are the round-7 carryover
     "nation_balance_percentiles",
     "skew_key_diagnostics",
-    # cap boundary ~here; the 20 below are the round-7 carryover
     "nation_revenue_share",
     "cumulative_unique_users",
     "events_dau_wau",

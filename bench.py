@@ -116,6 +116,8 @@ HEADLINE = [
     "txlog_vacuum",
     "txlog_zorder_skipping",
     "streaming_txlog_source_feed",
+    "txlog_restore",
+    "txlog_metadata_count",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

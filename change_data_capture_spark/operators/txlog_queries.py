@@ -434,3 +434,59 @@ def _zorder_key(df: DataFrame, c1: str, c2: str, bits: int = 8) -> DataFrame:
             F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i)
         )
     return j.withColumn("__z", z).drop("__mn1", "__mx1", "__mn2", "__mx2")
+
+
+_METADATA_COUNT_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+{_STATE_CTE.format(m=4)}
+SELECT COUNT(*) AS n_rows FROM state4
+"""
+
+
+@query("txlog_restore", oracle=_TIME_TRAVEL_ORACLE)
+def txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``RESTORE TABLE ... VERSION AS OF`` (:func:`txlog.restore`):
+    rewind the products table's TIP to version 1 (pre-delete) after
+    version 2 has rewritten it — where ``txlog_time_travel`` READS the
+    past, restore makes it the present for every future reader, and the
+    read here is deliberately the plain TIP read (no ``version=``) to
+    prove it. The restore itself is one metadata-only commit that
+    re-adds v1's file actions and removes v2's: no data file is read,
+    written, or copied — "undo the bad backfill" costs O(KB) on a
+    100 TB table. History survives: the restore is a NEW version and
+    the pre-restore tip stays time-travelable (both pinned in
+    ``tests/test_txlog.py``). The oracle recomputes v1's state
+    relationally — the same oracle as time travel, reached through the
+    opposite mechanism (rewound tip vs pinned historical read)."""
+    tdir = build_products_txlog(spark, sf_dir)
+    txlog.restore(tdir, 1)
+    return txlog.read_version(spark, tdir)
+
+
+@query("txlog_metadata_count", oracle=_METADATA_COUNT_ORACLE)
+def txlog_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ``COUNT(*)`` (Delta answers unfiltered counts from
+    per-file ``numRecords``): the tip state is written by a
+    stats-collecting writer, so every add action carries its file's row
+    count, and :func:`txlog.count_rows` answers the count by folding
+    KB-sized log JSON — zero data files opened. The oracle recomputes
+    the count relationally from the raw change events, so the gate
+    proves the metadata path agrees with the data. The honesty edge is
+    pinned in ``tests/test_txlog.py``: one stats-less file in the
+    snapshot and ``count_rows`` returns None (refuses) rather than
+    guessing — callers fall back to a scan.
+
+    Scale: this is why ``SELECT COUNT(*)`` on a 100 TB lake table
+    returns in milliseconds — the answer was priced at write time, once
+    per file, and the read is a driver-side metadata fold."""
+    tdir = tempfile.mkdtemp(prefix="cdc_txcount_")
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base).repartitionByRange(8, "id")
+    txlog.commit(
+        tdir,
+        add=txlog.write_files(state, tdir, stats_cols=["id"]),
+        expected_version=0,
+    )
+    n = txlog.count_rows(tdir)
+    assert n is not None  # every action came from the stats writer
+    return spark.createDataFrame([(n,)], "n_rows bigint")

@@ -264,13 +264,14 @@ def write_files(
     return their add actions — NOT yet part of any snapshot until a
     :func:`commit` references them.
 
-    With ``stats_cols``, each action is a ``{"path", "stats"}`` dict
-    carrying per-file min/max for those columns (enables
-    ``predicate_range`` skipping). Stats come from one distributed
-    read-back aggregation grouped by ``input_file_name()`` — a
-    production writer lifts the identical numbers from the parquet
-    footers it just wrote; the collect is per-FILE metadata, bounded by
-    file count, never row count."""
+    With ``stats_cols``, each action is a ``{"path", "stats",
+    "num_rows"}`` dict carrying per-file min/max for those columns
+    (enables ``predicate_range`` skipping) and the file's row count
+    (enables metadata-only :func:`count_rows` — Delta's ``numRecords``).
+    Stats come from one distributed read-back aggregation grouped by
+    ``input_file_name()`` — a production writer lifts the identical
+    numbers from the parquet footers it just wrote; the collect is
+    per-FILE metadata, bounded by file count, never row count."""
     out = os.path.join(table_dir, "data", uuid.uuid4().hex)
     df.write.parquet(out)
     paths = sorted(
@@ -282,7 +283,7 @@ def write_files(
         return paths
     from pyspark.sql import functions as F
 
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__num_rows")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
@@ -293,6 +294,7 @@ def write_files(
         .collect()
     )
     by_file = {}
+    nrows = {}
     for r in rows:
         p = r["f"]
         if p.startswith("file:"):
@@ -300,8 +302,13 @@ def write_files(
         by_file[os.path.abspath(p)] = {
             c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
         }
+        nrows[os.path.abspath(p)] = r["__num_rows"]
     return [
-        {"path": p, "stats": by_file.get(os.path.abspath(p), {})}
+        {
+            "path": p,
+            "stats": by_file.get(os.path.abspath(p), {}),
+            "num_rows": nrows.get(os.path.abspath(p), 0),
+        }
         for p in paths
     ]
 
@@ -402,6 +409,46 @@ def merge_into(
         table_dir, add=new_actions, remove=touched, expected_version=tip + 1
     )
     return version, touched
+
+
+def restore(table_dir: str, version: int) -> int:
+    """Delta ``RESTORE TABLE ... VERSION AS OF``: rewind the TIP to an
+    earlier version's snapshot — where time travel READS the past,
+    restore makes it the present for every future reader. Implemented as
+    one ordinary guarded commit that re-adds the old version's file
+    actions (stats included) and removes the current ones; METADATA-ONLY
+    — no data file is read, written, or copied, which is what makes
+    "undo the bad backfill on the 100 TB table" an O(KB) operation.
+    History is preserved: the restore is itself a new version, and the
+    pre-restore tip remains time-travelable (pinned in
+    ``tests/test_txlog.py``)."""
+    tip = latest_version(table_dir)
+    cur_actions, _, _ = _resolve(table_dir, tip)
+    old_actions, _, _ = _resolve(table_dir, version)
+    cur = {_action_path(a) for a in cur_actions}
+    old = {_action_path(a) for a in old_actions}
+    return commit(
+        table_dir,
+        add=[a for a in old_actions if _action_path(a) not in cur],
+        remove=[p for p in cur if p not in old],
+        expected_version=tip + 1,
+    )
+
+
+def count_rows(table_dir: str, version: int | None = None) -> int | None:
+    """Metadata-only ``COUNT(*)`` (Delta answers unfiltered counts from
+    per-file ``numRecords`` in the log): sum the ``num_rows`` every
+    stats-collecting writer recorded per file. Returns None — refusing,
+    not guessing — if ANY live file lacks a recorded count (e.g. it was
+    added by a stats-less writer); callers then fall back to a scan.
+    O(actions) driver-side fold, zero data read."""
+    actions, _, _ = _resolve(table_dir, version)
+    total = 0
+    for a in actions:
+        if not isinstance(a, dict) or "num_rows" not in a:
+            return None
+        total += int(a["num_rows"])
+    return total
 
 
 def vacuum(table_dir: str, dry_run: bool = False) -> list[str]:

@@ -375,3 +375,66 @@ def test_txlog_stream_source_offsets_are_versions(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="append-only"):
         r.partitions({"version": 2}, {"version": 3})
+
+
+def test_restore_rewinds_tip_metadata_only(spark, sf_dir):
+    """RESTORE: the tip equals the restored version's snapshot, no data
+    file is created (metadata-only), the restore is itself a new
+    version, and the pre-restore tip stays time-travelable."""
+    from change_data_capture_spark.operators.txlog_queries import (
+        build_products_txlog,
+    )
+
+    t = build_products_txlog(spark, sf_dir)
+
+    def data_files():
+        return sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(os.path.join(t, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    on_disk_before = data_files()
+    pre_tip = txlog.read_version(spark, t)  # v2 (deletes applied)
+    v = txlog.restore(t, 1)
+    assert v == 3  # restore is a NEW version, history intact
+    assert data_files() == on_disk_before  # metadata-only: no data moved
+    tip = txlog.read_version(spark, t)
+    v1 = txlog.read_version(spark, t, 1)
+    assert tip.exceptAll(v1).count() == 0 and v1.exceptAll(tip).count() == 0
+    # the pre-restore tip is still reachable by time travel
+    old = txlog.read_version(spark, t, 2)
+    assert old.exceptAll(pre_tip).count() == 0
+    assert old.count() < tip.count()  # v2 had the deletes applied
+
+
+def test_metadata_count_refuses_without_stats(spark, tmp_path):
+    """count_rows answers from per-file num_rows when every action has
+    one, counts per version, and returns None (refuses) the moment a
+    stats-less file joins the snapshot."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 500).selectExpr("id", "CAST(id AS STRING) AS v")
+    txlog.commit(
+        t, add=txlog.write_files(df, t, stats_cols=["id"]), expected_version=0
+    )
+    assert txlog.count_rows(t) == 500
+    txlog.commit(
+        t,
+        add=txlog.write_files(
+            spark.range(500, 600).selectExpr("id", "CAST(id AS STRING) AS v"),
+            t,
+            stats_cols=["id"],
+        ),
+    )
+    assert txlog.count_rows(t) == 600
+    assert txlog.count_rows(t, 0) == 500  # versioned metadata count
+    # a stats-less writer's file makes the metadata answer unavailable
+    txlog.commit(
+        t,
+        add=txlog.write_files(
+            spark.range(600, 650).selectExpr("id", "CAST(id AS STRING) AS v"), t
+        ),
+    )
+    assert txlog.count_rows(t) is None
+    assert txlog.count_rows(t, 1) == 600  # older versions still answer
