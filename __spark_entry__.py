@@ -35,18 +35,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50 rows per round. Order therefore encodes check priority. Cumulative
 # record through round 5: 198/198 registered queries have a driver row, 0
 # failures. Round 6 keeps the registration discipline (≤15 new per round):
-# the 13 round-6 additions lead (never checked), the 3 queries whose code
+# the 14 round-6 additions lead (never checked), the 3 queries whose code
 # changed this round follow, then the 8-query carryover whose last driver
 # row is r01-r03 (they missed r05's cap window — ADVICE r5 flagged exactly
-# this overflow), then the set last checked in r04. 13+3+8 = 24 + the first
-# 26 of the r04 set fill the 50-row cap; the r04 set's last 22 names carry
+# this overflow), then the set last checked in r04. 14+3+8 = 25 + the first
+# 25 of the r04 set fill the 50-row cap; the r04 set's last 23 names carry
 # to round 7 (stated here so the overflow is explicit, not silent).
 _CHECK_PRIORITY: tuple[str, ...] = (
     # --- round-6 additions: M1 wire-schema introspection, streaming SimHash
     # incremental dedup, transaction-log family (time travel / change feed /
     # idempotent streaming replay / compaction+checkpoint / data skipping /
     # file-pruned MERGE / vacuum / z-order multi-axis skipping / txlog as
-    # a streaming SOURCE / RESTORE / metadata-only COUNT) ---
+    # a streaming SOURCE / RESTORE / metadata-only COUNT / schema
+    # enforcement + CHECK constraints) ---
     "cdc_wire_schema_introspection",
     "streaming_dedup_simhash_incremental",
     "txlog_time_travel",
@@ -60,6 +61,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_txlog_source_feed",
     "txlog_restore",
     "txlog_metadata_count",
+    "txlog_constrained_write",
     # --- code changed in round 6 → must re-verify ---
     "streaming_dedup_minhash_incremental",  # candidate-sized verify rebuild
     "corpus_stratified_sample",             # exact-fraction, now oracle-checked
@@ -99,8 +101,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "corpus_exact_k_sample",
     "corpus_pipeline_end_to_end",
     "customer_rfm_scores",
+    # cap boundary ~here; the 23 below are the round-7 carryover
     "cohort_ltv_matrix",
-    # cap boundary ~here; the 22 below are the round-7 carryover
     "nation_balance_percentiles",
     "skew_key_diagnostics",
     "nation_revenue_share",

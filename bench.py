@@ -118,6 +118,7 @@ HEADLINE = [
     "streaming_txlog_source_feed",
     "txlog_restore",
     "txlog_metadata_count",
+    "txlog_constrained_write",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

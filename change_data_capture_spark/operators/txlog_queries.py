@@ -490,3 +490,50 @@ def txlog_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = txlog.count_rows(tdir)
     assert n is not None  # every action came from the stats writer
     return spark.createDataFrame([(n,)], "n_rows bigint")
+
+
+@query("txlog_constrained_write", oracle=_TIP_STATE_ORACLE)
+def txlog_constrained_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema enforcement + CHECK constraints (the Delta write-path
+    features, via the log's ``metaData`` action — the action that
+    completes this module's Delta protocol set alongside add/remove/
+    txn/checkpoint): the table declares its schema DDL and two CHECK
+    constraints (``price >= 0``, ``id IS NOT NULL``) in a version-0
+    metadata commit, and every subsequent write goes through
+    :func:`txlog.validated_write` — exact schema equality (no surprise
+    columns from any of a lake table's thousand writers) and ONE
+    distributed aggregate per batch summing violation flags for all
+    constraints together. The gate writes the products tip state, which
+    satisfies both, and returns the tip read; the REFUSAL edges are
+    pinned in ``tests/test_txlog.py`` (a negative price raises naming
+    the constraint and the violating row count with NO files written; a
+    schema drift raises unless ``evolve=True``; NULL predicate results
+    pass, matching SQL CHECK semantics).
+
+    Scale: validation costs one map-side-combined aggregate over the
+    batch being written — never a table scan — and the declaration
+    itself is KB-sized log metadata, folded with the same checkpointed
+    read every other query uses."""
+    tdir = tempfile.mkdtemp(prefix="cdc_txcheck_")
+    txlog.commit(
+        tdir,
+        add=[],
+        expected_version=0,
+        metadata={
+            "schema": "id BIGINT, name STRING, description STRING, price DOUBLE",
+            "constraints": {
+                "price_non_negative": "price >= 0",
+                "id_present": "id IS NOT NULL",
+            },
+        },
+    )
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base).select(
+        F.col("id").cast("bigint"),
+        "name",
+        "description",
+        F.col("price").cast("double"),
+    )
+    actions = txlog.validated_write(state, tdir, stats_cols=["id"])
+    txlog.commit(tdir, add=actions, expected_version=1)
+    return txlog.read_version(spark, tdir)

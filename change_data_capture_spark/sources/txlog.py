@@ -92,6 +92,7 @@ def commit(
     remove: list[str] | None = None,
     txn: dict | None = None,
     expected_version: int | None = None,
+    metadata: dict | None = None,
 ) -> int:
     """Atomically commit the next log version.
 
@@ -99,7 +100,11 @@ def commit(
     or ``{"path", "stats"}`` dicts when the writer collected per-file
     min/max column stats (see :func:`write_files`); ``remove`` entries
     are paths leaving it; ``txn`` is an optional
-    ``{"app_id": ..., "batch_id": ...}`` marker.
+    ``{"app_id": ..., "batch_id": ...}`` marker; ``metadata`` is an
+    optional Delta-style ``metaData`` action — the table's declared
+    schema (``{"schema": <DDL string>}``) and/or CHECK constraints
+    (``{"constraints": {name: sql_predicate}}``); the LATEST metadata
+    in the log governs (schema evolution = commit new metadata).
     With ``expected_version`` set (rewrites: the caller's remove-set was
     computed against ``expected_version - 1``), a lost race raises
     :class:`ConcurrentCommitError` instead of silently clobbering the
@@ -120,6 +125,7 @@ def commit(
             "add": list(add),
             "remove": list(remove or ()),
             "txn": txn,
+            "metadata": metadata,
         }
         path = _commit_path(table_dir, version)
         try:
@@ -161,9 +167,13 @@ def _newest_checkpoint(table_dir: str, version: int) -> dict | None:
         return json.load(f)
 
 
-def _resolve(table_dir: str, version: int | None) -> tuple[list, dict, int]:
-    """(actions, txn_app_versions, version) as of ``version`` — fold from
-    the newest checkpoint ≤ version, replaying only the tail commits."""
+def _resolve(
+    table_dir: str, version: int | None
+) -> tuple[list, dict, dict | None, int]:
+    """(actions, txn_app_versions, metadata, version) as of ``version`` —
+    fold from the newest checkpoint ≤ version, replaying only the tail
+    commits. ``metadata`` is the LATEST metaData action at or below the
+    version (None if the table never declared one)."""
     tip = latest_version(table_dir)
     if version is None:
         version = tip
@@ -172,6 +182,7 @@ def _resolve(table_dir: str, version: int | None) -> tuple[list, dict, int]:
     ckpt = _newest_checkpoint(table_dir, version)
     actions: list = list(ckpt["actions"]) if ckpt else []
     txns: dict = dict(ckpt["txn_app_versions"]) if ckpt else {}
+    meta: dict | None = ckpt.get("metadata") if ckpt else None
     start = ckpt["version"] + 1 if ckpt else 0
     for v in range(start, version + 1):
         with open(_commit_path(table_dir, v)) as f:
@@ -185,7 +196,9 @@ def _resolve(table_dir: str, version: int | None) -> tuple[list, dict, int]:
             b = int(t["batch_id"])
             if prev is None or b > int(prev):
                 txns[t["app_id"]] = b
-    return actions, txns, version
+        if c.get("metadata") is not None:
+            meta = c["metadata"]
+    return actions, txns, meta, version
 
 
 def write_checkpoint(table_dir: str, version: int | None = None) -> int:
@@ -193,14 +206,21 @@ def write_checkpoint(table_dir: str, version: int | None = None) -> int:
     ``<version>.checkpoint.json`` — Delta's ``_last_checkpoint``. Later
     resolutions for any target ≥ this version replay only the commits
     after it, keeping the driver-side fold O(tail) for long-lived tables.
-    Also carries the per-app txn high-water marks so :func:`last_txn`
-    stays checkpoint-compatible."""
-    actions, txns, version = _resolve(table_dir, version)
+    Also carries the per-app txn high-water marks and the table
+    metadata so :func:`last_txn` / :func:`table_metadata` stay
+    checkpoint-compatible."""
+    actions, txns, meta, version = _resolve(table_dir, version)
     path = _checkpoint_path(table_dir, version)
     tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         json.dump(
-            {"version": version, "actions": actions, "txn_app_versions": txns}, f
+            {
+                "version": version,
+                "actions": actions,
+                "txn_app_versions": txns,
+                "metadata": meta,
+            },
+            f,
         )
     os.rename(tmp, path)  # atomic publish; idempotent (same fold content)
     return version
@@ -220,7 +240,7 @@ def snapshot_files(
     Spark never lists or opens them. Files committed without stats for
     ``col`` are conservatively kept (skipping is an optimization, never
     a filter — callers still apply the row-level predicate)."""
-    actions, _, _ = _resolve(table_dir, version)
+    actions, _, _, _ = _resolve(table_dir, version)
     if predicate_range is None:
         return [_action_path(a) for a in actions]
     col, lo, hi = predicate_range
@@ -423,8 +443,8 @@ def restore(table_dir: str, version: int) -> int:
     pre-restore tip remains time-travelable (pinned in
     ``tests/test_txlog.py``)."""
     tip = latest_version(table_dir)
-    cur_actions, _, _ = _resolve(table_dir, tip)
-    old_actions, _, _ = _resolve(table_dir, version)
+    cur_actions, _, _, _ = _resolve(table_dir, tip)
+    old_actions, _, _, _ = _resolve(table_dir, version)
     cur = {_action_path(a) for a in cur_actions}
     old = {_action_path(a) for a in old_actions}
     return commit(
@@ -435,6 +455,81 @@ def restore(table_dir: str, version: int) -> int:
     )
 
 
+def table_metadata(table_dir: str, version: int | None = None) -> dict | None:
+    """The table's governing metaData action as of ``version`` (default
+    tip): ``{"schema": <DDL string>, "constraints": {name: predicate}}``
+    — the LATEST metadata commit wins (schema evolution is just a new
+    metadata commit). None if the table never declared metadata."""
+    _, _, meta, _ = _resolve(table_dir, version)
+    return meta
+
+
+class ConstraintViolation(ValueError):
+    """A validated write found rows violating a table CHECK constraint."""
+
+
+class SchemaMismatch(ValueError):
+    """A validated write's DataFrame schema differs from the table's."""
+
+
+def validated_write(
+    df: DataFrame,
+    table_dir: str,
+    stats_cols: list[str] | None = None,
+    evolve: bool = False,
+) -> list:
+    """Schema-enforcing, constraint-checking :func:`write_files` — the
+    Delta write path (schema enforcement + CHECK constraints, both
+    public table features). Against the table's governing metadata:
+
+    - **Schema enforcement**: the DataFrame's schema DDL must equal the
+      declared schema exactly (names, order, types, containing no
+      surprise columns — the guard that keeps a 1000-writer lake table
+      from silently diverging). ``evolve=True`` widens instead: the
+      caller acknowledges the change, and the NEW schema should be
+      committed as metadata alongside the files (Delta's
+      ``mergeSchema`` handshake).
+    - **CHECK constraints**: every declared predicate is evaluated in
+      ONE distributed aggregate over the batch (sum of violation
+      flags, zero data re-read); any violation raises
+      :class:`ConstraintViolation` naming the constraint and the
+      violating row count — the files are never written, so nothing
+      needs cleanup.
+
+    Returns the add actions exactly like :func:`write_files`; the
+    caller still commits them (validation is write-side, atomicity is
+    the commit's)."""
+    from pyspark.sql import functions as F
+
+    meta = table_metadata(table_dir) or {}
+    declared = meta.get("schema")
+    if declared is not None and not evolve:
+        got = df.schema.simpleString()
+        want = df.sparkSession.createDataFrame([], declared).schema.simpleString()
+        if got != want:
+            raise SchemaMismatch(
+                f"write schema {got} does not match the table's declared "
+                f"schema {want}; pass evolve=True (and commit new "
+                "metadata) to change the table's schema deliberately"
+            )
+    constraints = meta.get("constraints") or {}
+    if constraints:
+        aggs = [
+            F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(name)
+            for name, pred in constraints.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        for name in constraints:
+            bad = row[name] or 0
+            if bad > 0:
+                raise ConstraintViolation(
+                    f"CHECK constraint '{name}' "
+                    f"({constraints[name]}) violated by {bad} row(s); "
+                    "write refused"
+                )
+    return write_files(df, table_dir, stats_cols=stats_cols)
+
+
 def count_rows(table_dir: str, version: int | None = None) -> int | None:
     """Metadata-only ``COUNT(*)`` (Delta answers unfiltered counts from
     per-file ``numRecords`` in the log): sum the ``num_rows`` every
@@ -442,7 +537,7 @@ def count_rows(table_dir: str, version: int | None = None) -> int | None:
     not guessing — if ANY live file lacks a recorded count (e.g. it was
     added by a stats-less writer); callers then fall back to a scan.
     O(actions) driver-side fold, zero data read."""
-    actions, _, _ = _resolve(table_dir, version)
+    actions, _, _, _ = _resolve(table_dir, version)
     total = 0
     for a in actions:
         if not isinstance(a, dict) or "num_rows" not in a:
@@ -488,6 +583,6 @@ def last_txn(table_dir: str, app_id: str) -> int | None:
     foreachBatch idempotence check (skip when ``batch_id <= last_txn``)."""
     if latest_version(table_dir) < 0:
         return None
-    _, txns, _ = _resolve(table_dir, None)
+    _, txns, _, _ = _resolve(table_dir, None)
     b = txns.get(app_id)
     return int(b) if b is not None else None

@@ -438,3 +438,66 @@ def test_metadata_count_refuses_without_stats(spark, tmp_path):
     )
     assert txlog.count_rows(t) is None
     assert txlog.count_rows(t, 1) == 600  # older versions still answer
+
+
+def test_validated_write_enforces_schema_and_constraints(spark, tmp_path):
+    """The write path refuses what the table's metadata forbids: a
+    CHECK violation raises naming the constraint and row count with NO
+    files written; schema drift raises unless evolve=True; NULL
+    predicate results pass (SQL CHECK semantics); and metadata
+    survives a log checkpoint."""
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t,
+        add=[],
+        expected_version=0,
+        metadata={
+            "schema": "id BIGINT, v STRING",
+            "constraints": {"id_positive": "id > 0"},
+        },
+    )
+    ok = spark.createDataFrame([(1, "a"), (2, None)], "id long, v string")
+    txlog.commit(t, add=txlog.validated_write(ok, t))
+    assert txlog.read_version(spark, t).count() == 2
+
+    def data_file_count():
+        return sum(
+            1
+            for dp, _, fs in os.walk(os.path.join(t, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    n_before = data_file_count()
+    bad = spark.createDataFrame([(0, "zero"), (-1, "neg")], "id long, v string")
+    with pytest.raises(txlog.ConstraintViolation, match="id_positive.*2 row"):
+        txlog.validated_write(bad, t)
+    assert data_file_count() == n_before  # refused BEFORE writing
+    # NULL predicate result passes — SQL CHECK semantics
+    nullish = spark.createDataFrame([(None, "n")], "id long, v string")
+    with pytest.raises(txlog.ConstraintViolation):
+        # but a second constraint CAN catch it explicitly
+        t2 = str(tmp_path / "t2")
+        txlog.commit(
+            t2, add=[],
+            metadata={"constraints": {"id_present": "id IS NOT NULL"}},
+        )
+        txlog.validated_write(nullish, t2)
+    txlog.commit(t, add=txlog.validated_write(nullish, t))  # id > 0 -> NULL -> passes
+    assert txlog.read_version(spark, t).count() == 3
+    # schema drift refused, acknowledged evolution allowed
+    drifted = spark.createDataFrame([(5, "e", 1.5)], "id long, v string, extra double")
+    with pytest.raises(txlog.SchemaMismatch, match="evolve=True"):
+        txlog.validated_write(drifted, t)
+    acts = txlog.validated_write(drifted, t, evolve=True)
+    txlog.commit(
+        t, add=acts,
+        metadata={
+            "schema": "id BIGINT, v STRING, extra DOUBLE",
+            "constraints": {"id_positive": "id > 0"},
+        },
+    )
+    assert txlog.table_metadata(t)["schema"].endswith("extra DOUBLE")
+    # metadata rides checkpoints like every other fold component
+    txlog.write_checkpoint(t)
+    assert txlog.table_metadata(t)["constraints"] == {"id_positive": "id > 0"}
