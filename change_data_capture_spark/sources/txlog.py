@@ -7,14 +7,31 @@ the engine actually relies on directly over parquet + a JSON commit
 log — the same public design as Delta Lake's PROTOCOL.md (an ordered
 log of add/remove file actions, folded into a snapshot):
 
-- **Atomic commits.** Version ``N`` commits by ``O_CREAT|O_EXCL``
-  creation of ``_txlog/<N>.json`` — the filesystem arbitrates
-  concurrent writers, the loser sees ``FileExistsError`` and either
-  retries on top of the new log tip (blind appends) or surfaces
-  :class:`ConcurrentCommitError` (rewrites, whose read-set is stale the
-  moment another commit lands). Data files are fully written *before*
-  the commit and invisible until it lands, so readers never observe a
-  partial write.
+- **Atomic commits.** Version ``N`` commits by writing the FULL
+  payload to a private temp file and publishing it via
+  ``os.link(tmp, _txlog/<N>.json)`` — ``link`` is both atomic and
+  exclusive on POSIX, so the filesystem arbitrates concurrent writers
+  (the loser sees ``FileExistsError`` and either retries on top of the
+  new log tip — blind appends — or surfaces
+  :class:`ConcurrentCommitError` for rewrites, whose read-set is stale
+  the moment another commit lands) AND a commit file is only ever
+  observable with its complete serialized content — a reader can never
+  see a created-but-empty or half-written entry. Data files are fully
+  written *before* the commit and invisible until it lands, so readers
+  never observe a partial write.
+
+  **Object-store caveat (production deployments).** This arbitration
+  is FILESYSTEM-only: POSIX ``link``/``O_EXCL`` have no equivalent on
+  eventually-listed object stores — S3 offers no atomic
+  create-if-absent across writers (S3 conditional writes / If-None-
+  Match narrow but do not close this on all stores), which is exactly
+  why Delta Lake's public design routes object-store commits through a
+  LogStore / commit-coordinator service (DynamoDB-arbitrated S3
+  LogStore, or a single-writer coordination process) that serializes
+  "who owns version N". A production deployment of this module on
+  s3a:// MUST substitute such a coordinator for the ``os.link`` step;
+  everything else (immutable data files, snapshot fold, checkpoints)
+  carries over unchanged.
 - **Snapshot isolation + time travel.** A snapshot is the fold of
   add/remove actions over commits ``0..N``. Rewrites are copy-on-write:
   a ``remove`` action drops a file from the *snapshot*, never from
@@ -127,17 +144,26 @@ def commit(
             "txn": txn,
             "metadata": metadata,
         }
+        # Serialize BEFORE touching the log: a json TypeError here leaves
+        # no trace on disk, and the published entry always carries its
+        # full content (readers can never observe an empty/partial file).
+        body = json.dumps(payload)
         path = _commit_path(table_dir, version)
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)  # atomic + exclusive, full content
         except FileExistsError:
+            os.unlink(tmp)
             if expected_version is not None:
                 raise ConcurrentCommitError(
                     f"lost the commit race for version {version}"
                 ) from None
             continue  # append: rebase on the new tip and retry
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f)
+        os.unlink(tmp)
         return version
 
 
