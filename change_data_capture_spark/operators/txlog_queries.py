@@ -23,6 +23,7 @@ change feed free to compute afterward.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -258,8 +259,17 @@ def txlog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tip += 1
     frag = txlog.snapshot_files(tdir, tip)
+    # bin count from snapshot BYTES (Delta OPTIMIZE's maxFileSize knob) —
+    # and repartition, NOT coalesce: coalesce(1) collapses the whole
+    # upstream snapshot scan into one task (the repo's measured
+    # anti-pattern — see streaming_queries.py's slice writer), while the
+    # shuffle keeps the read wide and funnels only the write into the
+    # right-sized bins. sf0.01's snapshot packs into 1 bin; a 100 TB
+    # partition packs into bytes/128MB bins, each written in parallel.
+    target_bytes = 128 * 1024 * 1024
+    n_bins = max(1, -(-sum(os.path.getsize(f) for f in frag) // target_bytes))
     compacted = txlog.write_files(
-        txlog.read_version(spark, tdir, tip).coalesce(1), tdir
+        txlog.read_version(spark, tdir, tip).repartition(n_bins), tdir
     )
     txlog.commit(tdir, add=compacted, remove=frag, expected_version=tip + 1)
     txlog.write_checkpoint(tdir)
@@ -536,4 +546,160 @@ def txlog_constrained_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     actions = txlog.validated_write(state, tdir, stats_cols=["id"])
     txlog.commit(tdir, add=actions, expected_version=1)
+    return txlog.read_version(spark, tdir)
+
+
+_DELETE_LO, _DELETE_HI = 100, 299
+
+_DELETE_WHERE_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+{_STATE_CTE.format(m=4)}
+SELECT id, name, description, price FROM state4
+WHERE id NOT BETWEEN {_DELETE_LO} AND {_DELETE_HI}
+"""
+
+
+@query("txlog_delete_where", oracle=_DELETE_WHERE_ORACLE)
+def txlog_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate ``DELETE FROM table WHERE id BETWEEN {lo} AND {hi}``
+    (:func:`txlog.delete_where`) — the GDPR/backfill-repair primitive the
+    Delta surface provides and round 6's MERGE skeleton was missing. The
+    products tip state is committed range-clustered with per-file id
+    stats; the delete then (a) prunes non-overlapping files DRIVER-SIDE
+    from log metadata, (b) finds the files actually CONTAINING a
+    matching row with one file-bounded distinct-``input_file_name``
+    scan, and (c) rewrites only those files without the matching rows,
+    committing add+remove under an ``expected_version`` guard. Files
+    outside the predicate envelope keep their add actions (and stats)
+    byte-untouched — pinned in ``tests/test_txlog.py`` along with SQL
+    NULL semantics (a NULL predicate KEEPS the row) and the no-match
+    no-op (no commit at all).
+
+    Scale: O(touched files), never O(table) — deleting one key range
+    from a range-clustered 100 TB table rewrites the handful of files
+    whose stats admit the range; everything else is metadata. The
+    pre-images stay time-travelable until vacuum."""
+    tdir = tempfile.mkdtemp(prefix="cdc_txdel_")
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base).repartitionByRange(8, "id")
+    txlog.commit(
+        tdir,
+        add=txlog.write_files(state, tdir, stats_cols=["id"]),
+        expected_version=0,
+    )
+    txlog.delete_where(
+        spark,
+        tdir,
+        f"id BETWEEN {_DELETE_LO} AND {_DELETE_HI}",
+        stats_cols=["id"],
+        prune_range=("id", _DELETE_LO, _DELETE_HI),
+    )
+    return txlog.read_version(spark, tdir)
+
+
+txlog_delete_where.__doc__ = txlog_delete_where.__doc__.format(
+    lo=_DELETE_LO, hi=_DELETE_HI
+)
+
+
+@query("txlog_vacuum_retention", oracle=_TIME_TRAVEL_ORACLE)
+def txlog_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VACUUM`` with a RETENTION HORIZON (the production form of
+    ``txlog_vacuum``'s retention-0 edge): ``retention_versions=1`` keeps
+    every file live in the newest TWO snapshots, so a concurrent reader
+    pinned to version 1 (yesterday's reproducibility run, an in-flight
+    long scan) finishes correctly while vacuum reclaims v0's files under
+    it. The gate vacuums the 3-version products table at retention 1 and
+    then returns the VERSION 1 read — the retained historical snapshot,
+    proven bit-identical to its relational recomputation AFTER the
+    destructive pass. The horizon edges are pinned in
+    ``tests/test_txlog.py``: v0's unreferenced pre-images are reclaimed,
+    v1's survive, time travel past the horizon fails loudly, and
+    retention-0 remains the subset case.
+
+    Scale: same O(files on disk) metadata walk as retention-0 plus an
+    O(retained actions) fold per kept version — the live set is a union
+    of ``N+1`` snapshot folds, never a data read; Delta's ``RETAIN n
+    HOURS`` is this walk keyed by commit timestamp instead of version
+    count."""
+    tdir = build_products_txlog(spark, sf_dir)
+    txlog.vacuum(tdir, retention_versions=1)
+    return txlog.read_version(spark, tdir, 1)
+
+
+_EVOLVED_SCHEMA = (
+    "id BIGINT, name STRING, description STRING, price DOUBLE, "
+    "category STRING"
+)
+
+_SCHEMA_EVOLUTION_READ_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+{_STATE_CTE.format(m=4)}
+SELECT id, name, description, price, CAST(NULL AS VARCHAR) AS category
+FROM state4
+UNION ALL
+SELECT id, 'evo-' || CAST(id AS VARCHAR) AS name,
+       'evolved append' AS description,
+       CAST(id AS DOUBLE) / 1000 AS price,
+       'accessories' AS category
+FROM range(900001, 900041) t(id)
+"""
+
+
+@query("txlog_schema_evolution_read", oracle=_SCHEMA_EVOLUTION_READ_ORACLE)
+def txlog_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution END-TO-END (Delta ``mergeSchema`` handshake +
+    log-governed read): version 0 declares the 4-column products schema
+    and commits the tip state under it; version 1 widens the table with
+    a ``category`` column — the batch goes through
+    :func:`txlog.validated_write(evolve=True)` (the explicit
+    acknowledgment; the same write WITHOUT it raises
+    :class:`txlog.SchemaMismatch`, pinned in ``tests/test_txlog.py``)
+    and commits its files TOGETHER with the new schema as metadata, so
+    evolution is atomic with the data that exercises it. The tip read
+    then spans MIXED-SCHEMA history: files written under the old schema
+    are planned with the evolved shape and null-filled ``category``
+    per file — driven by the log's declared schema, NOT a
+    ``mergeSchema`` footer sweep (at 100 TB that sweep opens every
+    file's footer before planning; the log already knows the answer).
+    Time travel to version 0 still reads with the ORIGINAL 4-column
+    shape — each snapshot is self-consistent (also pinned).
+
+    Scale: the evolution itself is one KB-sized metadata commit; no
+    existing file is rewritten (old rows materialize NULLs at scan
+    time), which is what makes widening a 100 TB table free."""
+    tdir = tempfile.mkdtemp(prefix="cdc_txevo_")
+    txlog.commit(
+        tdir,
+        add=[],
+        expected_version=0,
+        metadata={
+            "schema": "id BIGINT, name STRING, description STRING, price DOUBLE"
+        },
+    )
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base).select(
+        F.col("id").cast("bigint"),
+        "name",
+        "description",
+        F.col("price").cast("double"),
+    )
+    txlog.commit(
+        tdir,
+        add=txlog.validated_write(state, tdir, stats_cols=["id"]),
+        expected_version=1,
+    )
+    widened = spark.range(900001, 900041).select(
+        F.col("id"),
+        F.concat(F.lit("evo-"), F.col("id").cast("string")).alias("name"),
+        F.lit("evolved append").alias("description"),
+        (F.col("id").cast("double") / F.lit(1000)).alias("price"),
+        F.lit("accessories").alias("category"),
+    )
+    txlog.commit(
+        tdir,
+        add=txlog.validated_write(widened, tdir, stats_cols=["id"], evolve=True),
+        expected_version=2,
+        metadata={"schema": _EVOLVED_SCHEMA},
+    )
     return txlog.read_version(spark, tdir)

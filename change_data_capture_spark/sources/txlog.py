@@ -63,6 +63,7 @@ list, with normal pushdown/pruning below the file-level skip.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -150,21 +151,45 @@ def commit(
         body = json.dumps(payload)
         path = _commit_path(table_dir, version)
         tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(body)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, path)  # atomic + exclusive, full content
-        except FileExistsError:
-            os.unlink(tmp)
-            if expected_version is not None:
-                raise ConcurrentCommitError(
-                    f"lost the commit race for version {version}"
-                ) from None
-            continue  # append: rebase on the new tip and retry
-        os.unlink(tmp)
-        return version
+            with open(tmp, "w") as f:
+                f.write(body)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)  # atomic + exclusive, full content
+                won = True
+            except OSError as e:
+                # NFS caveat: a retransmitted LINK request can report
+                # failure (EEXIST among others) for a link that actually
+                # succeeded. st_nlink == 2 on the private temp file is the
+                # classic lockfile probe — only OUR link target can be the
+                # second name, so 2 means we won regardless of the errno.
+                won = os.stat(tmp).st_nlink == 2
+                if not won:
+                    if isinstance(e, FileExistsError):
+                        if expected_version is not None:
+                            raise ConcurrentCommitError(
+                                f"lost the commit race for version {version}"
+                            ) from None
+                        continue  # append: rebase on the new tip and retry
+                    raise  # EPERM/EXDEV/...: surface, finally sweeps tmp
+            # Durability: fsync the LOG DIRECTORY so the new entry (not
+            # just its content) survives power loss — without this a
+            # crash can silently lose the newest commit after commit()
+            # already returned.
+            dfd = os.open(_log_dir(table_dir), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            return version
+        finally:
+            # every exit path (publish, lost race retry, serialization or
+            # link error) removes the private temp file; a hard crash can
+            # still strand one, which vacuum() sweeps from _txlog/
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
 
 
 def _checkpoint_path(table_dir: str, version: int) -> str:
@@ -293,13 +318,31 @@ def read_version(
     immune to commits that land after it — copy-on-write never deletes
     data files. A predicate that prunes EVERY file returns a typed empty
     DataFrame (schema lifted from one live file, zero rows read), not a
-    schema-inference error."""
-    files = snapshot_files(table_dir, version, predicate_range)
-    if not files and predicate_range is not None:
-        all_files = snapshot_files(table_dir, version)
+    schema-inference error.
+
+    **The log's declared schema governs the read** (Delta semantics: the
+    metaData action, not the parquet footers, is the table's schema).
+    When the snapshot's metadata declares one, the scan is planned with
+    it explicitly — after a schema evolution
+    (``validated_write(evolve=True)`` + a metadata commit) files written
+    under the OLD schema are read with the evolved shape, missing
+    columns null-filled per file, with no ``mergeSchema`` footer sweep
+    (which at 100 TB would read every footer; the log already knows the
+    answer). Time travel to a pre-evolution version reads with THAT
+    version's schema — each snapshot is self-consistent."""
+    _, _, meta, v = _resolve(table_dir, version)
+    files = snapshot_files(table_dir, v, predicate_range)
+    reader = spark.read
+    declared = (meta or {}).get("schema")
+    if declared is not None:
+        reader = reader.schema(declared)
+    if not files:
+        if declared is not None:
+            return spark.createDataFrame([], declared)
+        all_files = snapshot_files(table_dir, v)
         if all_files:
             return spark.read.parquet(all_files[0]).limit(0)
-    return spark.read.parquet(*files)
+    return reader.parquet(*files)
 
 
 def write_files(
@@ -457,6 +500,76 @@ def merge_into(
     return version, touched
 
 
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    stats_cols: list[str] | None = None,
+    prune_range: tuple[str, object, object] | None = None,
+) -> tuple[int, list[str]]:
+    """Delta-style ``DELETE FROM table WHERE predicate`` as a file-pruned
+    copy-on-write rewrite. Returns ``(committed_version, touched_files)``
+    — ``touched_files`` empty (and NO commit made) when nothing matched.
+
+    Same two-pass shape as :func:`merge_into`:
+
+    1. **Touched-file discovery.** ``prune_range=(col, lo, hi)`` first
+       skips files whose committed stats cannot contain a matching row
+       (driver-side, metadata only); one distributed scan of the
+       survivors then collects the DISTINCT ``input_file_name()`` set of
+       files holding at least one row where the predicate is TRUE —
+       per-FILE metadata, bounded by file count. Files with no match
+       keep their add actions (and stats) untouched.
+    2. **Rewrite.** Touched files are rewritten WITHOUT the matching
+       rows (SQL DELETE semantics: a row is removed only when the
+       predicate is TRUE — NULL keeps it, hence the ``coalesce`` guard)
+       and committed as add(new) + remove(touched) under an
+       ``expected_version`` guard, so a concurrent writer's effect is
+       never silently clobbered.
+
+    Scale: O(touched files), never O(table) — deleting one tenant/day
+    from a range-clustered 100 TB table rewrites only the files whose
+    stats envelope admits the predicate AND that actually contain a
+    matching row. The pre-images stay on disk for time travel until
+    :func:`vacuum` reclaims them."""
+    from pyspark.sql import functions as F
+
+    tip = latest_version(table_dir)
+    cand = snapshot_files(table_dir, tip, predicate_range=prune_range)
+    touched: list[str] = []
+    if cand:
+        hit = (
+            spark.read.parquet(*cand)
+            # file name projected AT THE SCAN — post-filter provenance
+            # IS the scan row's provenance, same discipline as merge_into
+            .select(
+                F.input_file_name().alias("f"),
+                F.coalesce(F.expr(predicate), F.lit(False)).alias("__del"),
+            )
+            .where(F.col("__del"))
+            .select("f")
+            .distinct()
+            .collect()
+        )
+        hit_paths = set()
+        for r in hit:
+            p = r["f"]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            hit_paths.add(os.path.abspath(p))
+        touched = [p for p in cand if os.path.abspath(p) in hit_paths]
+    if not touched:
+        return tip, []  # no matching row anywhere: metadata-only no-op
+    kept = spark.read.parquet(*touched).where(
+        ~F.coalesce(F.expr(predicate), F.lit(False))
+    )
+    new_actions = write_files(kept, table_dir, stats_cols=stats_cols)
+    version = commit(
+        table_dir, add=new_actions, remove=touched, expected_version=tip + 1
+    )
+    return version, touched
+
+
 def restore(table_dir: str, version: int) -> int:
     """Delta ``RESTORE TABLE ... VERSION AS OF``: rewind the TIP to an
     earlier version's snapshot — where time travel READS the past,
@@ -572,24 +685,45 @@ def count_rows(table_dir: str, version: int | None = None) -> int | None:
     return total
 
 
-def vacuum(table_dir: str, dry_run: bool = False) -> list[str]:
-    """Delete data files no longer referenced by the TIP snapshot and
-    return their paths (Delta ``VACUUM`` at retention 0 — production
-    retention keeps files younger than N hours so concurrent readers
-    of recent versions finish; the reclamation set is the same fold).
+def vacuum(
+    table_dir: str,
+    dry_run: bool = False,
+    retention_versions: int = 0,
+    _tmp_grace_seconds: float = 600.0,
+) -> list[str]:
+    """Delete data files referenced by NO retained snapshot and return
+    their paths (Delta ``VACUUM``). ``retention_versions=N`` keeps every
+    file live in ANY of the newest ``N+1`` snapshots
+    (``tip-N .. tip``) — the version-granular twin of Delta's
+    ``RETAIN n HOURS``, so concurrent readers of recent versions finish
+    even while vacuum runs (pinned in ``tests/test_txlog.py``); the
+    default ``0`` reclaims everything outside the tip.
 
     Copy-on-write rewrites (compaction, MERGE, deletes) strand their
     pre-images on disk for time travel; vacuum is the explicit,
-    destructive end of that window. After it runs, tip reads are
-    bit-identical (vacuum never touches a live file) and time travel to
-    versions whose files were reclaimed fails loudly at read time —
-    pinned in ``tests/test_txlog.py``. ``dry_run=True`` lists without
-    deleting. The walk is metadata-only: O(files on disk), no data read.
+    destructive end of that window. After it runs, reads of any RETAINED
+    version are bit-identical (vacuum never touches their files) and
+    time travel past the horizon fails loudly at read time — pinned in
+    ``tests/test_txlog.py``. ``dry_run=True`` lists without deleting.
+    The walk is metadata-only: O(files on disk) + O(retained actions),
+    no data read.
+
+    Also sweeps ``*.tmp`` files stranded in ``_txlog/`` by a writer that
+    crashed between publishing and unlinking its private temp file
+    (harmless to readers — the log listing only folds ``*.json`` — but
+    they accumulate). Temp files younger than ``_tmp_grace_seconds``
+    are kept: an IN-FLIGHT committer holds its tmp only for the
+    instants between fsync and ``os.link``, so the grace window makes
+    sweeping safe against live writers.
     """
-    live = {
-        os.path.abspath(_action_path(a))
-        for a in _resolve(table_dir, None)[0]
-    }
+    import time as _time
+
+    tip = latest_version(table_dir)
+    live: set[str] = set()
+    for v in range(max(0, tip - max(0, retention_versions)), tip + 1):
+        live.update(
+            os.path.abspath(_action_path(a)) for a in _resolve(table_dir, v)[0]
+        )
     victims = []
     for dirpath, _, files in os.walk(os.path.join(table_dir, "data")):
         for f in files:
@@ -598,9 +732,20 @@ def vacuum(table_dir: str, dry_run: bool = False) -> list[str]:
             p = os.path.abspath(os.path.join(dirpath, f))
             if p not in live:
                 victims.append(p)
+    ldir = _log_dir(table_dir)
+    now = _time.time()
+    if os.path.isdir(ldir):
+        for f in os.listdir(ldir):
+            if not f.endswith(".tmp"):
+                continue
+            p = os.path.abspath(os.path.join(ldir, f))
+            with contextlib.suppress(FileNotFoundError):
+                if now - os.stat(p).st_mtime > _tmp_grace_seconds:
+                    victims.append(p)
     if not dry_run:
         for p in victims:
-            os.remove(p)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(p)
     return sorted(victims)
 
 

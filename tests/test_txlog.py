@@ -501,3 +501,227 @@ def test_validated_write_enforces_schema_and_constraints(spark, tmp_path):
     # metadata rides checkpoints like every other fold component
     txlog.write_checkpoint(t)
     assert txlog.table_metadata(t)["constraints"] == {"id_positive": "id > 0"}
+
+
+def test_commit_tmp_hygiene_and_full_content_publish(spark, tmp_path):
+    """Round-7 commit hardening, pinned: (a) every published commit file
+    is complete JSON (never empty/partial — serialization happens before
+    any log-visible syscall); (b) the private .tmp is removed on the
+    success path AND on a serialization failure; (c) a crash-stranded
+    .tmp is swept by vacuum once it ages past the grace window, and the
+    log listing never folds it meanwhile."""
+    t = str(tmp_path / "t")
+    txlog.commit(t, add=txlog.write_files(_df(spark, [(1, "a")]), t))
+    ldir = os.path.join(t, "_txlog")
+    assert not [f for f in os.listdir(ldir) if f.endswith(".tmp")]
+    import json as _json
+
+    for f in os.listdir(ldir):
+        if f.endswith(".json") and not f.endswith(".checkpoint.json"):
+            c = _json.load(open(os.path.join(ldir, f)))  # complete JSON
+            assert c["version"] == int(f[: -len(".json")])
+    # a json-unserializable payload fails BEFORE touching the log, tmp-free
+    with pytest.raises(TypeError):
+        txlog.commit(t, add=[object()])
+    assert not [f for f in os.listdir(ldir) if f.endswith(".tmp")]
+    assert txlog.latest_version(t) == 0
+    # simulate a writer that crashed between os.link and os.unlink(tmp)
+    stranded = os.path.join(ldir, "00000000000000000001.json.deadbeef.tmp")
+    open(stranded, "w").write('{"partial":')
+    assert txlog.latest_version(t) == 0  # listing folds *.json only
+    assert txlog.vacuum(t, dry_run=True) == []  # inside grace: kept
+    old = os.stat(stranded).st_mtime - 3600
+    os.utime(stranded, (old, old))
+    swept = txlog.vacuum(t)
+    assert swept == [os.path.abspath(stranded)]
+    assert not os.path.exists(stranded)
+
+
+def test_commit_survives_nfs_style_link_eexist(spark, tmp_path, monkeypatch):
+    """NFS retransmit idiom: os.link succeeds server-side but the
+    client sees EEXIST on the retransmitted reply. The commit must probe
+    st_nlink == 2 on its private tmp and report the race as WON, not
+    lost (a false ConcurrentCommitError here would abort a commit whose
+    effects are already durable)."""
+    t = str(tmp_path / "t")
+    acts = txlog.write_files(_df(spark, [(1, "a")]), t)
+    real_link = os.link
+
+    def flaky_link(src, dst, **kw):
+        real_link(src, dst, **kw)
+        raise FileExistsError(17, "EEXIST after retransmit", dst)
+
+    monkeypatch.setattr(os, "link", flaky_link)
+    assert txlog.commit(t, add=acts, expected_version=0) == 0
+    monkeypatch.undo()
+    assert txlog.latest_version(t) == 0
+    assert [r.v for r in txlog.read_version(spark, t).collect()] == ["a"]
+
+
+def test_concurrent_writers_arbitrate_through_the_log(spark, tmp_path):
+    """Two-writer stress: racing blind appends interleave into a
+    contiguous, gap-free version sequence with every payload intact
+    (full-content publish under real contention), and racing GUARDED
+    rewrites resolve to exactly one winner + one ConcurrentCommitError."""
+    import json as _json
+    import threading
+
+    t = str(tmp_path / "t")
+    per_writer = 12
+    # data files pre-written serially: the race under test is commit()'s
+    # filesystem arbitration, not Spark's thread-safety
+    acts = {
+        (w, i): txlog.write_files(_df(spark, [(w * 100 + i, f"w{w}b{i}")]), t)
+        for w in (0, 1)
+        for i in range(per_writer)
+    }
+    errs = []
+
+    def run(w):
+        try:
+            for i in range(per_writer):
+                txlog.commit(t, add=acts[(w, i)])
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    th = [threading.Thread(target=run, args=(w,)) for w in (0, 1)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    tip = txlog.latest_version(t)
+    assert tip == 2 * per_writer - 1  # contiguous, no version lost
+    ldir = os.path.join(t, "_txlog")
+    for v in range(tip + 1):
+        c = _json.load(open(os.path.join(ldir, f"{v:020d}.json")))
+        assert c["version"] == v and len(c["add"]) >= 1
+    assert txlog.read_version(spark, t).count() == 2 * per_writer
+    assert not [f for f in os.listdir(ldir) if f.endswith(".tmp")]
+
+    # guarded rewrites: both computed against the same tip — one winner
+    full = txlog.snapshot_files(t)
+    ra = txlog.write_files(_df(spark, [(1, "rw_a")]), t)
+    rb = txlog.write_files(_df(spark, [(1, "rw_b")]), t)
+    results = {}
+
+    def rewrite(name, add):
+        try:
+            results[name] = txlog.commit(
+                t, add=add, remove=full, expected_version=tip + 1
+            )
+        except txlog.ConcurrentCommitError:
+            results[name] = "lost"
+
+    th = [
+        threading.Thread(target=rewrite, args=("a", ra)),
+        threading.Thread(target=rewrite, args=("b", rb)),
+    ]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert sorted(results.values(), key=str) == [tip + 1, "lost"]
+    assert txlog.read_version(spark, t).count() == 1
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """Predicate DELETE: files outside the predicate envelope keep
+    their add actions byte-untouched; a NULL predicate result KEEPS the
+    row (SQL DELETE semantics); a no-match delete makes NO commit."""
+    t = str(tmp_path / "t")
+    adds = []
+    for lo in (0, 100, 200):  # three files with disjoint id ranges
+        adds += txlog.write_files(
+            _df(spark, [(lo + j, f"r{lo + j}") for j in range(5)]).repartition(1),
+            t,
+            stats_cols=["id"],
+        )
+    assert len(adds) == 3
+    txlog.commit(t, add=adds, expected_version=0)
+    before = {a["path"]: a for a in adds}
+
+    v, touched = txlog.delete_where(
+        spark, t, "id BETWEEN 101 AND 103", stats_cols=["id"],
+        prune_range=("id", 101, 103),
+    )
+    assert v == 1 and len(touched) == 1
+    assert touched[0] == next(p for p in before
+                              if before[p]["stats"]["id"][0] == 100)
+    after = {a["path"] if isinstance(a, dict) else a
+             for a in (txlog.snapshot_files(t))}
+    # the two untouched files are still served by their ORIGINAL paths
+    untouched = [p for p in before if p != touched[0]]
+    assert set(untouched) <= set(after)
+    got = sorted(r.id for r in txlog.read_version(spark, t).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 104, 200, 201, 202, 203, 204]
+
+    # NULL predicate keeps the row
+    t2 = str(tmp_path / "t2")
+    txlog.commit(
+        t2,
+        add=txlog.write_files(_df(spark, [(1, "x"), (None, "nullkey")]), t2),
+        expected_version=0,
+    )
+    txlog.delete_where(spark, t2, "id > 0")
+    assert sorted(r.v for r in txlog.read_version(spark, t2).collect()) == [
+        "nullkey"
+    ]
+
+    # no-match: metadata-only no-op, NO commit
+    tip = txlog.latest_version(t)
+    v2, touched2 = txlog.delete_where(spark, t, "id > 99999")
+    assert (v2, touched2) == (tip, [])
+    assert txlog.latest_version(t) == tip
+
+
+def test_vacuum_retention_keeps_recent_versions(spark, tmp_path):
+    """retention_versions=N keeps every file live in any of the newest
+    N+1 snapshots: a reader pinned to tip-1 finishes AFTER the vacuum,
+    older pre-images are reclaimed, and retention-0 stays the subset
+    case that closes the window."""
+    t = str(tmp_path / "t")
+    f0 = txlog.write_files(_df(spark, [(1, "v0")]), t)
+    txlog.commit(t, add=f0, expected_version=0)
+    f1 = txlog.write_files(_df(spark, [(1, "v1")]), t)
+    txlog.commit(t, add=f1, remove=f0, expected_version=1)
+    f2 = txlog.write_files(_df(spark, [(1, "v2")]), t)
+    txlog.commit(t, add=f2, remove=f1, expected_version=2)
+
+    reclaimed = txlog.vacuum(t, retention_versions=1)
+    assert reclaimed == [os.path.abspath(p) for p in f0]  # v0 out, v1 kept
+    # the retained historical snapshot still reads AFTER the vacuum
+    assert [r.v for r in txlog.read_version(spark, t, 1).collect()] == ["v1"]
+    assert [r.v for r in txlog.read_version(spark, t, 2).collect()] == ["v2"]
+    with pytest.raises(Exception):  # past the horizon: loud, not silent
+        txlog.read_version(spark, t, 0).collect()
+    # closing the window: retention-0 reclaims v1's stranded files
+    assert txlog.vacuum(t) == [os.path.abspath(p) for p in f1]
+    assert [r.v for r in txlog.read_version(spark, t).collect()] == ["v2"]
+
+
+def test_schema_evolution_read_is_log_governed(spark, tmp_path):
+    """The log's declared schema governs every snapshot read: after an
+    evolution commit, OLD files are planned with the evolved shape and
+    null-fill the new column (no mergeSchema footer sweep); time travel
+    to a pre-evolution version reads with THAT version's schema; and an
+    old-shape write after evolution is refused without evolve=True."""
+    t = str(tmp_path / "t")
+    txlog.commit(t, add=[], expected_version=0,
+                 metadata={"schema": "id BIGINT, v STRING"})
+    old = spark.createDataFrame([(1, "old")], "id long, v string")
+    txlog.commit(t, add=txlog.validated_write(old, t), expected_version=1)
+    new = spark.createDataFrame(
+        [(2, "new", "cat")], "id long, v string, category string"
+    )
+    txlog.commit(
+        t,
+        add=txlog.validated_write(new, t, evolve=True),
+        expected_version=2,
+        metadata={"schema": "id BIGINT, v STRING, category STRING"},
+    )
+    tip = txlog.read_version(spark, t)
+    assert tip.columns == ["id", "v", "category"]
+    rows = {r.id: r.category for r in tip.collect()}
+    assert rows == {1: None, 2: "cat"}  # old file null-filled at scan
+    # pre-evolution time travel keeps the original shape
+    assert txlog.read_version(spark, t, 1).columns == ["id", "v"]
+    # the old shape is now a refused drift
+    with pytest.raises(txlog.SchemaMismatch):
+        txlog.validated_write(old, t)
