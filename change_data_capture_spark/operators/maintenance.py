@@ -138,6 +138,7 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int,
     path: str,
+    mode: str = "overwrite",
 ) -> None:
     """Persist a relation hash-bucketed (and sorted) on its join key.
 
@@ -146,9 +147,16 @@ def write_bucketed(
     test_bucketed_join_is_shuffle_free) — at 1000 executors that's the
     difference between an all-to-all of the fact table per join and a local
     merge per bucket. Spark's bucket layout is hash(key) % n per-file, read
-    back through the session catalog."""
+    back through the session catalog.
+
+    ``mode="append"`` adds files into the SAME bucket layout (Spark
+    validates the spec against the existing table): each append lands one
+    more file per non-empty bucket, and bucketed reads keep reporting the
+    hash output partitioning — the incremental-store shape used by the
+    streaming dedup gates (only per-file sort order is lost with multiple
+    files per bucket, which hash joins never needed)."""
     (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
         .option("path", path)
