@@ -66,6 +66,15 @@ def degenerate_emb_dir(tmp_path_factory):
     return str(d)
 
 
+# Engine-judgment booleans whose threshold encodes a PRODUCTION-corpus
+# property (IVF recall@10 >= 0.5 needs enough vectors per inverted list);
+# on this 13-vector pathological corpus the floor is genuinely unmeetable
+# (probing 4 of 8 lists over 12 candidates), so parity here checks the
+# exact-side columns and skips the judgment — which stays asserted on the
+# real fixture by test_ivf_recall_vs_exact AND the sf0.01 driver gate.
+_CORPUS_DEPENDENT_JUDGMENTS = {"similarity_ivf_topk": {"avg_recall_ok"}}
+
+
 def _compare_emb_only(name, spark, sf_dir):
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     got = queries[name](spark, sf_dir).toPandas()
@@ -82,6 +91,9 @@ def _compare_emb_only(name, spark, sf_dir):
         f"{name}: rows {got.shape[0]} != {want.shape[0]}"
     )
     assert sorted(got.columns) == sorted(want.columns)
+    skip = _CORPUS_DEPENDENT_JUDGMENTS.get(name, set())
+    got = got.drop(columns=list(skip))
+    want = want.drop(columns=list(skip))
     g, w = oracle_mod._normalize(got), oracle_mod._normalize(want)
     for col in g.columns:
         gc, wc = g[col], w[col]

@@ -94,7 +94,11 @@ def test_minhash_recall_on_near_dups(spark, sf_dir):
 def test_lsh_bucket_recall_on_scaled_copies(spark, sf_dir):
     """Hyperplane-LSH buckets must co-locate every ×2-scaled copy with its
     original (identical direction → identical sign code)."""
-    df = entrymod.queries()["similarity_lsh_buckets"](spark, sf_dir)
+    from change_data_capture_spark.operators.similarity_queries import (
+        _lsh_bucket_pairs,
+    )
+
+    df = _lsh_bucket_pairs(spark, sf_dir)
     pairs = {(r.vec_a, r.vec_b) for r in df.collect()}
     # constructed positives: (vec_id, vec_id+100000) for vec_id % 10 == 0
     from change_data_capture_spark.sources.tables import load_table
@@ -115,8 +119,12 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     exact = {}
     for r in q["similarity_topk_cosine"](spark, sf_dir).collect():
         exact.setdefault(r.query_id, set()).add(r.vec_id)
+    from change_data_capture_spark.operators.similarity_queries import (
+        _ivf_topk_neighbors,
+    )
+
     ivf = {}
-    for r in q["similarity_ivf_topk"](spark, sf_dir).collect():
+    for r in _ivf_topk_neighbors(spark, sf_dir).collect():
         ivf.setdefault(r.query_id, set()).add(r.vec_id)
     assert set(ivf) == set(exact)
     recalls = [len(ivf[k] & exact[k]) / len(exact[k]) for k in exact]
