@@ -119,6 +119,12 @@ HEADLINE = [
     "txlog_restore",
     "txlog_metadata_count",
     "txlog_constrained_write",
+    # round-8 additions: predicate DELETE, retention vacuum, log-governed
+    # schema evolution, and the streaming-MERGE-INTO-txlog composite
+    "txlog_delete_where",
+    "txlog_vacuum_retention",
+    "txlog_schema_evolution_read",
+    "streaming_scd2_txlog",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",
