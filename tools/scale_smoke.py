@@ -71,6 +71,13 @@ QUERIES = [
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",
+    # round-6/8 additions with recorded 100× points (BENCH.md)
+    "streaming_dedup_simhash_incremental",
+    "txlog_merge_upsert",
+    "txlog_delete_where",
+    "txlog_vacuum_retention",
+    "txlog_schema_evolution_read",
+    "streaming_scd2_txlog",
 ]
 
 
