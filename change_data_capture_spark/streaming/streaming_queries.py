@@ -1039,10 +1039,13 @@ def streaming_python_datasource_drain(spark: SparkSession, sf_dir: str) -> DataF
     return spark.table(sink)
 
 
-#: bucket count of the persisted band stores (16 suffices for the local
-#: gate; a 100 TB deployment sizes this like any bucketed fact table —
-#: thousands — and the per-batch cost below is INDEPENDENT of the choice)
-_BAND_STORE_BUCKETS = 16
+#: bucket count of the persisted band stores. The bucket count CAPS the
+#: store-scan parallelism of every later join (one task per bucket), so it
+#: is sized to the harness's cores — 16 measured a 2× slowdown at 300×
+#: purely from idle cores. A 100 TB deployment sizes this like any
+#: bucketed fact table (thousands); the per-batch NETWORK cost is
+#: independent of the choice.
+_BAND_STORE_BUCKETS = 32
 
 
 def _banded_store_join(
