@@ -33,47 +33,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks this dict in order and caps the run at
 # 50 rows per round. Order therefore encodes check priority. Cumulative
-# record through round 7: 212/212 registered queries have a driver row, 0
-# failures (210 hash-matched, 2 rows-only ANN). Round 7 failed to rotate
-# this list (r6 ∩ r7 overlap was 50/50), so round 8 rotates hard: round-8
-# additions lead (never checked), then queries whose CODE or oracle
-# CONTRACT changed this round (bucketed band stores, compaction
-# repartition, retention vacuum, the two ANN queries gaining oracles),
-# then the backlog strictly oldest-first — 47 names last checked in
-# ROUND 1 (flagship scd2_products among them) + 1 from round 2, then the
-# r3 / r4 / r5 sets for rounds 9-10. The 50-row cap lands mid-way through
-# the r1 section; the overflow (~8 r1/r2 names + all of r3-r5) is the
-# explicit round-9 carryover. Names absent from this tuple (the 50
-# re-checked green in round 7) rank last in registration order.
+# record through round 8: 216/216 registered queries have a driver row,
+# all hash-matched, 0 failures. Round-9 rotation (the plan the r8 verdict
+# encoded): the r9 addition leads (never checked), then the queries whose
+# CODE changed this round (the two streaming dedup gates gained a
+# band_store_buckets parameter; txlog delete/vacuum/commit internals were
+# touched by the ADVICE fixes), then the 8 r1/r2 stragglers the r8
+# 50-row window could not reach, then the 45-name r3 set. The cap lands
+# ~6 names into the r3 tail; the r4 (22) + r5 (47) sets remain the
+# documented round-10 rotation. Names absent from this tuple (latest row
+# r8) rank last in registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # --- round-8 additions (never driver-checked) ---
-    "txlog_delete_where",
-    "txlog_vacuum_retention",
-    "txlog_schema_evolution_read",
-    "streaming_scd2_txlog",
-    # --- code / oracle-contract changed in round 8 -> must re-verify ---
-    "streaming_dedup_minhash_incremental", "streaming_dedup_simhash_incremental", "txlog_compaction",
-    "txlog_vacuum", "similarity_ivf_topk", "similarity_lsh_buckets",
-    # --- last driver-checked in ROUND 1 (47 names, oldest backlog) ---
-    "scd2_products", "scd2_products_sql", "scd2_users",
-    "cdc_change_log", "dim_current_products", "cdc_dedup_op_counts",
-    "q5_region_revenue", "q7_nation_volume", "q14_promo_revenue",
-    "q18_large_orders", "join_left_semi", "join_left_anti",
-    "q4_late_shipments", "correlated_above_avg_orders", "churned_customers",
-    "topk_orders_per_customer", "rollup_nation_segment", "setops_nation_coverage",
-    "window_running_total", "window_lead_lag_rank", "scalar_string_funcs",
-    "scalar_datetime_funcs", "predicates_conditionals", "scalar_math_funcs",
-    "q12_priority_shipmode", "q19_disjunctive_join", "q21_waiting_supplier",
-    "q22_global_sales_opportunity", "q2_min_cost_per_part", "events_tumbling_hourly",
-    "events_sessionization", "asof_join_last_order", "range_join_ship_window",
-    "map_transform_funcs", "json_map_funcs", "array_vector_funcs",
-    "events_hopping_windows", "cube_returnflag_status", "pivot_daily_event_types",
-    "unpivot_segment_balances", "stats_aggregates", "string_agg_nations",
+    # --- round-9 addition (never driver-checked) ---
+    "txlog_update_where",
+    # --- code changed in round 9 -> re-verify ---
+    "streaming_dedup_minhash_incremental", "streaming_dedup_simhash_incremental",
+    "txlog_delete_where", "txlog_vacuum_retention", "streaming_scd2_txlog",
+    # --- the 8 r1/r2 stragglers the r8 window missed ---
+    "stats_aggregates", "string_agg_nations",
     "setops_all_variants", "join_full_outer", "window_range_frame",
     "posexplode_embedding_dims", "count_distinct_exact",
-    # --- last checked r2 ---
     "streaming_scd2_incremental",
-    # --- last checked r3 (round-9 carryover begins here) ---
+    # --- last checked r3 (the documented r9 backlog) ---
     "streaming_stream_stream_join", "streaming_anomaly_zscore", "pagerank_customer_supplier",
     "kmeans_fixed_point", "events_variant_props", "entity_resolution_blocked",
     "incremental_agg_maintenance", "sequence_packing_bins", "contrastive_negative_pairs",

@@ -125,6 +125,8 @@ HEADLINE = [
     "txlog_vacuum_retention",
     "txlog_schema_evolution_read",
     "streaming_scd2_txlog",
+    # round-9 addition: predicate UPDATE (completes the DML surface)
+    "txlog_update_where",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

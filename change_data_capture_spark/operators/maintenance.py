@@ -165,6 +165,74 @@ def write_bucketed(
     )
 
 
+def compact_bucketed(
+    spark: SparkSession,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str,
+) -> int:
+    """OPTIMIZE-style bin-pack of a bucketed table written/appended by
+    :func:`write_bucketed`: merge each bucket's accumulated per-append
+    files into ONE file per non-empty bucket, preserving the bucket
+    layout — after compaction the table still joins with zero
+    store-side Exchange (plan-pinned in ``tests/test_plans.py``).
+    Returns the compacted file count.
+
+    Shape: the catalog scan of a bucketed table yields exactly ONE
+    partition per bucket (all of a bucket's files coalesced), and its
+    hash output partitioning already satisfies a same-spec bucketed
+    write's required distribution — so the rewrite is scan → in-
+    partition Sort (restoring the per-file ``sortBy`` order that
+    multi-file appends lose) → write, with NO Exchange anywhere: each
+    task rewrites its own bucket locally. At 1000 executors that is an
+    embarrassingly parallel per-bucket rewrite with zero network, the
+    same property Delta's OPTIMIZE has on a clustered table.
+
+    Safety: same two-rename swap as :func:`compact_parquet` — the
+    compacted files are written under a throwaway table name to a
+    sibling directory, the catalog entry of the REAL table is never
+    dropped, and a crash leaves a complete copy at ``path``,
+    ``path__old``, or ``path__compacting``."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    tmp_tbl = f"{table}__compacting_{_uuid.uuid4().hex[:8]}"
+    tmp, old = f"{path}__compacting", f"{path}__old"
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    # a plain scan→write has no join/agg to justify the bucket layout, so
+    # autoBucketedScan silently falls back to file-split reads — many
+    # tasks per bucket, each writing its own per-bucket file, i.e. the
+    # opposite of a bin-pack. Pin the bucketed scan ON for the rewrite so
+    # the plan is one-partition-per-bucket → local Sort → one file per
+    # bucket, zero Exchange.
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto_key, "true")
+    try:
+        spark.conf.set(auto_key, "false")
+        write_bucketed(
+            spark.table(table), tmp_tbl, bucket_cols, num_buckets, tmp
+        )
+    finally:
+        spark.conf.set(auto_key, prev)
+        # the throwaway name is EXTERNAL (explicit path): dropping it
+        # unregisters the catalog entry, the files stay for the swap
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    spark.catalog.refreshTable(table)
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def zorder_value(cols: list[Column], mins: list[Column], maxs: list[Column],
                  bits: int = 16) -> Column:
     """Morton (Z-order) key: each column min-max normalized onto a

@@ -602,6 +602,70 @@ txlog_delete_where.__doc__ = txlog_delete_where.__doc__.format(
 )
 
 
+_UPDATE_LO, _UPDATE_HI = 100, 299
+
+_UPDATE_WHERE_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+{_STATE_CTE.format(m=4)}
+SELECT id,
+       CASE WHEN id BETWEEN {_UPDATE_LO} AND {_UPDATE_HI}
+            THEN upper(name) ELSE name END AS name,
+       description,
+       CASE WHEN id BETWEEN {_UPDATE_LO} AND {_UPDATE_HI}
+            THEN price * CAST(1.10 AS DOUBLE) ELSE price END AS price
+FROM state4
+"""
+
+
+@query("txlog_update_where", oracle=_UPDATE_WHERE_ORACLE)
+def txlog_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate ``UPDATE table SET price = price * 1.10, name =
+    upper(name) WHERE id BETWEEN {lo} AND {hi}``
+    (:func:`txlog.update_where`) — the repricing/repair primitive that
+    completes the Delta DML surface (MERGE r6, DELETE r8, UPDATE r9).
+    The products tip state is committed range-clustered with per-file
+    id stats; the update then (a) prunes non-overlapping files
+    DRIVER-SIDE from log metadata, (b) finds the files actually
+    CONTAINING a matching row with one file-bounded
+    distinct-``input_file_name`` scan, and (c) rewrites only those
+    files with the SET expressions applied to matching rows — every SET
+    sees the PRE-update row image (``SET a=b, b=a`` swaps), a NULL
+    predicate leaves the row unchanged, a no-match update makes no
+    commit — committing add+remove under an ``expected_version`` guard.
+    Files outside the predicate envelope keep their add actions (and
+    stats) byte-untouched; all pinned in ``tests/test_txlog.py``.
+
+    Scale: O(touched files), never O(table) — repricing one key range
+    of a range-clustered 100 TB table rewrites the handful of files
+    whose stats admit the range; everything else is metadata. The
+    pre-images stay time-travelable until vacuum."""
+    tdir = tempfile.mkdtemp(prefix="cdc_txupd_")
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base).repartitionByRange(8, "id")
+    txlog.commit(
+        tdir,
+        add=txlog.write_files(state, tdir, stats_cols=["id"]),
+        expected_version=0,
+    )
+    txlog.update_where(
+        spark,
+        tdir,
+        f"id BETWEEN {_UPDATE_LO} AND {_UPDATE_HI}",
+        {
+            "price": "price * CAST(1.10 AS DOUBLE)",
+            "name": "upper(name)",
+        },
+        stats_cols=["id"],
+        prune_range=("id", _UPDATE_LO, _UPDATE_HI),
+    )
+    return txlog.read_version(spark, tdir)
+
+
+txlog_update_where.__doc__ = txlog_update_where.__doc__.format(
+    lo=_UPDATE_LO, hi=_UPDATE_HI
+)
+
+
 @query("txlog_vacuum_retention", oracle=_TIME_TRAVEL_ORACLE)
 def txlog_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``VACUUM`` with a RETENTION HORIZON (the production form of

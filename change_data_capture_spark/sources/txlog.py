@@ -165,7 +165,14 @@ def commit(
                 # succeeded. st_nlink == 2 on the private temp file is the
                 # classic lockfile probe — only OUR link target can be the
                 # second name, so 2 means we won regardless of the errno.
-                won = os.stat(tmp).st_nlink == 2
+                # A vanished tmp (e.g. a concurrent vacuum swept it after a
+                # stall past _tmp_grace_seconds) means the link cannot have
+                # landed — treat as lost and surface the ORIGINAL error
+                # rather than a confusing secondary FileNotFoundError.
+                try:
+                    won = os.stat(tmp).st_nlink == 2
+                except FileNotFoundError:
+                    won = False
                 if not won:
                     if isinstance(e, FileExistsError):
                         if expected_version is not None:
@@ -570,6 +577,154 @@ def delete_where(
     return version, touched
 
 
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    stats_cols: list[str] | None = None,
+    prune_range: tuple[str, object, object] | None = None,
+) -> tuple[int, list[str]]:
+    """Delta-style ``UPDATE table SET col = expr, ... WHERE predicate``
+    as a file-pruned copy-on-write rewrite. Returns
+    ``(committed_version, touched_files)`` — ``touched_files`` empty
+    (and NO commit made) when nothing matched.
+
+    Same two-pass shape as :func:`delete_where`:
+
+    1. **Touched-file discovery.** ``prune_range`` skips files whose
+       committed stats cannot contain a matching row (driver-side,
+       metadata only); one distributed scan of the survivors collects
+       the DISTINCT ``input_file_name()`` set of files holding at least
+       one row where the predicate is TRUE — per-FILE metadata, bounded
+       by file count.
+    2. **Rewrite.** Touched files are rewritten with the SET
+       expressions applied to matching rows ONLY (SQL UPDATE
+       semantics: a NULL predicate leaves the row unchanged, hence the
+       ``coalesce`` guard; every SET expression is evaluated against
+       the PRE-update row image, so ``SET a = b, b = a`` swaps — one
+       side-indicator select, not sequential assignment) and committed
+       as add(new) + remove(touched) under an ``expected_version``
+       guard. Untouched files keep their add actions (and stats)
+       byte-unchanged.
+
+    ``set_exprs`` maps existing column names to SQL expressions over
+    the table's columns; an unknown column raises (UPDATE never adds
+    columns — that is schema evolution's job).
+
+    Scale: O(touched files), never O(table) — repricing one key range
+    of a range-clustered 100 TB table rewrites only the files whose
+    stats envelope admits the predicate AND that actually contain a
+    matching row. Pre-images stay time-travelable until
+    :func:`vacuum`."""
+    from pyspark.sql import functions as F
+
+    tip = latest_version(table_dir)
+    cand = snapshot_files(table_dir, tip, predicate_range=prune_range)
+    cols = read_version(spark, table_dir, tip).columns
+    unknown = set(set_exprs) - set(cols)
+    if unknown:
+        raise ValueError(
+            f"UPDATE SET references non-existent column(s) {sorted(unknown)}; "
+            f"table columns are {cols}"
+        )
+    touched: list[str] = []
+    if cand:
+        hit = (
+            spark.read.parquet(*cand)
+            # file name projected AT THE SCAN — post-filter provenance
+            # IS the scan row's provenance, same discipline as merge_into
+            .select(
+                F.input_file_name().alias("f"),
+                F.coalesce(F.expr(predicate), F.lit(False)).alias("__upd"),
+            )
+            .where(F.col("__upd"))
+            .select("f")
+            .distinct()
+            .collect()
+        )
+        hit_paths = set()
+        for r in hit:
+            p = r["f"]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            hit_paths.add(os.path.abspath(p))
+        touched = [p for p in cand if os.path.abspath(p) in hit_paths]
+    if not touched:
+        return tip, []  # no matching row anywhere: metadata-only no-op
+    cond = F.coalesce(F.expr(predicate), F.lit(False))
+    tgt = spark.read.parquet(*touched)
+    # one select over the old row image: all SET expressions (and the
+    # predicate) see pre-update values, and each output keeps the
+    # column's original type (UPDATE never changes the schema)
+    updated = tgt.select(
+        *[
+            F.when(cond, F.expr(set_exprs[c]).cast(tgt.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in cols
+        ]
+    )
+    new_actions = write_files(updated, table_dir, stats_cols=stats_cols)
+    version = commit(
+        table_dir, add=new_actions, remove=touched, expected_version=tip + 1
+    )
+    return version, touched
+
+
+def rewrite_with_retry(
+    table_dir: str,
+    rewrite,
+    max_attempts: int = 5,
+    backoff_seconds: float = 0.05,
+) -> int:
+    """Run a guarded copy-on-write rewrite under optimistic concurrency
+    (Delta's commit loop): ``rewrite(tip)`` computes the rewrite AGAINST
+    the given tip and returns ``(add, remove)`` (optionally
+    ``(add, remove, txn)``); this helper commits it as ``tip + 1``. When
+    a concurrent writer lands first, the attempt's remove-set was
+    computed against a stale snapshot, so the helper backs off
+    (exponential, bounded, jittered — two crash-looping writers must not
+    stay phase-locked) and RE-RUNS ``rewrite`` against the new tip —
+    re-deriving touched files from current state is the only generally
+    safe response to a lost rewrite race (the competing commit may have
+    rewritten the very files this attempt planned to remove). After
+    ``max_attempts`` lost races the last :class:`ConcurrentCommitError`
+    propagates: under that much contention the caller's scheduling — one
+    writer per table partition, a queue — is the fix, not more retries.
+
+    Blind appends don't need this: :func:`commit` without
+    ``expected_version`` already rebases add-only commits internally.
+    Completes the concurrency story pinned by
+    ``test_concurrent_writers_arbitrate_through_the_log`` (arbitration)
+    with liveness (every writer eventually lands).
+    """
+    import random
+    import time as _time
+
+    last: ConcurrentCommitError | None = None
+    for attempt in range(max_attempts):
+        tip = latest_version(table_dir)
+        out = rewrite(tip)
+        add, remove, txn = (*out, None) if len(out) == 2 else out
+        try:
+            return commit(
+                table_dir,
+                add=add,
+                remove=list(remove or ()),
+                txn=txn,
+                expected_version=tip + 1,
+            )
+        except ConcurrentCommitError as e:
+            last = e
+            _time.sleep(
+                backoff_seconds * (2**attempt) * (0.5 + random.random())
+            )
+    raise last  # type: ignore[misc]
+
+
 def restore(table_dir: str, version: int) -> int:
     """Delta ``RESTORE TABLE ... VERSION AS OF``: rewind the TIP to an
     earlier version's snapshot — where time travel READS the past,
@@ -714,7 +869,9 @@ def vacuum(
     they accumulate). Temp files younger than ``_tmp_grace_seconds``
     are kept: an IN-FLIGHT committer holds its tmp only for the
     instants between fsync and ``os.link``, so the grace window makes
-    sweeping safe against live writers.
+    sweeping safe against live writers. Swept tmp files are NOT part of
+    the return value — the returned list means reclaimed DATA files
+    only, so reclaim accounting stays byte-meaningful.
     """
     import time as _time
 
@@ -734,6 +891,7 @@ def vacuum(
                 victims.append(p)
     ldir = _log_dir(table_dir)
     now = _time.time()
+    tmp_sweeps: list[str] = []
     if os.path.isdir(ldir):
         for f in os.listdir(ldir):
             if not f.endswith(".tmp"):
@@ -741,9 +899,9 @@ def vacuum(
             p = os.path.abspath(os.path.join(ldir, f))
             with contextlib.suppress(FileNotFoundError):
                 if now - os.stat(p).st_mtime > _tmp_grace_seconds:
-                    victims.append(p)
+                    tmp_sweeps.append(p)
     if not dry_run:
-        for p in victims:
+        for p in victims + tmp_sweeps:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(p)
     return sorted(victims)

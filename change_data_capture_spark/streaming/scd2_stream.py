@@ -24,6 +24,18 @@ Design (foreachBatch + bucketed upsert, the pattern SURVEY.md §4 flags):
 Correctness contract (tested + oracle-checked): after any partition of the
 event log into micro-batches, final state equals the batch
 ``operators.scd2.scd2`` output on the full log.
+
+Transactionality note — hot-path users should prefer the transactional
+composite: ``streaming_queries.streaming_scd2_txlog`` runs this same
+per-key re-chain as a MERGE INTO a txlog-governed table, giving atomic
+commits, txn markers (exactly-once under full checkpoint replay), time
+travel, and stats-pruned touched-file discovery. This module's dynamic
+partition swap is NOT transactional: a crash between deleting and
+rewriting a bucket's files leaves a torn window that concurrent readers
+can observe. It remains the right tool for single-writer,
+no-concurrent-reader backfills (cheaper: no log, no copy-on-write
+pre-images), but anything serving reads while writing belongs on the
+txlog composite.
 """
 
 from __future__ import annotations

@@ -1117,7 +1117,11 @@ def _verify_candidate_pairs(union_store: DataFrame, cand: DataFrame) -> DataFram
 
 
 @query("streaming_dedup_minhash_incremental", oracle=_MINHASH_INCR_ORACLE)
-def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup_minhash_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    band_store_buckets: int = _BAND_STORE_BUCKETS,
+) -> DataFrame:
     """STREAMING incremental MinHash-LSH dedup — the batch
     ``dedup_minhash_incremental`` upgraded to the shape it models: a REAL
     Structured Streaming query drains the delta corpus in micro-batches,
@@ -1193,7 +1197,7 @@ def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
         minhash_band_rel(spark.read.parquet(store)),
         band_tbl,
         ["band", "sig"],
-        _BAND_STORE_BUCKETS,
+        band_store_buckets,
         f"{ws}/band_store",
     )
 
@@ -1239,7 +1243,7 @@ def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
             minhash_band_rel(batch_store),
             band_tbl,
             ["band", "sig"],
-            _BAND_STORE_BUCKETS,
+            band_store_buckets,
             f"{ws}/band_store",
             mode="append",
         )
@@ -1268,22 +1272,30 @@ def streaming_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
         batch_store.write.mode("append").parquet(store)
         batch_store.unpersist()
 
-    q = (
-        spark.readStream.schema(delta.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(slices)
-        .writeStream.foreachBatch(_process)
-        .option("checkpointLocation", f"{ws}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")  # catalog hygiene
+    try:
+        q = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(slices)
+            .writeStream.foreachBatch(_process)
+            .option("checkpointLocation", f"{ws}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # catalog hygiene on EVERY exit — a failed drain must not leak the
+        # uuid-named registration into the shared session catalog
+        spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")
     return spark.read.parquet(pairs_dir)
 
 
 @query("streaming_dedup_simhash_incremental", oracle=_SIMHASH_INCR_ORACLE)
-def streaming_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup_simhash_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    band_store_buckets: int = _BAND_STORE_BUCKETS,
+) -> DataFrame:
     """STREAMING incremental SimHash dedup — the Manku-style Hamming-ball
     pairing (``simhash_hamming_neardup``) on the same persisted-store
     skeleton as ``streaming_dedup_minhash_incremental``: a Structured
@@ -1342,7 +1354,7 @@ def streaming_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
         ),
         band_tbl,
         ["band", "bv"],
-        _BAND_STORE_BUCKETS,
+        band_store_buckets,
         f"{ws}/band_store",
     )
 
@@ -1394,7 +1406,7 @@ def streaming_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
             batch_bands,
             band_tbl,
             ["band", "bv"],
-            _BAND_STORE_BUCKETS,
+            band_store_buckets,
             f"{ws}/band_store",
             mode="append",
         )
@@ -1420,17 +1432,21 @@ def streaming_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> Dat
         )
         batch_bands.unpersist()
 
-    q = (
-        spark.readStream.schema(delta.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(slices)
-        .writeStream.foreachBatch(_process)
-        .option("checkpointLocation", f"{ws}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")  # catalog hygiene
+    try:
+        q = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(slices)
+            .writeStream.foreachBatch(_process)
+            .option("checkpointLocation", f"{ws}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # catalog hygiene on EVERY exit — a failed drain must not leak the
+        # uuid-named registration into the shared session catalog
+        spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")
     return spark.read.parquet(pairs_dir)
 
 
@@ -1768,7 +1784,8 @@ def streaming_scd2_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full at-least-once replay: fresh checkpoint re-delivers every batch;
     # the txn markers must no-op all of them (no new commit, no new data)
     _drain("ckpt_replay")
-    assert txlog.latest_version(tdir) == pre_replay_tip, (
-        "txn markers failed to absorb the replay"
-    )
+    # explicit raise, not assert: this IS the exactly-once guarantee check
+    # and must survive `python -O`
+    if txlog.latest_version(tdir) != pre_replay_tip:
+        raise RuntimeError("txn markers failed to absorb the replay")
     return _flagship_shape(txlog.read_version(spark, tdir))

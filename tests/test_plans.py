@@ -366,12 +366,43 @@ def test_banded_store_join_has_no_store_side_exchange(spark, tmp_path):
     assert "ShuffledHashJoin" in s.text and "SortMergeJoin" not in s.text
     assert "Bucketed: true" in s.text, "store must scan in bucket layout"
     # correctness across the appended files: every key collision pairs up
-    assert j.count() == bands(260, 300).alias("a").join(
+    expected_pairs = bands(260, 300).alias("a").join(
         bands(0, 300).alias("b"),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bv") == F.col("b.bv"))
         & (F.col("a.doc_id") != F.col("b.doc_id")),
     ).count()
+    assert j.count() == expected_pairs
+
+    # OPTIMIZE-style bin-pack: appends left multiple files per bucket;
+    # compaction must merge to ONE file per non-empty bucket (proving the
+    # rewrite never redistributed rows across buckets), keep the catalog
+    # bucket layout, and leave the join plan byte-identical in shape
+    import os
+    from collections import Counter
+
+    from change_data_capture_spark.operators.maintenance import compact_bucketed
+
+    def bucket_file_counts():
+        return Counter(
+            f.rsplit("_", 1)[-1].split(".")[0]
+            for _r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert max(bucket_file_counts().values()) > 1, "append must pre-fragment"
+    rows_before = sorted(spark.table(tbl).collect())
+    n = compact_bucketed(spark, tbl, ["band", "bv"], _BAND_STORE_BUCKETS, path)
+    counts = bucket_file_counts()
+    assert set(counts.values()) == {1} and sum(counts.values()) == n
+    assert sorted(spark.table(tbl).collect()) == rows_before
+    j2 = _banded_store_join(bands(260, 300), spark.table(tbl), ["band", "bv"])
+    s2 = plan_stats(j2)
+    assert s2.shuffle_exchanges == 1, s2.text  # still batch side ONLY
+    assert "ShuffledHashJoin" in s2.text and "SortMergeJoin" not in s2.text
+    assert "Bucketed: true" in s2.text, "compacted store must keep the layout"
+    assert j2.count() == expected_pairs
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 

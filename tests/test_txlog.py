@@ -532,8 +532,9 @@ def test_commit_tmp_hygiene_and_full_content_publish(spark, tmp_path):
     assert txlog.vacuum(t, dry_run=True) == []  # inside grace: kept
     old = os.stat(stranded).st_mtime - 3600
     os.utime(stranded, (old, old))
-    swept = txlog.vacuum(t)
-    assert swept == [os.path.abspath(stranded)]
+    # tmp sweeps are removed but NOT reported: the return value means
+    # reclaimed data files only (there are none here)
+    assert txlog.vacuum(t) == []
     assert not os.path.exists(stranded)
 
 
@@ -669,6 +670,118 @@ def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
     v2, touched2 = txlog.delete_where(spark, t, "id > 99999")
     assert (v2, touched2) == (tip, [])
     assert txlog.latest_version(t) == tip
+
+
+def test_update_where_rewrites_only_matching_files(spark, tmp_path):
+    """Predicate UPDATE: files outside the predicate envelope keep
+    their add actions byte-untouched; a NULL predicate result leaves
+    the row unchanged (SQL UPDATE semantics); a no-match update makes
+    NO commit; every SET expression sees the PRE-update row image; an
+    unknown SET column raises."""
+    t = str(tmp_path / "t")
+    adds = []
+    for lo in (0, 100, 200):  # three files with disjoint id ranges
+        adds += txlog.write_files(
+            _df(spark, [(lo + j, f"r{lo + j}") for j in range(5)]).repartition(1),
+            t,
+            stats_cols=["id"],
+        )
+    assert len(adds) == 3
+    txlog.commit(t, add=adds, expected_version=0)
+    before = {a["path"]: a for a in adds}
+
+    v, touched = txlog.update_where(
+        spark, t, "id BETWEEN 101 AND 103", {"v": "upper(v)"},
+        stats_cols=["id"], prune_range=("id", 101, 103),
+    )
+    assert v == 1 and len(touched) == 1
+    assert touched[0] == next(p for p in before
+                              if before[p]["stats"]["id"][0] == 100)
+    after = {a["path"] if isinstance(a, dict) else a
+             for a in txlog.snapshot_files(t)}
+    # the two untouched files are still served by their ORIGINAL paths
+    untouched = [p for p in before if p != touched[0]]
+    assert set(untouched) <= set(after)
+    got = {r.id: r.v for r in txlog.read_version(spark, t).collect()}
+    assert len(got) == 15  # UPDATE never changes cardinality
+    assert {i: got[i] for i in (100, 101, 102, 103, 104)} == {
+        100: "r100", 101: "R101", 102: "R102", 103: "R103", 104: "r104",
+    }
+    assert all(got[i] == f"r{i}" for i in (0, 1, 2, 3, 4, 200, 201, 202))
+
+    # NULL predicate leaves the row unchanged
+    t2 = str(tmp_path / "t2")
+    txlog.commit(
+        t2,
+        add=txlog.write_files(_df(spark, [(1, "x"), (None, "nullkey")]), t2),
+        expected_version=0,
+    )
+    txlog.update_where(spark, t2, "id > 0", {"v": "'hit'"})
+    assert sorted(r.v for r in txlog.read_version(spark, t2).collect()) == [
+        "hit", "nullkey",
+    ]
+
+    # SET sees the pre-update image: a two-column swap actually swaps
+    t3 = str(tmp_path / "t3")
+    sw = spark.createDataFrame([(1, "A", "B")], "id INT, a STRING, b STRING")
+    txlog.commit(t3, add=txlog.write_files(sw, t3), expected_version=0)
+    txlog.update_where(spark, t3, "id = 1", {"a": "b", "b": "a"})
+    r = txlog.read_version(spark, t3).collect()[0]
+    assert (r.a, r.b) == ("B", "A")
+
+    # unknown SET column raises (UPDATE never adds columns)
+    with pytest.raises(ValueError, match="non-existent column"):
+        txlog.update_where(spark, t3, "id = 1", {"zzz": "1"})
+
+    # no-match: metadata-only no-op, NO commit
+    tip = txlog.latest_version(t)
+    v2, touched2 = txlog.update_where(spark, t, "id > 99999", {"v": "'x'"})
+    assert (v2, touched2) == (tip, [])
+    assert txlog.latest_version(t) == tip
+
+
+def test_rewrite_with_retry_gives_liveness_under_contention(spark, tmp_path):
+    """Racing GUARDED rewrites through rewrite_with_retry must BOTH land
+    (liveness on top of the arbitration the bare-commit stress pins):
+    each rewrite recomputes against the CURRENT tip, so two concurrent
+    read-modify-write increments serialize to +2, never a lost update.
+    Exhausted attempts propagate the ConcurrentCommitError."""
+    import threading
+
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t, add=txlog.write_files(_df(spark, [(1, "0")]), t), expected_version=0
+    )
+    errs = []
+
+    def incr():
+        def rewrite(tip):
+            old = txlog.snapshot_files(t, tip)
+            cur = int(txlog.read_version(spark, t, tip).collect()[0].v)
+            return txlog.write_files(_df(spark, [(1, str(cur + 1))]), t), old
+
+        try:
+            txlog.rewrite_with_retry(t, rewrite)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    th = [threading.Thread(target=incr) for _ in range(2)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    assert txlog.latest_version(t) == 2  # both rewrites landed
+    assert [r.v for r in txlog.read_version(spark, t).collect()] == ["2"]
+
+    # bounded: zero attempts allowed -> the race error surfaces
+    blocker = txlog.write_files(_df(spark, [(9, "x")]), t)
+
+    def always_stale(tip):
+        txlog.commit(t, add=blocker)  # someone else lands first
+        return txlog.write_files(_df(spark, [(1, "z")]), t), []
+
+    with pytest.raises(txlog.ConcurrentCommitError):
+        txlog.rewrite_with_retry(t, always_stale, max_attempts=1,
+                                 backoff_seconds=0.0)
 
 
 def test_vacuum_retention_keeps_recent_versions(spark, tmp_path):

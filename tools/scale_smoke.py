@@ -78,6 +78,8 @@ QUERIES = [
     "txlog_vacuum_retention",
     "txlog_schema_evolution_read",
     "streaming_scd2_txlog",
+    # round-9 addition
+    "txlog_update_where",
 ]
 
 
