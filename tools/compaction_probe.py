@@ -112,8 +112,13 @@ def main() -> None:
     assert pre[0][1] == post[0][1], "compaction changed the join result"
 
     s = plan_stats(_banded_store_join(batch, spark.table(tbl), ["band", "sig"]))
-    assert s.shuffle_exchanges == 1 and "Bucketed: true" in s.text, s.text
-    print("plan: zero store-side Exchange, bucketed scan — OK", flush=True)
+    # the batch side here carries its own derivation exchanges (shingles →
+    # signatures → bands), so total exchange count is not the pin — the
+    # store side must scan in bucket layout (the side-specific
+    # zero-Exchange property is pinned by the synthetic-batch pytest,
+    # tests/test_plans.py::test_banded_store_join_has_no_store_side_exchange)
+    assert "Bucketed: true" in s.text and "ShuffledHashJoin" in s.text, s.text
+    print("plan: bucketed store scan + ShuffledHashJoin — OK", flush=True)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
