@@ -35,27 +35,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50 rows per round. Order therefore encodes check priority. Cumulative
 # record through round 8: 216/216 registered queries have a driver row,
 # all hash-matched, 0 failures. Round-9 rotation (the plan the r8 verdict
-# encoded): the r9 addition leads (never checked), then the queries whose
-# CODE changed this round (the two streaming dedup gates gained a
+# encoded): the three r9 additions lead (never checked), then the queries
+# whose CODE changed this round (the two streaming dedup gates gained a
 # band_store_buckets parameter; txlog delete/vacuum/commit internals were
-# touched by the ADVICE fixes), then the 8 r1/r2 stragglers the r8
-# 50-row window could not reach, then the 45-name r3 set. The cap lands
-# ~6 names into the r3 tail; the r4 (22) + r5 (47) sets remain the
-# documented round-10 rotation. Names absent from this tuple (latest row
-# r8) rank last in registration order.
+# touched by the ADVICE fixes; the anomaly gate's slice staging was
+# factored into a shared helper), then the 8 r1/r2 stragglers the r8
+# 50-row window could not reach, then the 44 remaining r3 names. The cap
+# lands ~12 names short of the r3 tail; the leftovers + the r4 (22) +
+# r5 (47) sets remain the documented round-10 rotation. Names absent from
+# this tuple (latest row r8) rank last in registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # --- round-9 addition (never driver-checked) ---
+    # --- round-9 additions (never driver-checked) ---
     "txlog_update_where",
+    "ngram_novelty_bloom",
+    "streaming_anomaly_zscore_ttl",
     # --- code changed in round 9 -> re-verify ---
     "streaming_dedup_minhash_incremental", "streaming_dedup_simhash_incremental",
     "txlog_delete_where", "txlog_vacuum_retention", "streaming_scd2_txlog",
+    "streaming_anomaly_zscore",  # slice staging factored into a shared helper
     # --- the 8 r1/r2 stragglers the r8 window missed ---
     "stats_aggregates", "string_agg_nations",
     "setops_all_variants", "join_full_outer", "window_range_frame",
     "posexplode_embedding_dims", "count_distinct_exact",
     "streaming_scd2_incremental",
     # --- last checked r3 (the documented r9 backlog) ---
-    "streaming_stream_stream_join", "streaming_anomaly_zscore", "pagerank_customer_supplier",
+    "streaming_stream_stream_join", "pagerank_customer_supplier",
     "kmeans_fixed_point", "events_variant_props", "entity_resolution_blocked",
     "incremental_agg_maintenance", "sequence_packing_bins", "contrastive_negative_pairs",
     "multimodal_video_framesample", "multimodal_image_resize", "provenance_file_metadata",

@@ -125,8 +125,11 @@ HEADLINE = [
     "txlog_vacuum_retention",
     "txlog_schema_evolution_read",
     "streaming_scd2_txlog",
-    # round-9 addition: predicate UPDATE (completes the DML surface)
+    # round-9 additions: predicate UPDATE (completes the DML surface), the
+    # Bloom-only novelty production path, and TTL state eviction
     "txlog_update_where",
+    "ngram_novelty_bloom",
+    "streaming_anomaly_zscore_ttl",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

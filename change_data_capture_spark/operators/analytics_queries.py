@@ -896,6 +896,107 @@ def bloom_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 bloom_novelty_probe.__doc__ = bloom_novelty_probe.__doc__.format(k=_BLOOM_K)
 
 
+_BLOOM_PROD_ORACLE = f"""
+WITH {_novelty_gram_prefix()},
+seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
+bits AS (
+    SELECT DISTINCT {_BLOOM_HASH_DUCK.format(j="s.j", gh="r.gh")} AS pos
+    FROM ref r, seeds s
+),
+probe AS (
+    SELECT c.doc_id, c.gh, s.j,
+           {_BLOOM_HASH_DUCK.format(j="s.j", gh="c.gh")} AS pos
+    FROM cand c, seeds s
+),
+hits AS (
+    SELECT p.doc_id, p.gh, count(b.pos) AS k_hits
+    FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+    GROUP BY p.doc_id, p.gh
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(SUM(CASE WHEN k_hits = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       1.0 - CAST(SUM(CASE WHEN k_hits = {_BLOOM_K} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS bloom_novelty
+FROM hits
+GROUP BY doc_id
+"""
+
+
+@query("ngram_novelty_bloom", oracle=_BLOOM_PROD_ORACLE)
+def ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION path of n-gram novelty scoring — Bloom probe only,
+    no exact membership join anywhere in the plan. ``bloom_novelty_probe``
+    is the audit twin (it computes the exact join alongside to measure
+    false positives); this gate is what actually runs per ingest tick at
+    100 TB, and its plan carries the production property the audit twin
+    cannot: the ONLY joins are broadcast hash joins against the bounded
+    set-bit table (≤ 2^18 rows regardless of reference-corpus size) —
+    zero shuffle of the reference side, zero shuffle join at all
+    (pinned in ``tests/test_analytics_queries.py::
+    test_bloom_novelty_prod_path_has_no_shuffle_join``).
+    The seeded-md5 Bloom family is engine-portable, so the oracle
+    reproduces the filter bit-for-bit and the (deterministic) false
+    positives hash-match too — an approximation gate with an exact
+    oracle, same contract as ``count_distinct_approx``.
+
+    Scale: ref-side cost is one distinct-position aggregation whose
+    output is bounded by m = 2^18 no matter the corpus (a real
+    deployment folds it further into a bitset with bit-OR partials and
+    rebuilds incrementally per ingest batch); cand-side cost is
+    O(candidate grams × k) map-side probes + one per-doc agg."""
+    d = load_table(spark, sf_dir, "documents")
+    from change_data_capture_spark.functions.text import (
+        seeded_hash,
+        shingles_from_tokens,
+    )
+
+    ref_srcs = ("src0", "src1", "src2", "src3")
+    base = d.select(
+        "doc_id",
+        F.col("source").isin(*ref_srcs).alias("is_ref"),
+        tokens(F.col("text")).alias("toks"),
+    ).where(F.size("toks") >= 5)
+    grams = (
+        base.select(
+            "doc_id",
+            "is_ref",
+            F.explode(shingles_from_tokens(F.col("toks"), k=5)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_ref",
+            seeded_hash(F.col("gram"), seed="novelty").alias("gh"),
+        )
+        .dropDuplicates(["doc_id", "gh"])
+    )
+    ref = grams.where("is_ref").select("gh").distinct()
+    cand = grams.where(~F.col("is_ref")).select("doc_id", "gh")
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+    bits = (
+        ref.select("gh", seeds)
+        .select(_bloom_pos(F.col("j"), F.col("gh")).alias("bpos"))
+        .distinct()
+    )
+    probe = cand.select("doc_id", "gh", seeds).withColumn(
+        "pos", _bloom_pos(F.col("j"), F.col("gh"))
+    )
+    hits = (
+        probe.join(F.broadcast(bits), F.col("pos") == F.col("bpos"), "left")
+        .groupBy("doc_id", "gh")
+        .agg(F.count("bpos").alias("k_hits"))
+    )
+    flag = (F.col("k_hits") == _BLOOM_K).cast("int")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(flag).alias("n_flagged"),
+        (1.0 - F.sum(flag).cast("double") / F.count(F.lit(1))).alias(
+            "bloom_novelty"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # EWMA (exponential smoothing) — a sequential recurrence as a bounded
 # per-series array fold

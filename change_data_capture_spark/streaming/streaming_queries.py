@@ -245,6 +245,52 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def _stage_event_time_slices(
+    spark: SparkSession, events: DataFrame, ws: str, n: int = 4
+) -> str:
+    """Land ``events`` as ``n`` contiguous TIME-slice parquet files with
+    strictly increasing mtimes (log segments arriving in time order, as a
+    log shipper delivers them) and return the slice directory — the shared
+    staging of the stateful anomaly gates. Slicing on event time (not id)
+    guarantees every user's events arrive in ts order across micro-batches,
+    the invariant expanding state depends on. Slice bounds are linear
+    interpolation over [min, max] (one cheap agg; the exact-quantile form
+    measured 67 s of an 81 s gate at the 100× smoke). ONE parallel write
+    lands all slice files (repartitionByRange on the slice id → one task,
+    hence one file, per slice dir; sequential coalesce(1) writes were the
+    100×-scale bottleneck)."""
+    import os
+    import time as _time
+
+    with_us = events.withColumn("_us", F.unix_micros("ts"))
+    lo, hi = with_us.select(F.min("_us"), F.max("_us")).first()
+    bounds = [lo + (hi - lo) * (i + 1) // n for i in range(n - 1)]
+    us = F.col("_us")
+    slice_id = F.lit(n - 1)
+    for i in range(n - 2, -1, -1):
+        slice_id = F.when(us <= bounds[i], i).otherwise(slice_id)
+    staged = f"{ws}/staged"
+    (
+        with_us.withColumn("_slice", slice_id)
+        .drop("_us")
+        .repartitionByRange(n, "_slice")
+        .write.partitionBy("_slice")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    src = f"{ws}/slices"
+    os.makedirs(src)
+    now = _time.time()
+    for i in range(n):
+        d = f"{staged}/_slice={i}"
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"slice {i}: expected one file, got {parts}"
+        dst = f"{src}/slice_{i}.parquet"
+        os.rename(f"{d}/{parts[0]}", dst)
+        os.utime(dst, (now + i, now + i))  # strictly increasing mtimes
+    return src
+
+
 @query(
     "streaming_anomaly_zscore",
     oracle=None,  # set below — shares the batch query's oracle SQL
@@ -278,52 +324,7 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    # four contiguous TIME slices, written oldest-first (distinct mtimes →
-    # the file source lists them in arrival order). Slicing on event time —
-    # not id — is what guarantees every user's events arrive in ts order
-    # across batches, the invariant the expanding state depends on.
-    with_us = events.withColumn("_us", F.unix_micros("ts"))
-    # Slice bounds: any deterministic, time-contiguous 4-way split works —
-    # the drained union is slice-invariant (the oracle covers ALL events).
-    # Linear interpolation over [min, max] costs one cheap min/max agg;
-    # the exact-quantile form used before round 3 (approxQuantile with
-    # relativeError=0.0) was 67 s of this gate's 81 s at the 100× smoke —
-    # 6× the cost of the entire Python stateful path it was staging for.
-    lo, hi = (
-        with_us.select(F.min("_us"), F.max("_us")).first()
-    )
-    bounds = [lo + (hi - lo) * (i + 1) // 4 for i in range(3)]
-    us = F.col("_us")
-    slice_id = (
-        F.when(us <= bounds[0], 0)
-        .when(us <= bounds[1], 1)
-        .when(us <= bounds[2], 2)
-        .otherwise(3)
-    )
-    # ONE parallel write lands all four slice files (repartitionByRange on
-    # the 4 distinct slice ids → exactly one task, hence one file, per
-    # slice dir — sequential coalesce(1) writes were the 100×-scale
-    # bottleneck of this gate's harness); mtimes are then stamped in slice
-    # order so the file source lists arrival order = time order.
-    staged = f"{ws}/staged"
-    (
-        with_us.withColumn("_slice", slice_id)
-        .drop("_us")
-        .repartitionByRange(4, "_slice")
-        .write.partitionBy("_slice")
-        .mode("overwrite")
-        .parquet(staged)
-    )
-    src = f"{ws}/slices"
-    os.makedirs(src)
-    now = _time.time()
-    for i in range(4):
-        d = f"{staged}/_slice={i}"
-        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        assert len(parts) == 1, f"slice {i}: expected one file, got {parts}"
-        dst = f"{src}/slice_{i}.parquet"
-        os.rename(f"{d}/{parts[0]}", dst)
-        os.utime(dst, (now + i, now + i))  # strictly increasing mtimes
+    src = _stage_event_time_slices(spark, events, ws, n=4)
 
     out_schema = (
         "event_id bigint, user_id bigint, ts timestamp, event_type string, "
@@ -435,6 +436,288 @@ from change_data_capture_spark.operators.hygiene_queries import _ZSCORE_ORACLE  
 from change_data_capture_spark.queries import ORACLES  # noqa: E402
 
 ORACLES["streaming_anomaly_zscore"] = _ZSCORE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# TTL state eviction — the transformWithState-style state-lifetime control
+# the plain expanding gate lacks
+# ---------------------------------------------------------------------------
+
+_TTL_SECONDS = 48 * 3600  # 48 h of event-time inactivity expires a user
+
+_ZSCORE_TTL_ORACLE = f"""
+WITH cents AS (
+    SELECT event_id, user_id, ts, event_type,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+sess AS (
+    SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts - lag(ts) OVER w) > {_TTL_SECONDS}
+                   THEN 1 ELSE 0 END AS new_sess
+    FROM cents
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessid AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM sess
+),
+stats AS (
+    SELECT event_id, user_id, ts, event_type, v,
+           count(*)   OVER w AS n_prior,
+           sum(v)     OVER w AS s1,
+           sum(v * v) OVER w AS s2
+    FROM sessid
+    WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+    SELECT event_id, user_id, ts, event_type, v,
+           n_prior,
+           CAST(s1 AS DOUBLE) / n_prior AS mean_v,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_prior)
+               / (n_prior - 1) AS var_v
+    FROM stats
+    WHERE n_prior >= 20
+)
+SELECT event_id, user_id, ts, event_type,
+       CAST(v AS DOUBLE) / 100 AS value,
+       mean_v / 100 AS mean_prior,
+       (CAST(v AS DOUBLE) - mean_v) / sqrt(var_v) AS zscore
+FROM scored
+WHERE var_v > 0 AND abs(CAST(v AS DOUBLE) - mean_v) / sqrt(var_v) > 3.0
+"""
+
+
+def _evict_expired(
+    st: dict, max_ts_us: int, ttl_us: int
+) -> dict:
+    """Flink/transformWithState-style eager TTL sweep: drop every user
+    whose last event is more than ``ttl_us`` behind the key-group's
+    observed max event time (the deterministic watermark proxy an
+    availableNow drain provides). Keeps state size bounded by the ACTIVE
+    key set instead of the all-time key set — the property that decides
+    whether a year-long stream fits the state store. Unit-pinned in
+    ``tests/test_streaming.py``."""
+    return {
+        u: rec for u, rec in st.items() if rec[3] >= max_ts_us - ttl_us
+    }
+
+
+@query("streaming_anomaly_zscore_ttl", oracle=_ZSCORE_TTL_ORACLE)
+def streaming_anomaly_zscore_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming_anomaly_zscore`` with TTL STATE EVICTION — the
+    transformWithState-style state-lifetime control (Spark 4's
+    ``TTLConfig``, Flink's state TTL): a user idle for more than 48 h of
+    EVENT TIME expires; their next event starts a fresh session whose
+    statistics accumulate from zero (the ≥20-event floor must be re-earned
+    before anything can be flagged). Semantically this turns the expanding
+    window into per-user ACTIVITY SESSIONS (gap > TTL splits), which is
+    exactly what the oracle computes relationally — so the TTL behavior
+    itself is oracle-hash-checked, including sessions that reset WITHIN a
+    micro-batch and sessions that span batch boundaries.
+
+    Eviction is two-layered, both deterministic in event time: lazily on
+    access (a returning user whose gap exceeds the TTL reads an expired
+    record as absent — RocksDB-TTL read semantics), and eagerly per batch
+    (:func:`_evict_expired` sweeps every user whose last event trails the
+    key-group's max observed event time by more than the TTL — the
+    watermark-driven cleanup that keeps state bounded by the ACTIVE key
+    set). State carries integer cents (exact in any accumulation order)
+    plus the last-event timestamp; the per-batch math is the same
+    vectorized grouped-cumsum as the plain gate, extended with in-batch
+    session segmentation."""
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_zscore_ttl_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = _stage_event_time_slices(spark, events, ws, n=4)
+
+    out_schema = (
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, "
+        "value double, mean_prior double, zscore double"
+    )
+    n_buckets = 64
+    ttl_us = _TTL_SECONDS * 1_000_000
+    # per-user state: (n, s1, s2, last_ts_us) — the TTL needs the last
+    # event time; everything else matches the plain gate
+    state_schema = (
+        "user_ids array<bigint>, ns array<bigint>, s1s array<bigint>, "
+        "s2s array<bigint>, last_us array<bigint>"
+    )
+
+    def flag(key, pdfs, state):
+        if state.exists:
+            uids, ns, s1s, s2s, lus = state.get
+            st = {
+                u: (n, a, b, lu)
+                for u, n, a, b, lu in zip(uids, ns, s1s, s2s, lus)
+            }
+        else:
+            st = {}
+        chunks = [p for p in pdfs if not p.empty]
+        batch_max_us = 0
+        for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
+            pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+            u = pdf["user_id"].to_numpy()
+            t_us = (pdf["ts"].astype("int64")).to_numpy()  # ns → see below
+            # pandas datetime64[us] under Arrow: int64 view is µs already;
+            # normalize defensively to µs whatever the unit
+            unit = str(pdf["ts"].dtype)
+            if "[ns]" in unit:
+                t_us = t_us // 1000
+            batch_max_us = int(t_us.max())
+            v = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
+            vv = v * v
+            first_of_user = np.r_[True, u[1:] != u[:-1]]
+            prev_ts = np.r_[0, t_us[:-1]]
+            # lazy TTL read, decided ONCE per user at their FIRST event of
+            # the batch: a seed older than TTL reads as absent. (Evaluating
+            # it per row was a bug — later rows of a continuing session sit
+            # further from the old seed timestamp and would spuriously
+            # "expire" a session that already continued; whether the
+            # session stays alive INSIDE the batch is new_sess's job,
+            # which looks at the gap to the previous row.)
+            seed = pdf["user_id"].map(
+                lambda x: st.get(x, (0, 0, 0, None))
+            )
+            seed_last = seed.map(lambda t: t[3]).to_numpy(dtype=object)
+            alive_at_first = first_of_user & np.array(
+                [
+                    sl is not None and ts - sl <= ttl_us
+                    for sl, ts in zip(seed_last, t_us)
+                ]
+            )
+            new_sess = np.where(
+                first_of_user,
+                ~alive_at_first,
+                (t_us - prev_ts) > ttl_us,
+            ).astype(np.int64)
+            df = pd.DataFrame(
+                {"u": u, "v": v, "vv": vv, "ns_flag": new_sess,
+                 "alive_first": alive_at_first}
+            )
+            df["sid"] = df.groupby("u", sort=False)["ns_flag"].cumsum()
+            grp = df.groupby(["u", "sid"], sort=False)
+            idx = grp.cumcount().to_numpy()
+            c1 = grp["v"].cumsum().to_numpy() - v
+            c2 = grp["vv"].cumsum().to_numpy() - vv
+            # seed applies only to rows still in the CONTINUING session:
+            # sid == 0 (no reset yet) for a user whose seed was alive at
+            # their first event — broadcast that first-row decision to the
+            # user's whole sid-0 prefix
+            user_cont = (
+                df.groupby("u", sort=False)["alive_first"]
+                .transform("max")
+                .to_numpy()
+            )
+            cont = (df["sid"].to_numpy() == 0) & user_cont
+            n0 = np.where(
+                cont, seed.map(lambda t: t[0]).to_numpy(dtype=np.int64), 0
+            )
+            s10 = np.where(
+                cont, seed.map(lambda t: t[1]).to_numpy(dtype=np.int64), 0
+            )
+            s20 = np.where(
+                cont, seed.map(lambda t: t[2]).to_numpy(dtype=np.int64), 0
+            )
+            n_prior = n0 + idx
+            s1_prior = s10 + c1
+            s2_prior = s20 + c2
+            # fold the batch into state: each user's LAST session totals
+            # (+ seed when that session is the continuing one)
+            last_sid = df.groupby("u", sort=False)["sid"].transform("max")
+            in_last = (df["sid"] == last_sid).to_numpy()
+            tail = pd.DataFrame(
+                {
+                    "u": u[in_last],
+                    "v": v[in_last],
+                    "vv": vv[in_last],
+                    "t": t_us[in_last],
+                    "seeded": (cont & in_last)[in_last],
+                }
+            )
+            totals = tail.groupby("u", sort=False).agg(
+                n=("v", "size"),
+                s1=("v", "sum"),
+                s2=("vv", "sum"),
+                t=("t", "max"),
+                seeded=("seeded", "any"),
+            )
+            for uid, row in totals.iterrows():
+                if row["seeded"] and uid in st:
+                    n, s1, s2, _ = st[uid]
+                else:
+                    n, s1, s2 = 0, 0, 0
+                st[uid] = (
+                    n + int(row["n"]),
+                    s1 + int(row["s1"]),
+                    s2 + int(row["s2"]),
+                    int(row["t"]),
+                )
+            ok = n_prior >= 20
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean_v = s1_prior.astype(float) / n_prior
+                var_v = (
+                    s2_prior.astype(float)
+                    - s1_prior.astype(float) * s1_prior / n_prior
+                ) / (n_prior - 1)
+                z = (v.astype(float) - mean_v) / np.sqrt(var_v)
+            mask = ok & (var_v > 0) & (np.abs(z) > 3.0)
+            if mask.any():
+                out = pdf.loc[
+                    mask, ["event_id", "user_id", "ts", "event_type"]
+                ].copy()
+                out["value"] = v[mask].astype(float) / 100
+                out["mean_prior"] = mean_v[mask] / 100
+                out["zscore"] = z[mask]
+                yield out
+        # eager TTL sweep: watermark-driven cleanup, state stays bounded
+        # by the ACTIVE key set
+        if batch_max_us:
+            st = _evict_expired(st, batch_max_us, ttl_us)
+        users = sorted(st)
+        state.update(
+            (
+                users,
+                [st[x][0] for x in users],
+                [st[x][1] for x in users],
+                [st[x][2] for x in users],
+                [st[x][3] for x in users],
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flagged = (
+        stream.withColumn("_kg", F.col("user_id") % n_buckets)
+        .groupBy("_kg")
+        .applyInPandasWithState(
+            flag, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    sink = f"zscore_ttl_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
 
 
 # ---------------------------------------------------------------------------

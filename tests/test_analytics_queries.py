@@ -111,6 +111,37 @@ def test_bloom_bits_broadcast(spark, sf_dir):
     assert not s.has_cartesian and not s.has_bnlj
 
 
+def test_bloom_novelty_prod_path_has_no_shuffle_join(spark, sf_dir):
+    """The PRODUCTION novelty gate must carry the property the audit twin
+    cannot: NO shuffle join anywhere — the only join is the broadcast
+    probe against the bounded set-bit table. A SortMergeJoin or
+    ShuffledHashJoin here means the exact ref-side join (O(corpus)
+    shuffle per ingest tick) leaked back into the fast path."""
+    s = _stats(spark, sf_dir, "ngram_novelty_bloom")
+    assert s.broadcast_exchanges >= 1, s.text
+    assert "SortMergeJoin" not in s.text, s.text
+    assert "ShuffledHashJoin" not in s.text, s.text
+    assert not s.has_cartesian and not s.has_bnlj
+
+
+def test_bloom_prod_matches_audit_flags(spark, sf_dir):
+    """The production gate's per-doc (n_grams, n_flagged, bloom_novelty)
+    must equal the audit twin's — same filter, same probes, minus the
+    exact columns."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    prod = {
+        r["doc_id"]: (r["n_grams"], r["n_flagged"], round(r["bloom_novelty"], 9))
+        for r in qs["ngram_novelty_bloom"](spark, sf_dir).collect()
+    }
+    audit = {
+        r["doc_id"]: (r["n_grams"], r["n_flagged"], round(r["bloom_novelty"], 9))
+        for r in qs["bloom_novelty_probe"](spark, sf_dir).collect()
+    }
+    assert prod == audit
+
+
 def test_cluster_rep_uses_group_limit(spark, sf_dir):
     """The per-component rank-1 pick must push into the window sort."""
     s = _stats(spark, sf_dir, "cluster_rep_best_quality")

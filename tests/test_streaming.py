@@ -27,10 +27,53 @@ from tests.oracle import compare
         "streaming_update_mode_counts",
         "streaming_complete_mode_topk",
         "streaming_python_datasource_drain",
+        "streaming_anomaly_zscore_ttl",
     ],
 )
 def test_streaming_oracle_parity(spark, sf_dir, name):
     compare(name, spark, sf_dir, entrymod.queries(), entrymod.oracle_sql())
+
+
+def test_evict_expired_sweeps_idle_users():
+    """The eager TTL sweep (watermark-driven cleanup): users whose last
+    event trails the key-group's max observed event time by more than the
+    TTL are dropped from carried state; users at or inside the horizon
+    survive. This is what bounds state by the ACTIVE key set — without it
+    a year-long stream accumulates every key ever seen."""
+    from change_data_capture_spark.streaming.streaming_queries import (
+        _evict_expired,
+    )
+
+    ttl = 1_000
+    st = {
+        1: (5, 10, 20, 8_000),   # idle for 2000 > ttl → evicted
+        2: (5, 10, 20, 9_000),   # exactly at the horizon → kept
+        3: (5, 10, 20, 10_000),  # current → kept
+    }
+    assert _evict_expired(st, 10_000, ttl) == {
+        2: (5, 10, 20, 9_000),
+        3: (5, 10, 20, 10_000),
+    }
+    assert _evict_expired(st, 10_000 + ttl + 1, ttl) == {}  # all idle
+
+
+def test_zscore_ttl_resets_sessions_across_batches(spark, sf_dir):
+    """The TTL gate under forced tiny Arrow chunks — the chunking stress
+    the plain gate has, applied to the session-reset math (in-batch resets,
+    cross-batch continuations, and lazy seed expiry all ride the same
+    concat-and-sort path)."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        compare(
+            "streaming_anomaly_zscore_ttl",
+            spark,
+            sf_dir,
+            entrymod.queries(),
+            entrymod.oracle_sql(),
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
 def test_zscore_state_survives_arrow_chunking(spark, sf_dir):

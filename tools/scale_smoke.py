@@ -78,8 +78,10 @@ QUERIES = [
     "txlog_vacuum_retention",
     "txlog_schema_evolution_read",
     "streaming_scd2_txlog",
-    # round-9 addition
+    # round-9 additions
     "txlog_update_where",
+    "ngram_novelty_bloom",
+    "streaming_anomaly_zscore_ttl",
 ]
 
 
