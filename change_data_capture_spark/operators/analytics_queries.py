@@ -15,6 +15,8 @@ arithmetic so the DuckDB oracle hash-matches bit-for-bit.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -926,26 +928,32 @@ GROUP BY doc_id
 
 @query("ngram_novelty_bloom", oracle=_BLOOM_PROD_ORACLE)
 def ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION path of n-gram novelty scoring — Bloom probe only,
-    no exact membership join anywhere in the plan. ``bloom_novelty_probe``
-    is the audit twin (it computes the exact join alongside to measure
-    false positives); this gate is what actually runs per ingest tick at
-    100 TB, and its plan carries the production property the audit twin
-    cannot: the ONLY joins are broadcast hash joins against the bounded
-    set-bit table (≤ 2^18 rows regardless of reference-corpus size) —
-    zero shuffle of the reference side, zero shuffle join at all
-    (pinned in ``tests/test_analytics_queries.py::
+    """The PRODUCTION path of n-gram novelty scoring — the Bloom filter
+    as an ACTUAL BITSET (m = 2^18 bits = a 4096-long array literal, 32 KB
+    shipped inside the plan), probed with pure bit arithmetic: NO JOIN
+    ANYWHERE, exact or otherwise (pinned in
+    ``tests/test_analytics_queries.py::
     test_bloom_novelty_prod_path_has_no_shuffle_join``).
-    The seeded-md5 Bloom family is engine-portable, so the oracle
-    reproduces the filter bit-for-bit and the (deterministic) false
-    positives hash-match too — an approximation gate with an exact
-    oracle, same contract as ``count_distinct_approx``.
+    ``bloom_novelty_probe`` is the audit twin (it computes the exact join
+    alongside to measure false positives). The seeded-md5 Bloom family is
+    engine-portable, so the oracle reproduces the filter bit-for-bit and
+    the (deterministic) false positives hash-match too — an approximation
+    gate with an exact oracle, same contract as ``count_distinct_approx``.
 
-    Scale: ref-side cost is one distinct-position aggregation whose
-    output is bounded by m = 2^18 no matter the corpus (a real
-    deployment folds it further into a bitset with bit-OR partials and
-    rebuilds incrementally per ingest batch); cand-side cost is
-    O(candidate grams × k) map-side probes + one per-doc agg."""
+    This replaced a set-bit-TABLE broadcast-join form after the 300×
+    smoke: exploding k probe rows per gram and re-aggregating
+    ``groupBy(doc_id, gh)`` shuffles k× the gram relation and builds a
+    per-gram hash table that spills to sort-based agg once groups pass
+    memory (27.8 s at 100× → 324.6 s at 300×, 11.7× for 3× data). The
+    bitset form keeps the k probes INSIDE one projection (no row
+    explosion, no per-gram agg): the only shuffles left are the gram
+    dedup and the per-DOC agg the result needs anyway.
+
+    Scale: the ref side folds to ≤ 2^18 distinct positions regardless of
+    corpus size, collected once at plan build (bounded by m, not the
+    corpus; a deployment rebuilds it incrementally per ingest batch with
+    bit-OR partials); cand-side cost is O(candidate grams) with k md5s +
+    k bitset lookups per gram, all whole-stage codegen."""
     d = load_table(spark, sf_dir, "documents")
     from change_data_capture_spark.functions.text import (
         seeded_hash,
@@ -970,28 +978,52 @@ def ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             seeded_hash(F.col("gram"), seed="novelty").alias("gh"),
         )
         .dropDuplicates(["doc_id", "gh"])
+        # two consumers (the ref-side bitset fold and the cand-side
+        # probe): without persist each recomputes the tokenize + explode
+        # + hash + dedup subtree — the gate's dominant cost, measured 2×
+        # end-to-end at 300× (same discipline as the audit twin)
+        .persist()
     )
     ref = grams.where("is_ref").select("gh").distinct()
     cand = grams.where(~F.col("is_ref")).select("doc_id", "gh")
+    # fold the reference into the real bitset: k positions per ref gram,
+    # distinct-folded to ≤ m rows, collected once (bounded by m = 2^18,
+    # never by the corpus), packed into 4096 longs
     seeds = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
-    bits = (
+    pos_rows = (
         ref.select("gh", seeds)
-        .select(_bloom_pos(F.col("j"), F.col("gh")).alias("bpos"))
+        .select(_bloom_pos(F.col("j"), F.col("gh")).alias("pos"))
         .distinct()
+        .collect()
     )
-    probe = cand.select("doc_id", "gh", seeds).withColumn(
-        "pos", _bloom_pos(F.col("j"), F.col("gh"))
+    words = [0] * (_BLOOM_M // 64)
+    for r in pos_rows:
+        p = r["pos"]
+        words[p >> 6] |= 1 << (p & 63)
+    # pack as SIGNED 64-bit for the LongType literal
+    bitmap = F.lit(
+        [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     )
-    hits = (
-        probe.join(F.broadcast(bits), F.col("pos") == F.col("bpos"), "left")
-        .groupBy("doc_id", "gh")
-        .agg(F.count("bpos").alias("k_hits"))
-    )
-    flag = (F.col("k_hits") == _BLOOM_K).cast("int")
-    return hits.groupBy("doc_id").agg(
+    # k probes inside ONE projection: element_at is 1-based; testing the
+    # bit via shiftright+AND keeps everything in signed-long arithmetic
+    # (the DataFrame-API shiftright only takes a literal bit count, so the
+    # variable-distance shift is a SQL expression over staged columns)
+    probed = cand
+    hit_exprs = []
+    for j in range(_BLOOM_K):
+        pos = _bloom_pos(F.lit(j), F.col("gh"))
+        probed = probed.withColumn(f"_p{j}", pos).withColumn(
+            f"_w{j}",
+            F.element_at(bitmap, F.shiftright(F.col(f"_p{j}"), 6).cast("int") + 1),
+        )
+        hit_exprs.append(
+            F.expr(f"(shiftright(_w{j}, CAST(_p{j} % 64 AS INT)) & 1) = 1")
+        )
+    flag = functools.reduce(lambda a, b: a & b, hit_exprs).cast("int")
+    return probed.select("doc_id", flag.alias("flag")).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
-        F.sum(flag).alias("n_flagged"),
-        (1.0 - F.sum(flag).cast("double") / F.count(F.lit(1))).alias(
+        F.sum("flag").alias("n_flagged"),
+        (1.0 - F.sum("flag").cast("double") / F.count(F.lit(1))).alias(
             "bloom_novelty"
         ),
     )

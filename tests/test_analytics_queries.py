@@ -113,14 +113,18 @@ def test_bloom_bits_broadcast(spark, sf_dir):
 
 def test_bloom_novelty_prod_path_has_no_shuffle_join(spark, sf_dir):
     """The PRODUCTION novelty gate must carry the property the audit twin
-    cannot: NO shuffle join anywhere — the only join is the broadcast
-    probe against the bounded set-bit table. A SortMergeJoin or
-    ShuffledHashJoin here means the exact ref-side join (O(corpus)
-    shuffle per ingest tick) leaked back into the fast path."""
+    cannot: NO JOIN ANYWHERE — the Bloom filter is a 4096-long bitset
+    literal probed with pure bit arithmetic inside one projection. ANY
+    join operator here means either the exact ref-side join (O(corpus)
+    shuffle per tick) or the set-bit-table probe join (k× row explosion +
+    per-gram re-agg, the form measured 11.7× superlinear at 300×) leaked
+    back into the fast path. The only exchanges left are the gram dedup
+    and the per-doc agg the result needs anyway."""
     s = _stats(spark, sf_dir, "ngram_novelty_bloom")
-    assert s.broadcast_exchanges >= 1, s.text
-    assert "SortMergeJoin" not in s.text, s.text
-    assert "ShuffledHashJoin" not in s.text, s.text
+    assert "Join" not in s.text, s.text
+    # gram dedup (shown inside the persisted relation's plan) + per-doc
+    # agg; the cached-plan rendering can surface the dedup exchange twice
+    assert s.shuffle_exchanges <= 3, s.text
     assert not s.has_cartesian and not s.has_bnlj
 
 
