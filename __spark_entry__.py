@@ -53,6 +53,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_dedup_minhash_incremental", "streaming_dedup_simhash_incremental",
     "txlog_delete_where", "txlog_vacuum_retention", "streaming_scd2_txlog",
     "streaming_anomaly_zscore",  # slice staging factored into a shared helper
+    "ngram_novelty_score",  # gram relation persisted across both consumers
     # --- the 8 r1/r2 stragglers the r8 window missed ---
     "stats_aggregates", "string_agg_nations",
     "setops_all_variants", "join_full_outer", "window_range_frame",
@@ -67,7 +68,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q9_product_profit", "q10_returned_items", "q11_important_stock",
     "q13_customer_distribution", "q15_top_supplier", "q16_parts_suppliers",
     "q17_small_quantity_revenue", "q20_potential_promotion", "scd2_point_in_time_join",
-    "snapshot_diff_cdc", "ngram_novelty_score", "window_rolling_median",
+    "snapshot_diff_cdc", "window_rolling_median",
     "corpus_domain_mixing", "corpus_seeded_shuffle", "percentiles_approx_sketch",
     "streaming_static_enrich", "interval_union_coverage", "orders_pareto_abc",
     "bpe_pair_counts", "embedding_mean_pool", "domain_token_budget",

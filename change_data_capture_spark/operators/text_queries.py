@@ -613,6 +613,11 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             seeded_hash(F.col("gram"), seed="novelty").alias("gh"),
         )
         .dropDuplicates(["doc_id", "gh"])
+        # two consumers (ref side and cand side of the membership join):
+        # without persist each re-runs the tokenize + explode + hash +
+        # dedup subtree — the gate's dominant cost (the r9 Bloom twin
+        # measured the recompute at 2× end-to-end at 300×)
+        .persist()
     )
     ref = grams.where("is_ref").select(F.col("gh").alias("ref_gh")).distinct()
     cand = grams.where(~F.col("is_ref")).select("doc_id", "gh")
