@@ -54,6 +54,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "txlog_delete_where", "txlog_vacuum_retention", "streaming_scd2_txlog",
     "streaming_anomaly_zscore",  # slice staging factored into a shared helper
     "ngram_novelty_score",  # gram relation persisted across both consumers
+    "txlog_merge_upsert",  # DML scans now read log-governed (evolved) schema
     # --- the 8 r1/r2 stragglers the r8 window missed ---
     "stats_aggregates", "string_agg_nations",
     "setops_all_variants", "join_full_outer", "window_range_frame",

@@ -15,6 +15,27 @@ from change_data_capture_spark.queries import query
 from change_data_capture_spark.sources.tables import load_table
 
 
+def _swap_compacted(path: str) -> None:
+    """The crash-safe two-rename swap shared by both compaction paths:
+    the rewrite has landed at ``path__compacting``; rename the old
+    directory aside, the new one into place, then delete the old. The
+    canonical path is absent only between the two renames (two
+    syscalls), and a crash at any step leaves a complete copy
+    recoverable at ``path``, ``path__old``, or ``path__compacting`` —
+    never a half-written table at the canonical path. (On object stores
+    rename is a copy; a lakehouse table format makes this a metadata
+    swap instead.)"""
+    import os
+    import shutil
+
+    tmp, old = f"{path}__compacting", f"{path}__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -30,16 +51,9 @@ def compact_parquet(
     so min/max row-group stats become selective (poor-man's clustering;
     Z-order on a lakehouse).
 
-    Safety: writes to a sibling temp dir, renames the old directory aside,
-    renames the new one into place, then deletes the old — the canonical
-    path is absent only between the two renames (two syscalls), and a crash
-    at any step leaves a complete copy recoverable at ``path``,
-    ``path__old``, or ``path__compacting``; never a half-written table at
-    the canonical path. (On object stores rename is a copy; a lakehouse
-    table format makes this a metadata swap instead.)
+    Safety: the :func:`_swap_compacted` two-rename dance.
     """
     import os
-    import shutil
 
     df = spark.read.parquet(path)
     in_bytes = sum(
@@ -53,14 +67,8 @@ def compact_parquet(
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
 
-    tmp = f"{path}__compacting"
-    old = f"{path}__old"
-    out.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    out.write.mode("overwrite").parquet(f"{path}__compacting")
+    _swap_compacted(path)
     return n_files
 
 
@@ -221,9 +229,7 @@ def compact_bucketed(
         # the throwaway name is EXTERNAL (explicit path): dropping it
         # unregisters the catalog entry, the files stay for the swap
         spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_compacted(path)
     spark.catalog.refreshTable(table)
     return sum(
         1

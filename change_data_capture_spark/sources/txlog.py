@@ -165,14 +165,24 @@ def commit(
                 # succeeded. st_nlink == 2 on the private temp file is the
                 # classic lockfile probe — only OUR link target can be the
                 # second name, so 2 means we won regardless of the errno.
-                # A vanished tmp (e.g. a concurrent vacuum swept it after a
-                # stall past _tmp_grace_seconds) means the link cannot have
-                # landed — treat as lost and surface the ORIGINAL error
-                # rather than a confusing secondary FileNotFoundError.
+                # A vanished tmp (a concurrent vacuum swept it after a stall
+                # past _tmp_grace_seconds) leaves the race UNDECIDABLE by
+                # nlink — and guessing either way is wrong: "won" when we
+                # lost publishes nothing; "lost" when we actually won makes
+                # the append path re-commit the same payload at the next
+                # version (duplicated add actions → duplicated rows). The
+                # content of the published entry decides it exactly: only
+                # OUR link carries OUR body (identical bodies from two
+                # writers commute — then it genuinely doesn't matter who
+                # won).
                 try:
                     won = os.stat(tmp).st_nlink == 2
                 except FileNotFoundError:
-                    won = False
+                    try:
+                        with open(path) as pf:
+                            won = pf.read() == body
+                    except FileNotFoundError:
+                        won = False
                 if not won:
                     if isinstance(e, FileExistsError):
                         if expected_version is not None:
@@ -409,6 +419,20 @@ def write_files(
     ]
 
 
+def _snapshot_reader(spark: SparkSession, table_dir: str, version: int):
+    """DataFrameReader for scanning a snapshot's data files under the
+    LOG-GOVERNED schema (same rule as :func:`read_version`): after a
+    schema evolution, files written under the old shape must read with
+    the declared schema (missing columns null-filled) — a raw
+    ``spark.read.parquet`` would fail on, or silently re-narrow, the
+    evolved columns. Used by every DML rewrite (MERGE/DELETE/UPDATE) for
+    both the touched-file discovery scan and the rewrite read, so DML on
+    an evolved table preserves the evolved shape."""
+    _, _, meta, _ = _resolve(table_dir, version)
+    declared = (meta or {}).get("schema")
+    return spark.read.schema(declared) if declared is not None else spark.read
+
+
 def merge_into(
     spark: SparkSession,
     table_dir: str,
@@ -462,7 +486,7 @@ def merge_into(
     if cand:
         keys = src.select(key).distinct()
         hit = (
-            spark.read.parquet(*cand)
+            _snapshot_reader(spark, table_dir, tip).parquet(*cand)
             # file name projected AT THE SCAN — post-join provenance is
             # not guaranteed for input_file_name()
             .select(F.col(key), F.input_file_name().alias("f"))
@@ -486,7 +510,7 @@ def merge_into(
         F.lit(True).alias("__src"),
     )
     if touched:
-        tgt = spark.read.parquet(*touched)
+        tgt = _snapshot_reader(spark, table_dir, tip).parquet(*touched)
         joined = tgt.join(marked, key, "full_outer")
         merged = joined.select(
             F.col(key),
@@ -546,7 +570,7 @@ def delete_where(
     touched: list[str] = []
     if cand:
         hit = (
-            spark.read.parquet(*cand)
+            _snapshot_reader(spark, table_dir, tip).parquet(*cand)
             # file name projected AT THE SCAN — post-filter provenance
             # IS the scan row's provenance, same discipline as merge_into
             .select(
@@ -567,7 +591,7 @@ def delete_where(
         touched = [p for p in cand if os.path.abspath(p) in hit_paths]
     if not touched:
         return tip, []  # no matching row anywhere: metadata-only no-op
-    kept = spark.read.parquet(*touched).where(
+    kept = _snapshot_reader(spark, table_dir, tip).parquet(*touched).where(
         ~F.coalesce(F.expr(predicate), F.lit(False))
     )
     new_actions = write_files(kept, table_dir, stats_cols=stats_cols)
@@ -631,7 +655,7 @@ def update_where(
     touched: list[str] = []
     if cand:
         hit = (
-            spark.read.parquet(*cand)
+            _snapshot_reader(spark, table_dir, tip).parquet(*cand)
             # file name projected AT THE SCAN — post-filter provenance
             # IS the scan row's provenance, same discipline as merge_into
             .select(
@@ -653,7 +677,7 @@ def update_where(
     if not touched:
         return tip, []  # no matching row anywhere: metadata-only no-op
     cond = F.coalesce(F.expr(predicate), F.lit(False))
-    tgt = spark.read.parquet(*touched)
+    tgt = _snapshot_reader(spark, table_dir, tip).parquet(*touched)
     # one select over the old row image: all SET expressions (and the
     # predicate) see pre-update values, and each output keeps the
     # column's original type (UPDATE never changes the schema)
@@ -704,6 +728,8 @@ def rewrite_with_retry(
     import random
     import time as _time
 
+    if max_attempts < 1:
+        raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
     last: ConcurrentCommitError | None = None
     for attempt in range(max_attempts):
         tip = latest_version(table_dir)
@@ -722,7 +748,8 @@ def rewrite_with_retry(
             _time.sleep(
                 backoff_seconds * (2**attempt) * (0.5 + random.random())
             )
-    raise last  # type: ignore[misc]
+    assert last is not None  # max_attempts >= 1 guarantees a bound error
+    raise last
 
 
 def restore(table_dir: str, version: int) -> int:

@@ -284,7 +284,10 @@ def _stage_event_time_slices(
     for i in range(n):
         d = f"{staged}/_slice={i}"
         parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        assert len(parts) == 1, f"slice {i}: expected one file, got {parts}"
+        # explicit raise, not assert: under `python -O` a 2-file slice
+        # would otherwise silently drop rows from every staged gate
+        if len(parts) != 1:
+            raise RuntimeError(f"slice {i}: expected one file, got {parts}")
         dst = f"{src}/slice_{i}.parquet"
         os.rename(f"{d}/{parts[0]}", dst)
         os.utime(dst, (now + i, now + i))  # strictly increasing mtimes
@@ -1406,7 +1409,11 @@ def streaming_dedup_minhash_incremental(
     band_store_buckets: int = _BAND_STORE_BUCKETS,
 ) -> DataFrame:
     """STREAMING incremental MinHash-LSH dedup — the batch
-    ``dedup_minhash_incremental`` upgraded to the shape it models: a REAL
+    ``dedup_minhash_incremental`` upgraded to the shape it models
+    (``band_store_buckets`` is library/production surface — a deployment
+    sizes the store like any bucketed fact table, thousands of buckets
+    on a fleet; the driver contract always calls with the default, which
+    is sized to this harness's cores): a REAL
     Structured Streaming query drains the delta corpus in micro-batches,
     and ``foreachBatch`` near-dup-checks each batch against a PERSISTED
     parquet signature store, then appends the batch's own signatures to the
@@ -1581,7 +1588,9 @@ def streaming_dedup_simhash_incremental(
 ) -> DataFrame:
     """STREAMING incremental SimHash dedup — the Manku-style Hamming-ball
     pairing (``simhash_hamming_neardup``) on the same persisted-store
-    skeleton as ``streaming_dedup_minhash_incremental``: a Structured
+    skeleton as ``streaming_dedup_minhash_incremental`` (and the same
+    ``band_store_buckets`` library/production surface — the driver
+    contract always calls with the default): a Structured
     Streaming drain near-dup-checks each micro-batch of new docs against a
     persisted band store, then appends the batch's band rows — later
     batches pair against earlier ones with nothing recomputed. The store

@@ -838,3 +838,48 @@ def test_schema_evolution_read_is_log_governed(spark, tmp_path):
     # the old shape is now a refused drift
     with pytest.raises(txlog.SchemaMismatch):
         txlog.validated_write(old, t)
+
+
+def test_dml_reads_are_log_governed_after_evolution(spark, tmp_path):
+    """DML rewrites (UPDATE/DELETE/MERGE) on an evolved table must read
+    touched files with the LOG-GOVERNED schema (same rule as
+    read_version): pre-evolution files lack the new column, so a raw
+    parquet read would fail or re-narrow the shape mid-rewrite. UPDATE
+    may SET the evolved column on an old row (null-filled pre-image),
+    DELETE may predicate on it (NULL keeps the row), and the rewritten
+    files keep the evolved shape."""
+    t = str(tmp_path / "t")
+    txlog.commit(t, add=[], expected_version=0,
+                 metadata={"schema": "id BIGINT, v STRING"})
+    old = spark.createDataFrame([(1, "old"), (2, "old2")], "id long, v string")
+    txlog.commit(t, add=txlog.validated_write(old, t), expected_version=1)
+    new = spark.createDataFrame(
+        [(3, "new", "cat")], "id long, v string, category string"
+    )
+    txlog.commit(
+        t,
+        add=txlog.validated_write(new, t, evolve=True),
+        expected_version=2,
+        metadata={"schema": "id BIGINT, v STRING, category STRING"},
+    )
+    # UPDATE touches an OLD file and SETs the evolved column
+    v, touched = txlog.update_where(
+        spark, t, "id = 1", {"category": "'backfilled'", "v": "upper(v)"}
+    )
+    assert touched, "old file must be discoverable through the evolved read"
+    got = {r.id: (r.v, r.category) for r in txlog.read_version(spark, t).collect()}
+    assert got == {
+        1: ("OLD", "backfilled"),
+        2: ("old2", None),  # same file, untouched row keeps null fill
+        3: ("new", "cat"),
+    }
+    # DELETE predicated on the evolved column: NULL keeps pre-evolution rows
+    txlog.delete_where(spark, t, "category = 'cat'")
+    assert sorted(r.id for r in txlog.read_version(spark, t).collect()) == [1, 2]
+    # MERGE a new image across the evolved shape
+    src = spark.createDataFrame(
+        [(2, "merged", "m")], "id long, v string, category string"
+    )
+    txlog.merge_into(spark, t, src, "id")
+    got = {r.id: (r.v, r.category) for r in txlog.read_version(spark, t).collect()}
+    assert got == {1: ("OLD", "backfilled"), 2: ("merged", "m")}
