@@ -33,49 +33,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks this dict in order and caps the run at
 # 50 rows per round. Order therefore encodes check priority. Cumulative
-# record through round 8: 216/216 registered queries have a driver row,
-# all hash-matched, 0 failures. Round-9 rotation (the plan the r8 verdict
-# encoded): the three r9 additions lead (never checked), then the queries
-# whose CODE changed this round (the two streaming dedup gates gained a
-# band_store_buckets parameter; txlog delete/vacuum/commit internals were
-# touched by the ADVICE fixes; the anomaly gate's slice staging was
-# factored into a shared helper), then the 8 r1/r2 stragglers the r8
-# 50-row window could not reach, then the 44 remaining r3 names. The cap
-# lands ~12 names short of the r3 tail; the leftovers + the r4 (22) +
-# r5 (47) sets remain the documented round-10 rotation. Names absent from
-# this tuple (latest row r8) rank last in registration order.
+# record through round 9: 219/219 registered queries have a driver row,
+# all hash-matched, 0 failures. Round-10 rotation (the plan the r9 verdict
+# encoded): the two r10 additions lead (never checked), then the queries
+# whose CODE changed this round (the novelty trio was refactored into
+# materialize-then-unpersist plan builders and the Bloom gate gained m/k
+# parameters + a broadcast-bitmap transport; txlog update_where gained
+# store-assignment type validation; the DML entry points now stamp
+# operation names into commits for history(); the minhash drain gained the
+# mid-stream compaction hook; the anomaly slice staging gained the
+# empty-input/empty-slice guards; the two SCD2 stream gates' state-read
+# asserts became explicit RuntimeErrors), then the 12 r3 leftovers the r9
+# window could not reach, then the full r4 set (22). That totals 48; the
+# 50-cap reaches 2 names into the r5 block, whose remainder (45) is the
+# documented round-11 rotation. Names absent from this tuple (latest row
+# r6-r9) rank last in registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # --- round-9 additions (never driver-checked) ---
-    "txlog_update_where",
-    "ngram_novelty_bloom",
-    "streaming_anomaly_zscore_ttl",
-    # --- code changed in round 9 -> re-verify ---
-    "streaming_dedup_minhash_incremental", "streaming_dedup_simhash_incremental",
-    "txlog_delete_where", "txlog_vacuum_retention", "streaming_scd2_txlog",
-    "streaming_anomaly_zscore",  # slice staging factored into a shared helper
-    "ngram_novelty_score",  # gram relation persisted across both consumers
-    "txlog_merge_upsert",  # DML scans now read log-governed (evolved) schema
-    # --- the 8 r1/r2 stragglers the r8 window missed ---
-    "stats_aggregates", "string_agg_nations",
-    "setops_all_variants", "join_full_outer", "window_range_frame",
-    "posexplode_embedding_dims", "count_distinct_exact",
-    "streaming_scd2_incremental",
-    # --- last checked r3 (the documented r9 backlog) ---
-    "streaming_stream_stream_join", "pagerank_customer_supplier",
-    "kmeans_fixed_point", "events_variant_props", "entity_resolution_blocked",
-    "incremental_agg_maintenance", "sequence_packing_bins", "contrastive_negative_pairs",
-    "multimodal_video_framesample", "multimodal_image_resize", "provenance_file_metadata",
-    "orders_mom_growth", "q6_forecast_revenue", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_important_stock",
-    "q13_customer_distribution", "q15_top_supplier", "q16_parts_suppliers",
-    "q17_small_quantity_revenue", "q20_potential_promotion", "scd2_point_in_time_join",
-    "snapshot_diff_cdc", "window_rolling_median",
-    "corpus_domain_mixing", "corpus_seeded_shuffle", "percentiles_approx_sketch",
-    "streaming_static_enrich", "interval_union_coverage", "orders_pareto_abc",
-    "bpe_pair_counts", "embedding_mean_pool", "domain_token_budget",
-    "cluster_rep_best_quality", "attribution_last_touch", "triangle_count_neardup",
-    "bloom_novelty_probe", "scd3_products", "embedding_dim_stats",
-    "ewma_monthly_revenue", "streaming_session_windows", "streaming_tumbling_drain",
+    # --- round-10 additions (never driver-checked) ---
+    "txlog_history",
+    "streaming_dedup_compact_midstream",
+    # --- code changed in round 10 -> re-verify ---
+    "ngram_novelty_bloom", "ngram_novelty_score", "bloom_novelty_probe",
+    "txlog_update_where", "txlog_delete_where", "txlog_merge_upsert",
+    "txlog_restore",
+    "streaming_dedup_minhash_incremental",
+    "streaming_anomaly_zscore", "streaming_anomaly_zscore_ttl",
+    "streaming_scd2_incremental", "streaming_scd2_multibatch",
+    # --- last checked r3 (the documented r9 leftovers) ---
+    "attribution_last_touch", "bpe_pair_counts", "cluster_rep_best_quality", "domain_token_budget",
+    "embedding_dim_stats", "embedding_mean_pool", "ewma_monthly_revenue",
+    "scd3_products", "streaming_session_windows", "streaming_tumbling_drain",
+    "triangle_count_neardup",
     # --- last checked r4 ---
     "streaming_ingest_exactly_once", "dedup_minhash_lsh", "similarity_topk_cosine",
     "scd2_products_b64price", "dedup_cc_minhash", "semantic_dedup_keeplist",
@@ -85,14 +73,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "cumulative_unique_users", "events_dau_wau", "basket_affinity_lift",
     "orders_seasonality_decomposition", "dedup_cluster_size_histogram", "events_dau_wau_approx",
     "multimodal_video_nal_index",
-    # --- last checked r5 ---
+    # --- last checked r5 (the 50-cap reaches ~2 of these; rest = round 11) ---
     "q1_pricing_summary", "q3_shipping_priority", "count_distinct_approx",
     "dedup_connected_components", "multimodal_features", "stats_corr_regr",
     "grouping_sets_customer", "window_distribution_funcs", "lateral_topn_per_nation",
     "text_quality_stats", "token_counting", "lang_id_heuristic",
     "doc_fingerprint", "document_chunking", "corpus_lang_source_profile",
     "corpus_train_eval_split", "simhash_signatures", "embedding_cosine_neardup",
-    "streaming_scd2_multibatch", "percentiles_exact", "salted_join_supplier_revenue",
+    "percentiles_exact", "salted_join_supplier_revenue",
     "multimodal_image_decode", "multimodal_audio_decode", "events_funnel_conversion",
     "events_retention_cohorts", "text_tfidf_top_terms", "text_bigram_counts",
     "corpus_decontamination", "calendar_spine_monthly", "pii_redaction",

@@ -130,6 +130,9 @@ HEADLINE = [
     "txlog_update_where",
     "ngram_novelty_bloom",
     "streaming_anomaly_zscore_ttl",
+    # round-10 additions: DESCRIBE HISTORY and drain→compact→drain
+    "txlog_history",
+    "streaming_dedup_compact_midstream",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

@@ -740,7 +740,12 @@ heavy_hitters_cms.__doc__ = heavy_hitters_cms.__doc__.format(
 # ---------------------------------------------------------------------------
 
 _BLOOM_K = 3
-_BLOOM_M = 262_144  # 2^18 bits
+_BLOOM_M = 262_144  # 2^18 bits — gate-scale default; sizing note on the gate
+# Above ~2^27 bits the packed bitset stops being a sane plan literal (a
+# 16 MB array constant serialized into the plan and shipped with every task)
+# and must travel as a broadcast relation instead — _bloom_novelty_plan
+# switches transport automatically at this ceiling.
+_BLOOM_LITERAL_MAX_BITS = 1 << 27
 
 
 def _novelty_gram_prefix() -> str:
@@ -750,21 +755,25 @@ def _novelty_gram_prefix() -> str:
     return body.split("SELECT c.doc_id", 1)[0].rstrip().rstrip(",")
 
 
-_BLOOM_HASH_DUCK = (
-    "CAST(('0x' || substr(md5('bloom' || CAST({j} AS VARCHAR) || '|' || "
-    "CAST({gh} AS VARCHAR)), 1, 15)) AS BIGINT) % " + str(_BLOOM_M)
-)
+def _bloom_hash_duck(j: str, gh: str, m: int = _BLOOM_M) -> str:
+    """DuckDB rendering of :func:`_bloom_pos` — same seeded md5, same
+    15-hex-digit truncation, same modulus, so the filter (and its
+    deterministic false positives) reproduce bit-for-bit in the oracle."""
+    return (
+        f"CAST(('0x' || substr(md5('bloom' || CAST({j} AS VARCHAR) || '|' || "
+        f"CAST({gh} AS VARCHAR)), 1, 15)) AS BIGINT) % {m}"
+    )
 
 _BLOOM_ORACLE = f"""
 WITH {_novelty_gram_prefix()},
 seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
 bits AS (
-    SELECT DISTINCT {_BLOOM_HASH_DUCK.format(j="s.j", gh="r.gh")} AS pos
+    SELECT DISTINCT {_bloom_hash_duck("s.j", "r.gh")} AS pos
     FROM ref r, seeds s
 ),
 probe AS (
     SELECT c.doc_id, c.gh, s.j,
-           {_BLOOM_HASH_DUCK.format(j="s.j", gh="c.gh")} AS pos
+           {_bloom_hash_duck("s.j", "c.gh")} AS pos
     FROM cand c, seeds s
 ),
 hits AS (
@@ -790,7 +799,7 @@ GROUP BY h.doc_id
 """
 
 
-def _bloom_pos(j: F.Column, gh: F.Column) -> F.Column:
+def _bloom_pos(j: F.Column, gh: F.Column, m: int = _BLOOM_M) -> F.Column:
     return (
         F.conv(
             F.substring(
@@ -808,7 +817,7 @@ def _bloom_pos(j: F.Column, gh: F.Column) -> F.Column:
             16,
             10,
         ).cast("long")
-        % _BLOOM_M
+        % m
     )
 
 
@@ -830,19 +839,35 @@ def bloom_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     row. At 100 TB the bits table would be a real bitset aggregated with
     bit-OR partials; the positions-table form keeps identical semantics
     and lets the oracle check it."""
-    d = load_table(spark, sf_dir, "documents")
+    result, grams = _bloom_probe_plan(spark, sf_dir)
+    # materialize the per-doc result while grams is cached, then release
+    # the cache deterministically (131-query driver sessions must not
+    # accumulate leaked relations)
+    out = result.persist()
+    out.count()
+    grams.unpersist()
+    return out
+
+
+def _novelty_grams(spark: SparkSession, sf_dir: str):
+    """The shared gram relation of the novelty gates, PERSISTED (every
+    gate reads it from ≥2 sides; the recompute of the tokenize + explode
+    + hash + dedup subtree measured 2× end-to-end at 300×). Callers own
+    the handle and must ``unpersist()`` once their result is
+    materialized."""
     from change_data_capture_spark.functions.text import (
         seeded_hash,
         shingles_from_tokens,
     )
 
+    d = load_table(spark, sf_dir, "documents")
     ref_srcs = ("src0", "src1", "src2", "src3")
     base = d.select(
         "doc_id",
         F.col("source").isin(*ref_srcs).alias("is_ref"),
         tokens(F.col("text")).alias("toks"),
     ).where(F.size("toks") >= 5)
-    grams = (
+    return (
         base.select(
             "doc_id",
             "is_ref",
@@ -854,8 +879,16 @@ def bloom_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             seeded_hash(F.col("gram"), seed="novelty").alias("gh"),
         )
         .dropDuplicates(["doc_id", "gh"])
-        .persist()  # ref bits + cand probe + exact join all consume it
+        .persist()
     )
+
+
+def _bloom_probe_plan(spark: SparkSession, sf_dir: str):
+    """Lazy plan + persisted gram handle of :func:`bloom_novelty_probe`
+    (split out so plan pins inspect the real compute plan; the gate
+    wrapper returns a cached result whose formatted explain duplicates
+    operators across AQE initial/final renderings)."""
+    grams = _novelty_grams(spark, sf_dir)
     ref = grams.where("is_ref").select("gh").distinct()
     cand = grams.where(~F.col("is_ref")).select("doc_id", "gh")
     seeds = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
@@ -880,7 +913,7 @@ def bloom_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "gh", F.col("ref_gh").isNotNull().alias("seen"))
     flag = (F.col("k_hits") == _BLOOM_K).cast("int")
     seen = F.col("seen").cast("int")
-    return (
+    result = (
         hits.join(exact, ["doc_id", "gh"])
         .groupBy("doc_id")
         .agg(
@@ -893,21 +926,26 @@ def bloom_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return result, grams
 
 
 bloom_novelty_probe.__doc__ = bloom_novelty_probe.__doc__.format(k=_BLOOM_K)
 
 
-_BLOOM_PROD_ORACLE = f"""
+def _bloom_prod_oracle(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+    """DuckDB oracle for :func:`ngram_novelty_bloom` at ANY (m, k) — the
+    seeded-md5 family is engine-portable, so the pytest that pins a second
+    (m, k) point reuses this builder."""
+    return f"""
 WITH {_novelty_gram_prefix()},
-seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
+seeds AS (SELECT unnest(range(0, {k})) AS j),
 bits AS (
-    SELECT DISTINCT {_BLOOM_HASH_DUCK.format(j="s.j", gh="r.gh")} AS pos
+    SELECT DISTINCT {_bloom_hash_duck("s.j", "r.gh", m)} AS pos
     FROM ref r, seeds s
 ),
 probe AS (
     SELECT c.doc_id, c.gh, s.j,
-           {_BLOOM_HASH_DUCK.format(j="s.j", gh="c.gh")} AS pos
+           {_bloom_hash_duck("s.j", "c.gh", m)} AS pos
     FROM cand c, seeds s
 ),
 hits AS (
@@ -917,13 +955,16 @@ hits AS (
 )
 SELECT doc_id,
        count(*) AS n_grams,
-       CAST(SUM(CASE WHEN k_hits = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN k_hits = {k} THEN 1 ELSE 0 END) AS BIGINT)
            AS n_flagged,
-       1.0 - CAST(SUM(CASE WHEN k_hits = {_BLOOM_K} THEN 1 ELSE 0 END)
+       1.0 - CAST(SUM(CASE WHEN k_hits = {k} THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*) AS bloom_novelty
 FROM hits
 GROUP BY doc_id
 """
+
+
+_BLOOM_PROD_ORACLE = _bloom_prod_oracle()
 
 
 @query("ngram_novelty_bloom", oracle=_BLOOM_PROD_ORACLE)
@@ -949,69 +990,93 @@ def ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion, no per-gram agg): the only shuffles left are the gram
     dedup and the per-DOC agg the result needs anyway.
 
-    Scale: the ref side folds to ≤ 2^18 distinct positions regardless of
+    Scale: the ref side folds to <= m distinct positions regardless of
     corpus size, collected once at plan build (bounded by m, not the
     corpus; a deployment rebuilds it incrementally per ingest batch with
     bit-OR partials); cand-side cost is O(candidate grams) with k md5s +
-    k bitset lookups per gram, all whole-stage codegen."""
-    d = load_table(spark, sf_dir, "documents")
-    from change_data_capture_spark.functions.text import (
-        seeded_hash,
-        shingles_from_tokens,
-    )
+    k bitset lookups per gram, all whole-stage codegen.
 
-    ref_srcs = ("src0", "src1", "src2", "src3")
-    base = d.select(
-        "doc_id",
-        F.col("source").isin(*ref_srcs).alias("is_ref"),
-        tokens(F.col("text")).alias("toks"),
-    ).where(F.size("toks") >= 5)
-    grams = (
-        base.select(
-            "doc_id",
-            "is_ref",
-            F.explode(shingles_from_tokens(F.col("toks"), k=5)).alias("gram"),
-        )
-        .select(
-            "doc_id",
-            "is_ref",
-            seeded_hash(F.col("gram"), seed="novelty").alias("gh"),
-        )
-        .dropDuplicates(["doc_id", "gh"])
-        # two consumers (the ref-side bitset fold and the cand-side
-        # probe): without persist each recomputes the tokenize + explode
-        # + hash + dedup subtree — the gate's dominant cost, measured 2×
-        # end-to-end at 300× (same discipline as the audit twin)
-        .persist()
+    SIZING — the gate-scale default (m = 2^18 bits, k = 3) is sized for
+    this corpus, NOT for production: a Bloom filter holding n distinct
+    reference grams at false-positive rate p needs
+    ``m ~= n * ln(1/p) / ln(2)^2`` bits and ``k = (m/n) * ln 2`` hashes
+    (a 100 TB reference corpus has ~1e12 distinct 5-grams -> ~1.2 TB of
+    filter at p = 1e-3, which no single filter ships whole; production
+    shards the filter by gram-hash range and probes the matching shard).
+    Past ``_BLOOM_LITERAL_MAX_BITS`` (2^27 bits = a 16 MB constant) the
+    packed bitset stops being a sane plan literal and
+    :func:`_bloom_novelty_plan` automatically ships it as a one-row
+    broadcast relation instead (one BroadcastNestedLoopJoin against a
+    single build row = a broadcast variable in DataFrame clothing); below
+    it the literal keeps the plan join-free. Saturation is the honest
+    failure mode of an undersized m: FPR -> 1 and measured novelty -> 0.
+    Both (m, k) and the transport are parameters; a second (m, k) point
+    and the broadcast transport are oracle-pinned in
+    ``tests/test_analytics_queries.py``."""
+    result, grams = _bloom_novelty_plan(spark, sf_dir)
+    # materialize the per-doc result while grams is cached, then release
+    # the cache deterministically (see _novelty_grams)
+    out = result.persist()
+    out.count()
+    grams.unpersist()
+    return out
+
+
+def _bloom_novelty_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    bitmap_transport: str = "auto",
+):
+    """Build the production Bloom-novelty plan at any ``(m, k)``; returns
+    ``(result_df, grams_handle)``. ``bitmap_transport`` is ``"literal"``
+    (packed bitset as an array literal inside the plan — join-free),
+    ``"broadcast"`` (one-row broadcast relation carrying the array — for
+    filters past the literal ceiling), or ``"auto"`` (literal up to
+    ``_BLOOM_LITERAL_MAX_BITS``, broadcast above)."""
+    if m % 64 != 0 or m <= 0:
+        raise ValueError(f"Bloom m must be a positive multiple of 64, got {m}")
+    if bitmap_transport not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown bitmap_transport {bitmap_transport!r}")
+    use_literal = bitmap_transport == "literal" or (
+        bitmap_transport == "auto" and m <= _BLOOM_LITERAL_MAX_BITS
     )
+    grams = _novelty_grams(spark, sf_dir)
     ref = grams.where("is_ref").select("gh").distinct()
     cand = grams.where(~F.col("is_ref")).select("doc_id", "gh")
     # fold the reference into the real bitset: k positions per ref gram,
-    # distinct-folded to ≤ m rows, collected once (bounded by m = 2^18,
-    # never by the corpus), packed into 4096 longs
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+    # distinct-folded to <= m rows, collected once (bounded by m, never
+    # by the corpus), packed into m/64 longs
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
     pos_rows = (
         ref.select("gh", seeds)
-        .select(_bloom_pos(F.col("j"), F.col("gh")).alias("pos"))
+        .select(_bloom_pos(F.col("j"), F.col("gh"), m).alias("pos"))
         .distinct()
         .collect()
     )
-    words = [0] * (_BLOOM_M // 64)
+    words = [0] * (m // 64)
     for r in pos_rows:
         p = r["pos"]
         words[p >> 6] |= 1 << (p & 63)
-    # pack as SIGNED 64-bit for the LongType literal
-    bitmap = F.lit(
-        [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    )
+    # pack as SIGNED 64-bit for the LongType array
+    packed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    if use_literal:
+        probed = cand
+        bitmap = F.lit(packed)
+    else:
+        # one-row relation, broadcast onto every candidate gram: the same
+        # bits, shipped once per executor instead of once per task binary
+        bm = spark.createDataFrame([(packed,)], "_bm array<bigint>")
+        probed = cand.join(F.broadcast(bm))
+        bitmap = F.col("_bm")
     # k probes inside ONE projection: element_at is 1-based; testing the
     # bit via shiftright+AND keeps everything in signed-long arithmetic
     # (the DataFrame-API shiftright only takes a literal bit count, so the
     # variable-distance shift is a SQL expression over staged columns)
-    probed = cand
     hit_exprs = []
-    for j in range(_BLOOM_K):
-        pos = _bloom_pos(F.lit(j), F.col("gh"))
+    for j in range(k):
+        pos = _bloom_pos(F.lit(j), F.col("gh"), m)
         probed = probed.withColumn(f"_p{j}", pos).withColumn(
             f"_w{j}",
             F.element_at(bitmap, F.shiftright(F.col(f"_p{j}"), 6).cast("int") + 1),
@@ -1020,13 +1085,18 @@ def ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(shiftright(_w{j}, CAST(_p{j} % 64 AS INT)) & 1) = 1")
         )
     flag = functools.reduce(lambda a, b: a & b, hit_exprs).cast("int")
-    return probed.select("doc_id", flag.alias("flag")).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum("flag").alias("n_flagged"),
-        (1.0 - F.sum("flag").cast("double") / F.count(F.lit(1))).alias(
-            "bloom_novelty"
-        ),
+    result = (
+        probed.select("doc_id", flag.alias("flag"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("flag").alias("n_flagged"),
+            (1.0 - F.sum("flag").cast("double") / F.count(F.lit(1))).alias(
+                "bloom_novelty"
+            ),
+        )
     )
+    return result, grams
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,33 @@ from change_data_capture_spark.queries import query
 from change_data_capture_spark.sources.tables import load_table
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """Crash-recovery preamble shared by both compaction entry points: if a
+    prior :func:`_swap_compacted` died between its two renames, the
+    canonical directory is ABSENT and the only complete copies live at
+    ``path__compacting`` (the finished rewrite — it is fully written before
+    the swap starts) and ``path__old`` (the pre-compaction data). A retry
+    must restore one of them BEFORE its leftover sweep, or the sweep
+    deletes the sole recovery copy and the table is gone. Prefers the
+    finished rewrite (the state a completed swap would have left), falls
+    back to the old data, and raises when neither exists — never silently
+    proceeds to a scan of a missing table."""
+    import os
+
+    if os.path.exists(path):
+        return
+    tmp, old = f"{path}__compacting", f"{path}__old"
+    if os.path.exists(tmp):
+        os.rename(tmp, path)
+    elif os.path.exists(old):
+        os.rename(old, path)
+    else:
+        raise RuntimeError(
+            f"table directory {path!r} is missing and no recovery copy "
+            f"exists at {tmp!r} or {old!r}"
+        )
+
+
 def _swap_compacted(path: str) -> None:
     """The crash-safe two-rename swap shared by both compaction paths:
     the rewrite has landed at ``path__compacting``; rename the old
@@ -55,6 +82,7 @@ def compact_parquet(
     """
     import os
 
+    _recover_interrupted_swap(path)
     df = spark.read.parquet(path)
     in_bytes = sum(
         os.path.getsize(os.path.join(root, f))
@@ -201,16 +229,23 @@ def compact_bucketed(
     compacted files are written under a throwaway table name to a
     sibling directory, the catalog entry of the REAL table is never
     dropped, and a crash leaves a complete copy at ``path``,
-    ``path__old``, or ``path__compacting``."""
+    ``path__old``, or ``path__compacting``. A retry after a crash
+    restores the canonical directory from the recovery copy FIRST
+    (:func:`_recover_interrupted_swap`) — the leftover sweep never runs
+    while ``path`` is absent."""
     import os
     import shutil
     import uuid as _uuid
 
     tmp_tbl = f"{table}__compacting_{_uuid.uuid4().hex[:8]}"
     tmp, old = f"{path}__compacting", f"{path}__old"
+    # recover BEFORE sweeping: after a crash between _swap_compacted's two
+    # renames the canonical dir is absent and tmp/old hold the only copies
+    _recover_interrupted_swap(path)
     for d in (tmp, old):
         if os.path.exists(d):
             shutil.rmtree(d)
+    spark.catalog.refreshTable(table)
     # a plain scan→write has no join/agg to justify the bucket layout, so
     # autoBucketedScan silently falls back to file-split reads — many
     # tasks per bucket, each writing its own per-bucket file, i.e. the

@@ -594,6 +594,22 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     side would additionally be a broadcast Bloom/HLL sketch when it fits,
     dropping the shuffle entirely; the exact join is kept here because the
     oracle must be exact."""
+    result, grams = _novelty_score_plan(spark, sf_dir)
+    # materialize the (small, per-doc) result while the gram relation is
+    # still cached, then release the cache DETERMINISTICALLY — a driver
+    # session runs 100+ gates and leaked caches accumulate into eviction
+    # churn for every later query
+    out = result.persist()
+    out.count()
+    grams.unpersist()
+    return out
+
+
+def _novelty_score_plan(spark: SparkSession, sf_dir: str):
+    """The lazy plan of :func:`ngram_novelty_score` plus the persisted gram
+    relation handle — split out so plan pins can inspect the REAL compute
+    plan (the gate wrapper returns a cached result whose formatted explain
+    duplicates operators across AQE initial/final renderings)."""
     d = load_table(spark, sf_dir, "documents")
     ref_srcs = ("src0", "src1", "src2", "src3")
     base = d.select(
@@ -622,7 +638,7 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = grams.where("is_ref").select(F.col("gh").alias("ref_gh")).distinct()
     cand = grams.where(~F.col("is_ref")).select("doc_id", "gh")
     seen = F.count("ref_gh")
-    return (
+    result = (
         cand.join(ref, cand["gh"] == ref["ref_gh"], "left")
         .groupBy("doc_id")
         .agg(
@@ -631,6 +647,7 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1.0 - seen.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
     )
+    return result, grams
 
 
 # ---------------------------------------------------------------------------

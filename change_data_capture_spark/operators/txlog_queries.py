@@ -767,3 +767,103 @@ def txlog_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         metadata={"schema": _EVOLVED_SCHEMA},
     )
     return txlog.read_version(spark, tdir)
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE HISTORY — the log as the audit surface
+# ---------------------------------------------------------------------------
+
+_HISTORY_ORACLE = """
+WITH a AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = 0),
+     b AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = 1),
+     bdel AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 8 = 1)
+SELECT CAST(version AS BIGINT) AS version, operation,
+       CAST(n_add AS BIGINT) AS n_add, CAST(n_remove AS BIGINT) AS n_remove,
+       CAST(rows_added AS BIGINT) AS rows_added, metadata_changed
+FROM (
+    SELECT 0 AS version, 'WRITE' AS operation, 1 AS n_add, 0 AS n_remove,
+           (SELECT n FROM a) AS rows_added, FALSE AS metadata_changed
+    UNION ALL SELECT 1, 'WRITE', 1, 0, (SELECT n FROM b), FALSE
+    UNION ALL SELECT 2, 'UPDATE', 1, 1, (SELECT n FROM a), FALSE
+    UNION ALL SELECT 3, 'DELETE', 1, 1,
+              (SELECT n FROM b) - (SELECT n FROM bdel), FALSE
+    UNION ALL SELECT 4, 'SET METADATA', 0, 0, NULL, TRUE
+)
+"""
+
+
+@query("txlog_history", oracle=_HISTORY_ORACLE)
+def txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` over the commit log (:func:`txlog.history`):
+    a deterministic DML script — two appends, a predicate UPDATE, a
+    predicate DELETE, a metadata-only schema commit — then the audit
+    rows the log records for it: the operation NAME each DML entry point
+    stamped into its commit (Delta's ``commitInfo.operation``), add/
+    remove file counts, rows added from the per-file ``num_rows`` the
+    stats-collecting writer recorded (None when a commit adds nothing),
+    and whether table metadata changed. The oracle recomputes the
+    data-dependent row counts from ``orders`` and pins the rest as the
+    literal audit trail the script must produce — every file count is
+    deterministic because each append lands exactly one file and each
+    rewrite rescans exactly one file.
+
+    Completes the Delta read surface (time travel r6, CDF r6, restore
+    r7, vacuum r8, DML r6/r8/r9): the log is the audit trail — history
+    is a driver-side O(commits) fold of KB-sized JSON, zero data read,
+    at any table size."""
+    from change_data_capture_spark.sources.tables import load_table
+
+    tdir = tempfile.mkdtemp(prefix="cdc_txhist_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    a = o.where(F.col("o_orderkey") % 4 == 0).repartition(1)
+    b = o.where(F.col("o_orderkey") % 4 == 1).repartition(1)
+    txlog.commit(
+        tdir,
+        add=txlog.write_files(a, tdir, stats_cols=["o_orderkey"]),
+        expected_version=0,
+        operation="WRITE",
+    )
+    txlog.commit(
+        tdir,
+        add=txlog.write_files(b, tdir, stats_cols=["o_orderkey"]),
+        expected_version=1,
+        operation="WRITE",
+    )
+    # %8==0 rows all live in file a; %8==1 rows all in file b — each DML
+    # touches exactly one file, so the audit counts are deterministic
+    txlog.update_where(
+        spark,
+        tdir,
+        "o_orderkey % 8 = 0",
+        {"o_totalprice": "o_totalprice * CAST(2 AS DOUBLE)"},
+        stats_cols=["o_orderkey"],
+    )
+    txlog.delete_where(
+        spark, tdir, "o_orderkey % 8 = 1", stats_cols=["o_orderkey"]
+    )
+    txlog.commit(
+        tdir,
+        add=[],
+        expected_version=4,
+        metadata={
+            "schema": "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
+        },
+    )
+    hist = txlog.history(tdir)
+    return spark.createDataFrame(
+        [
+            (
+                h["version"],
+                h["operation"],
+                h["n_add"],
+                h["n_remove"],
+                h["rows_added"],
+                h["metadata_changed"],
+            )
+            for h in hist
+        ],
+        "version BIGINT, operation STRING, n_add BIGINT, n_remove BIGINT, "
+        "rows_added BIGINT, metadata_changed BOOLEAN",
+    )

@@ -111,6 +111,7 @@ def commit(
     txn: dict | None = None,
     expected_version: int | None = None,
     metadata: dict | None = None,
+    operation: str | None = None,
 ) -> int:
     """Atomically commit the next log version.
 
@@ -118,7 +119,11 @@ def commit(
     or ``{"path", "stats"}`` dicts when the writer collected per-file
     min/max column stats (see :func:`write_files`); ``remove`` entries
     are paths leaving it; ``txn`` is an optional
-    ``{"app_id": ..., "batch_id": ...}`` marker; ``metadata`` is an
+    ``{"app_id": ..., "batch_id": ...}`` marker; ``operation`` is the
+    Delta ``commitInfo.operation`` twin — the DML entry points record
+    their names (``WRITE``/``UPDATE``/``DELETE``/``MERGE``) so
+    :func:`history` can report WHAT each version did, not just its
+    add/remove shape; ``metadata`` is an
     optional Delta-style ``metaData`` action — the table's declared
     schema (``{"schema": <DDL string>}``) and/or CHECK constraints
     (``{"constraints": {name: sql_predicate}}``); the LATEST metadata
@@ -144,6 +149,7 @@ def commit(
             "remove": list(remove or ()),
             "txn": txn,
             "metadata": metadata,
+            "operation": operation,
         }
         # Serialize BEFORE touching the log: a json TypeError here leaves
         # no trace on disk, and the published entry always carries its
@@ -526,7 +532,8 @@ def merge_into(
         merged = src  # nothing matched anywhere: pure insert
     new_actions = write_files(merged, table_dir, stats_cols=stats_cols)
     version = commit(
-        table_dir, add=new_actions, remove=touched, expected_version=tip + 1
+        table_dir, add=new_actions, remove=touched, expected_version=tip + 1,
+        operation="MERGE",
     )
     return version, touched
 
@@ -596,9 +603,50 @@ def delete_where(
     )
     new_actions = write_files(kept, table_dir, stats_cols=stats_cols)
     version = commit(
-        table_dir, add=new_actions, remove=touched, expected_version=tip + 1
+        table_dir, add=new_actions, remove=touched, expected_version=tip + 1,
+        operation="DELETE",
     )
     return version, touched
+
+
+def _check_update_types(snap, set_exprs: dict[str, str]) -> None:
+    """Reject an UPDATE whose SET expression cannot sensibly store into its
+    target column — Delta's UPDATE fails analysis on a non-coercible type;
+    a silent ``cast`` would turn ``SET price = name`` into NULLs instead.
+    Resolution is analysis-only (no job): the expression's type comes from
+    the snapshot's analyzed schema. Store-assignment policy (ANSI-shaped):
+    exact type match, NULL literals, numeric→numeric, string→string, and
+    date↔timestamp are coercible; everything else raises."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DateType,
+        NullType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
+
+    resolved = snap.select(
+        *[F.expr(e).alias(c) for c, e in set_exprs.items()]
+    ).schema
+    for f in resolved:
+        src, dst = f.dataType, snap.schema[f.name].dataType
+        ok = (
+            src == dst
+            or isinstance(src, NullType)
+            or (isinstance(src, NumericType) and isinstance(dst, NumericType))
+            or (isinstance(src, StringType) and isinstance(dst, StringType))
+            or (
+                isinstance(src, (DateType, TimestampType))
+                and isinstance(dst, (DateType, TimestampType))
+            )
+        )
+        if not ok:
+            raise ValueError(
+                f"UPDATE SET {f.name} = {set_exprs[f.name]!r}: expression "
+                f"type {src.simpleString()} cannot store into column type "
+                f"{dst.simpleString()}"
+            )
 
 
 def update_where(
@@ -634,7 +682,10 @@ def update_where(
 
     ``set_exprs`` maps existing column names to SQL expressions over
     the table's columns; an unknown column raises (UPDATE never adds
-    columns — that is schema evolution's job).
+    columns — that is schema evolution's job), and a SET expression
+    whose resolved type cannot store into the target column raises at
+    analysis time (:func:`_check_update_types`) instead of silently
+    NULLing data through a cast.
 
     Scale: O(touched files), never O(table) — repricing one key range
     of a range-clustered 100 TB table rewrites only the files whose
@@ -645,13 +696,15 @@ def update_where(
 
     tip = latest_version(table_dir)
     cand = snapshot_files(table_dir, tip, predicate_range=prune_range)
-    cols = read_version(spark, table_dir, tip).columns
+    snap = read_version(spark, table_dir, tip)
+    cols = snap.columns
     unknown = set(set_exprs) - set(cols)
     if unknown:
         raise ValueError(
             f"UPDATE SET references non-existent column(s) {sorted(unknown)}; "
             f"table columns are {cols}"
         )
+    _check_update_types(snap, set_exprs)
     touched: list[str] = []
     if cand:
         hit = (
@@ -693,7 +746,8 @@ def update_where(
     )
     new_actions = write_files(updated, table_dir, stats_cols=stats_cols)
     version = commit(
-        table_dir, add=new_actions, remove=touched, expected_version=tip + 1
+        table_dir, add=new_actions, remove=touched, expected_version=tip + 1,
+        operation="UPDATE",
     )
     return version, touched
 
@@ -773,6 +827,7 @@ def restore(table_dir: str, version: int) -> int:
         add=[a for a in old_actions if _action_path(a) not in cur],
         remove=[p for p in cur if p not in old],
         expected_version=tip + 1,
+        operation="RESTORE",
     )
 
 
@@ -865,6 +920,55 @@ def count_rows(table_dir: str, version: int | None = None) -> int | None:
             return None
         total += int(a["num_rows"])
     return total
+
+
+def history(table_dir: str) -> list[dict]:
+    """Delta ``DESCRIBE HISTORY`` twin: one audit row per committed
+    version, oldest first — the recorded ``operation`` (falling back to
+    an add/remove-shape classification for commits that predate the
+    field), file counts, rows added (when every add action carries
+    ``num_rows``; None otherwise — refusing, not guessing, same contract
+    as :func:`count_rows`), the txn app id, and whether the commit
+    changed table metadata. Pure driver-side log fold, O(commits),
+    KB-sized JSON each — the log IS the audit trail, no data read.
+
+    Reference parity: the reference's Delta sink exposes DESCRIBE
+    HISTORY for exactly this "what changed the table, when" audit
+    (``/root/reference/README.md`` names Delta as the sink format)."""
+    rows: list[dict] = []
+    for v in range(latest_version(table_dir) + 1):
+        with open(_commit_path(table_dir, v)) as f:
+            payload = json.load(f)
+        add = payload.get("add") or []
+        remove = payload.get("remove") or []
+        meta = payload.get("metadata")
+        op = payload.get("operation")
+        if op is None:  # legacy commits: classify by action shape
+            if add and remove:
+                op = "REWRITE"
+            elif add:
+                op = "WRITE"
+            elif remove:
+                op = "DELETE"
+            elif meta is not None:
+                op = "SET METADATA"
+            else:
+                op = "EMPTY"
+        rows_added = None
+        if add and all(isinstance(a, dict) and "num_rows" in a for a in add):
+            rows_added = sum(int(a["num_rows"]) for a in add)
+        rows.append(
+            {
+                "version": v,
+                "operation": op,
+                "n_add": len(add),
+                "n_remove": len(remove),
+                "rows_added": rows_added,
+                "txn_app_id": (payload.get("txn") or {}).get("app_id"),
+                "metadata_changed": meta is not None,
+            }
+        )
+    return rows
 
 
 def vacuum(

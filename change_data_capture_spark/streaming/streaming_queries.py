@@ -114,7 +114,8 @@ def streaming_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     final = state.read()
-    assert final is not None
+    if final is None:  # explicit, not assert: python -O must not skip it
+        raise RuntimeError("SCD2 state store is empty after the drain")
     return _flagship_shape(final)
 
 
@@ -169,7 +170,8 @@ def streaming_scd2_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_batch(state, batches[2])
 
     final = state.read()
-    assert final is not None
+    if final is None:  # explicit, not assert: python -O must not skip it
+        raise RuntimeError("SCD2 state store is empty after the drain")
     return _flagship_shape(final)
 
 
@@ -264,6 +266,8 @@ def _stage_event_time_slices(
 
     with_us = events.withColumn("_us", F.unix_micros("ts"))
     lo, hi = with_us.select(F.min("_us"), F.max("_us")).first()
+    if lo is None:  # empty input: nothing to slice, nothing to drain
+        raise RuntimeError("cannot stage time slices: events input is empty")
     bounds = [lo + (hi - lo) * (i + 1) // n for i in range(n - 1)]
     us = F.col("_us")
     slice_id = F.lit(n - 1)
@@ -283,6 +287,13 @@ def _stage_event_time_slices(
     now = _time.time()
     for i in range(n):
         d = f"{staged}/_slice={i}"
+        # a slice can be EMPTY under timestamp skew (or lo == hi, which
+        # sends every row to slice 0): partitionBy writes no dir for it.
+        # Merge empty slices away (fewer micro-batches; per-user ts order
+        # — the invariant the stateful gates depend on — still holds)
+        # rather than raising on a legitimate skewed input.
+        if not os.path.isdir(d):
+            continue
         parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
         # explicit raise, not assert: under `python -O` a 2-file slice
         # would otherwise silently drop rows from every staged gate
@@ -1407,6 +1418,7 @@ def streaming_dedup_minhash_incremental(
     spark: SparkSession,
     sf_dir: str,
     band_store_buckets: int = _BAND_STORE_BUCKETS,
+    compact_after_batch: int | None = None,
 ) -> DataFrame:
     """STREAMING incremental MinHash-LSH dedup — the batch
     ``dedup_minhash_incremental`` upgraded to the shape it models
@@ -1561,6 +1573,20 @@ def streaming_dedup_minhash_incremental(
         )
         batch_store.write.mode("append").parquet(store)
         batch_store.unpersist()
+        if compact_after_batch is not None and batch_id == compact_after_batch:
+            # mid-stream OPTIMIZE: bin-pack the band store's accumulated
+            # per-append files while the drain is between batches — the
+            # maintenance job every production continuous-ingest store
+            # runs concurrently. Later batches must join the compacted
+            # store identically (streaming_dedup_compact_midstream pins it)
+            from change_data_capture_spark.operators.maintenance import (
+                compact_bucketed,
+            )
+
+            compact_bucketed(
+                sess, band_tbl, ["band", "sig"], band_store_buckets,
+                f"{ws}/band_store",
+            )
 
     try:
         q = (
@@ -1578,6 +1604,31 @@ def streaming_dedup_minhash_incremental(
         # uuid-named registration into the shared session catalog
         spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")
     return spark.read.parquet(pairs_dir)
+
+
+@query("streaming_dedup_compact_midstream", oracle=_MINHASH_INCR_ORACLE)
+def streaming_dedup_compact_midstream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain → OPTIMIZE → keep draining: the
+    ``streaming_dedup_minhash_incremental`` skeleton with
+    :func:`~change_data_capture_spark.operators.maintenance.compact_bucketed`
+    run on the band store BETWEEN micro-batches (after batch 0's append,
+    before batch 1 fires). Production continuous ingest always runs
+    compaction concurrently with the stream (the reference's S6 sink,
+    ``connectors/s3-sink.json:13``, accumulates per-batch files
+    forever otherwise) — this gate proves the maintenance job is
+    TRANSPARENT to the pipeline: the bin-pack rewrites every bucket's
+    accumulated append-files into one file per bucket with zero
+    Exchange, preserves the bucket layout (batch 1's store-side join
+    still plans with no store shuffle — the plan pin in
+    ``tests/test_plans.py`` covers append→compact→join), and the
+    drained pair log still equals the full-recompute oracle
+    bit-for-bit. Parity with the uncompacted drain is additionally
+    pinned in ``tests/test_streaming.py``."""
+    return streaming_dedup_minhash_incremental(
+        spark, sf_dir, compact_after_batch=0
+    )
 
 
 @query("streaming_dedup_simhash_incremental", oracle=_SIMHASH_INCR_ORACLE)

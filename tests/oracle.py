@@ -40,7 +40,12 @@ def compare(name: str, spark, sf_dir: str, queries: dict, oracles: dict) -> None
     con = duck_connection(sf_dir)
     want = con.sql(oracles[name]).df()
     con.close()
+    compare_frames(name, got, want)
 
+
+def compare_frames(name: str, got: pd.DataFrame, want: pd.DataFrame) -> None:
+    """The value-equality core of :func:`compare`, for callers that build
+    the Spark result / oracle frame themselves (parameterized gates)."""
     assert got.shape[0] == want.shape[0], (
         f"{name}: row count {got.shape[0]} != oracle {want.shape[0]}"
     )

@@ -105,10 +105,20 @@ def test_cms_probe_broadcasts_sketch(spark, sf_dir):
 def test_bloom_bits_broadcast(spark, sf_dir):
     """The Bloom set-bit table (bounded by m=2^18 rows) must broadcast —
     shuffling the reference side is the exact-join plan this fast path
-    exists to avoid."""
-    s = _stats(spark, sf_dir, "bloom_novelty_probe")
-    assert s.broadcast_exchanges >= 1, s.text
-    assert not s.has_cartesian and not s.has_bnlj
+    exists to avoid. Pins the lazy plan builder: the registered gate
+    returns a materialized cache (whose formatted explain duplicates
+    operators across AQE initial/final renderings)."""
+    from change_data_capture_spark.operators.analytics_queries import (
+        _bloom_probe_plan,
+    )
+
+    result, grams = _bloom_probe_plan(spark, sf_dir)
+    try:
+        s = plan_stats(result)
+        assert s.broadcast_exchanges >= 1, s.text
+        assert not s.has_cartesian and not s.has_bnlj
+    finally:
+        grams.unpersist()
 
 
 def test_bloom_novelty_prod_path_has_no_shuffle_join(spark, sf_dir):
@@ -120,12 +130,75 @@ def test_bloom_novelty_prod_path_has_no_shuffle_join(spark, sf_dir):
     per-gram re-agg, the form measured 11.7× superlinear at 300×) leaked
     back into the fast path. The only exchanges left are the gram dedup
     and the per-doc agg the result needs anyway."""
-    s = _stats(spark, sf_dir, "ngram_novelty_bloom")
-    assert "Join" not in s.text, s.text
-    # gram dedup (shown inside the persisted relation's plan) + per-doc
-    # agg; the cached-plan rendering can surface the dedup exchange twice
-    assert s.shuffle_exchanges <= 3, s.text
-    assert not s.has_cartesian and not s.has_bnlj
+    from change_data_capture_spark.operators.analytics_queries import (
+        _bloom_novelty_plan,
+    )
+
+    result, grams = _bloom_novelty_plan(spark, sf_dir)
+    try:
+        s = plan_stats(result)
+        assert "Join" not in s.text, s.text
+        # gram dedup (shown inside the persisted relation's plan) + per-doc
+        # agg; the cached-plan rendering can surface the dedup exchange twice
+        assert s.shuffle_exchanges <= 3, s.text
+        assert not s.has_cartesian and not s.has_bnlj
+    finally:
+        grams.unpersist()
+
+
+def test_bloom_second_mk_point_matches_oracle(spark, sf_dir):
+    """(m, k) are real parameters, not baked-in constants: at a second
+    point (m = 2^12, k = 5 — small enough that false positives actually
+    fire) the Spark result must still match the DuckDB oracle built from
+    the same (m, k)."""
+    from change_data_capture_spark.operators.analytics_queries import (
+        _bloom_novelty_plan,
+        _bloom_prod_oracle,
+    )
+    from tests.oracle import compare_frames, duck_connection
+
+    result, grams = _bloom_novelty_plan(spark, sf_dir, m=4096, k=5)
+    try:
+        got = result.toPandas()
+    finally:
+        grams.unpersist()
+    con = duck_connection(sf_dir)
+    want = con.sql(_bloom_prod_oracle(m=4096, k=5)).df()
+    con.close()
+    compare_frames("ngram_novelty_bloom[m=4096,k=5]", got, want)
+    # an undersized filter must actually saturate toward flagging
+    # (otherwise this point proves nothing about the parameterization)
+    assert got["n_flagged"].sum() > 0
+
+
+def test_bloom_broadcast_transport_matches_literal(spark, sf_dir):
+    """Past the literal ceiling the bitset ships as a one-row broadcast
+    relation — same bits, same result. Pin: the broadcast transport's
+    output equals the literal transport's at the same (m, k), and its
+    plan carries exactly the one broadcast of the bitmap row."""
+    from change_data_capture_spark.operators.analytics_queries import (
+        _bloom_novelty_plan,
+    )
+
+    lit_res, lit_grams = _bloom_novelty_plan(spark, sf_dir, m=65536, k=2)
+    try:
+        lit_rows = {
+            r["doc_id"]: (r["n_grams"], r["n_flagged"]) for r in lit_res.collect()
+        }
+    finally:
+        lit_grams.unpersist()
+    bc_res, bc_grams = _bloom_novelty_plan(
+        spark, sf_dir, m=65536, k=2, bitmap_transport="broadcast"
+    )
+    try:
+        s = plan_stats(bc_res)
+        assert s.broadcast_exchanges >= 1, s.text
+        bc_rows = {
+            r["doc_id"]: (r["n_grams"], r["n_flagged"]) for r in bc_res.collect()
+        }
+    finally:
+        bc_grams.unpersist()
+    assert lit_rows == bc_rows
 
 
 def test_bloom_prod_matches_audit_flags(spark, sf_dir):

@@ -5,6 +5,8 @@ from __future__ import annotations
 import glob
 import tempfile
 
+import pytest
+
 import __spark_entry__ as entrymod
 from tests.oracle import compare
 
@@ -55,6 +57,42 @@ def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir):
     for f in glob.glob(f"{ws}/t/*.parquet"):
         keys = pq.read_table(f, columns=["l_orderkey"])["l_orderkey"].to_pylist()
         assert keys == sorted(keys)
+
+
+def test_compaction_retry_recovers_interrupted_swap(spark, tmp_path):
+    """A retry after a crash BETWEEN the swap's two renames (canonical dir
+    absent; complete copies at __old and __compacting) must restore the
+    table before its leftover sweep — r9's entry sweep deleted the sole
+    recovery copy and then failed the scan. Also: a truly-lost table
+    (no recovery copy either) raises instead of proceeding."""
+    import os
+    import shutil
+
+    from change_data_capture_spark.operators.maintenance import (
+        _recover_interrupted_swap,
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(100).repartition(4).write.parquet(p)
+    # simulate the crash point: rewrite finished at __compacting, old data
+    # renamed aside, canonical path absent
+    spark.read.parquet(p).repartition(1).write.parquet(p + "__compacting")
+    os.rename(p, p + "__old")
+    compact_parquet(spark, p, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(p).count() == 100
+    assert not os.path.exists(p + "__old")
+    assert not os.path.exists(p + "__compacting")
+
+    # crash BEFORE the rewrite landed: only __old holds data → recover it
+    os.rename(p, p + "__old")
+    _recover_interrupted_swap(p)
+    assert spark.read.parquet(p).count() == 100
+
+    # no canonical dir and no recovery copy: raise, never sweep-and-scan
+    shutil.rmtree(p)
+    with pytest.raises(RuntimeError, match="no recovery copy"):
+        compact_parquet(spark, p)
 
 
 def test_base64_decimal_wart_yields_null_price(spark):

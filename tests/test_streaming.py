@@ -180,3 +180,23 @@ def test_streaming_incremental_dedup_equals_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert batch, "fixture delta must produce near-dup pairs"
+
+
+def test_midstream_compaction_is_transparent(spark, sf_dir):
+    """Running compact_bucketed on the band store BETWEEN micro-batches
+    must not change a single drained pair: the bin-pack preserves rows
+    and the bucket layout, so batch 1 joins the compacted store exactly
+    as it would the fragmented one."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    plain = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q["streaming_dedup_minhash_incremental"](spark, sf_dir).collect()
+    }
+    compacted = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q["streaming_dedup_compact_midstream"](spark, sf_dir).collect()
+    }
+    assert compacted == plain
+    assert plain, "fixture delta must produce near-dup pairs"

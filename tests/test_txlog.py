@@ -733,6 +733,16 @@ def test_update_where_rewrites_only_matching_files(spark, tmp_path):
     with pytest.raises(ValueError, match="non-existent column"):
         txlog.update_where(spark, t3, "id = 1", {"zzz": "1"})
 
+    # non-coercible SET expression raises at analysis (Delta UPDATE
+    # semantics) instead of silently NULLing data through a cast
+    with pytest.raises(ValueError, match="cannot store"):
+        txlog.update_where(spark, t3, "id = 1", {"id": "a"})  # string→int
+    # ...while sane store assignments still pass: numeric widening + NULL
+    txlog.update_where(spark, t3, "id = 1", {"id": "CAST(7 AS TINYINT)"})
+    assert txlog.read_version(spark, t3).collect()[0].id == 7
+    txlog.update_where(spark, t3, "id = 7", {"a": "NULL"})
+    assert txlog.read_version(spark, t3).collect()[0].a is None
+
     # no-match: metadata-only no-op, NO commit
     tip = txlog.latest_version(t)
     v2, touched2 = txlog.update_where(spark, t, "id > 99999", {"v": "'x'"})
@@ -883,3 +893,35 @@ def test_dml_reads_are_log_governed_after_evolution(spark, tmp_path):
     txlog.merge_into(spark, t, src, "id")
     got = {r.id: (r.v, r.category) for r in txlog.read_version(spark, t).collect()}
     assert got == {1: ("OLD", "backfilled"), 2: ("merged", "m")}
+
+
+def test_history_records_operations_and_counts(spark, tmp_path):
+    """history() reports the recorded operation name per version (the
+    commitInfo twin), classifies legacy commits by action shape, sums
+    rows_added from per-file num_rows, and refuses (None) when a commit's
+    adds carry no counts — the count_rows contract."""
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(1, "a"), (2, "b")]), t,
+                              stats_cols=["id"]),
+        expected_version=0,
+        operation="WRITE",
+    )
+    txlog.update_where(spark, t, "id = 1", {"v": "upper(v)"})
+    txlog.delete_where(spark, t, "id = 2")
+    # legacy commit: no operation field -> shape classification (add-only)
+    txlog.commit(t, add=txlog.write_files(_df(spark, [(3, "c")]), t),
+                 expected_version=3)
+    txlog.commit(t, add=[], expected_version=4,
+                 metadata={"schema": "id INT, v STRING"})
+
+    h = txlog.history(t)
+    assert [r["version"] for r in h] == [0, 1, 2, 3, 4]
+    assert [r["operation"] for r in h] == [
+        "WRITE", "UPDATE", "DELETE", "WRITE", "SET METADATA",
+    ]
+    assert h[0]["rows_added"] == 2
+    assert h[3]["rows_added"] is None  # stats-less write: refuse, not guess
+    assert h[4]["rows_added"] is None and h[4]["metadata_changed"]
+    assert (h[2]["n_add"], h[2]["n_remove"]) == (1, 1)
