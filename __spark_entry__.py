@@ -52,6 +52,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # --- round-10 additions (never driver-checked) ---
     "txlog_history",
     "streaming_dedup_compact_midstream",
+    "corpus_decontamination_bloom",
     # --- code changed in round 10 -> re-verify ---
     "ngram_novelty_bloom", "ngram_novelty_score", "bloom_novelty_probe",
     "txlog_update_where", "txlog_delete_where", "txlog_merge_upsert",

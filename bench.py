@@ -133,6 +133,7 @@ HEADLINE = [
     # round-10 additions: DESCRIBE HISTORY and drain→compact→drain
     "txlog_history",
     "streaming_dedup_compact_midstream",
+    "corpus_decontamination_bloom",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

@@ -1022,6 +1022,72 @@ def ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _validate_bloom_params(m: int, bitmap_transport: str) -> bool:
+    """Shared (m, transport) validation of the Bloom production gates;
+    returns whether the bitset ships as a plan literal."""
+    if m % 64 != 0 or m <= 0:
+        raise ValueError(f"Bloom m must be a positive multiple of 64, got {m}")
+    if bitmap_transport not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown bitmap_transport {bitmap_transport!r}")
+    return bitmap_transport == "literal" or (
+        bitmap_transport == "auto" and m <= _BLOOM_LITERAL_MAX_BITS
+    )
+
+
+def _fold_bitset(ref, m: int, k: int) -> list:
+    """Fold a one-column (``gh``) reference relation into the packed m-bit
+    Bloom bitset: k positions per gram, distinct-folded to <= m rows,
+    collected once (bounded by m, never by the corpus), packed into m/64
+    SIGNED 64-bit words (the LongType array element type)."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    pos_rows = (
+        ref.select("gh", seeds)
+        .select(_bloom_pos(F.col("j"), F.col("gh"), m).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in pos_rows:
+        p = r["pos"]
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_probe_flag(spark: SparkSession, cand, packed: list, m: int, k: int,
+                      use_literal: bool):
+    """Attach the k-probe Bloom membership test to ``cand`` (which must
+    carry a ``gh`` column); returns ``(probed_df, flag_col)`` where the
+    flag is 1 iff all k probed bits are set.
+
+    The k probes stay INSIDE one projection: element_at is 1-based;
+    testing the bit via shiftright+AND keeps everything in signed-long
+    arithmetic (the DataFrame-API shiftright only takes a literal bit
+    count, so the variable-distance shift is a SQL expression over staged
+    columns). With ``use_literal`` the bitset rides the plan as an array
+    literal (join-free); otherwise it ships as a one-row broadcast
+    relation — the same bits, once per executor instead of once per task
+    binary — for filters past the literal ceiling."""
+    if use_literal:
+        probed = cand
+        bitmap = F.lit(packed)
+    else:
+        bm = spark.createDataFrame([(packed,)], "_bm array<bigint>")
+        probed = cand.join(F.broadcast(bm))
+        bitmap = F.col("_bm")
+    hit_exprs = []
+    for j in range(k):
+        pos = _bloom_pos(F.lit(j), F.col("gh"), m)
+        probed = probed.withColumn(f"_p{j}", pos).withColumn(
+            f"_w{j}",
+            F.element_at(bitmap, F.shiftright(F.col(f"_p{j}"), 6).cast("int") + 1),
+        )
+        hit_exprs.append(
+            F.expr(f"(shiftright(_w{j}, CAST(_p{j} % 64 AS INT)) & 1) = 1")
+        )
+    flag = functools.reduce(lambda a, b: a & b, hit_exprs).cast("int")
+    return probed, flag
+
+
 def _bloom_novelty_plan(
     spark: SparkSession,
     sf_dir: str,
@@ -1035,56 +1101,12 @@ def _bloom_novelty_plan(
     ``"broadcast"`` (one-row broadcast relation carrying the array — for
     filters past the literal ceiling), or ``"auto"`` (literal up to
     ``_BLOOM_LITERAL_MAX_BITS``, broadcast above)."""
-    if m % 64 != 0 or m <= 0:
-        raise ValueError(f"Bloom m must be a positive multiple of 64, got {m}")
-    if bitmap_transport not in ("auto", "literal", "broadcast"):
-        raise ValueError(f"unknown bitmap_transport {bitmap_transport!r}")
-    use_literal = bitmap_transport == "literal" or (
-        bitmap_transport == "auto" and m <= _BLOOM_LITERAL_MAX_BITS
-    )
+    use_literal = _validate_bloom_params(m, bitmap_transport)
     grams = _novelty_grams(spark, sf_dir)
     ref = grams.where("is_ref").select("gh").distinct()
     cand = grams.where(~F.col("is_ref")).select("doc_id", "gh")
-    # fold the reference into the real bitset: k positions per ref gram,
-    # distinct-folded to <= m rows, collected once (bounded by m, never
-    # by the corpus), packed into m/64 longs
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
-    pos_rows = (
-        ref.select("gh", seeds)
-        .select(_bloom_pos(F.col("j"), F.col("gh"), m).alias("pos"))
-        .distinct()
-        .collect()
-    )
-    words = [0] * (m // 64)
-    for r in pos_rows:
-        p = r["pos"]
-        words[p >> 6] |= 1 << (p & 63)
-    # pack as SIGNED 64-bit for the LongType array
-    packed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    if use_literal:
-        probed = cand
-        bitmap = F.lit(packed)
-    else:
-        # one-row relation, broadcast onto every candidate gram: the same
-        # bits, shipped once per executor instead of once per task binary
-        bm = spark.createDataFrame([(packed,)], "_bm array<bigint>")
-        probed = cand.join(F.broadcast(bm))
-        bitmap = F.col("_bm")
-    # k probes inside ONE projection: element_at is 1-based; testing the
-    # bit via shiftright+AND keeps everything in signed-long arithmetic
-    # (the DataFrame-API shiftright only takes a literal bit count, so the
-    # variable-distance shift is a SQL expression over staged columns)
-    hit_exprs = []
-    for j in range(k):
-        pos = _bloom_pos(F.lit(j), F.col("gh"), m)
-        probed = probed.withColumn(f"_p{j}", pos).withColumn(
-            f"_w{j}",
-            F.element_at(bitmap, F.shiftright(F.col(f"_p{j}"), 6).cast("int") + 1),
-        )
-        hit_exprs.append(
-            F.expr(f"(shiftright(_w{j}, CAST(_p{j} % 64 AS INT)) & 1) = 1")
-        )
-    flag = functools.reduce(lambda a, b: a & b, hit_exprs).cast("int")
+    packed = _fold_bitset(ref, m, k)
+    probed, flag = _bloom_probe_flag(spark, cand, packed, m, k, use_literal)
     result = (
         probed.select("doc_id", flag.alias("flag"))
         .groupBy("doc_id")
@@ -1097,6 +1119,165 @@ def _bloom_novelty_plan(
         )
     )
     return result, grams
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination, Bloom production path — the corpus-hygiene twin
+# of ngram_novelty_bloom (ties the Bloom bitset into the decontamination
+# family end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _decontam_gram_prefix() -> str:
+    from change_data_capture_spark.operators.text_queries import _DECONTAM_ORACLE
+
+    body = _DECONTAM_ORACLE.strip().removeprefix("WITH")
+    return body.split("train AS", 1)[0].rstrip().rstrip(",")
+
+
+def _decontam_bloom_oracle(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+    """DuckDB oracle for :func:`corpus_decontamination_bloom` at any
+    (m, k) — same engine-portable seeded-md5 Bloom family, same
+    deterministic false positives, over the decontamination gram relation
+    (13-gram, ``decontam`` seed, 90/10 ``split`` buckets)."""
+    return f"""
+WITH {_decontam_gram_prefix()},
+ev AS (SELECT DISTINCT gh FROM grams WHERE bucket >= 90),
+train AS (SELECT doc_id, gh FROM grams WHERE bucket < 90),
+seeds AS (SELECT unnest(range(0, {k})) AS j),
+bits AS (
+    SELECT DISTINCT {_bloom_hash_duck("s.j", "e.gh", m)} AS pos
+    FROM ev e, seeds s
+),
+probe AS (
+    SELECT t.doc_id, t.gh, s.j,
+           {_bloom_hash_duck("s.j", "t.gh", m)} AS pos
+    FROM train t, seeds s
+),
+hits AS (
+    SELECT p.doc_id, p.gh, count(b.pos) AS k_hits
+    FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+    GROUP BY p.doc_id, p.gh
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(SUM(CASE WHEN k_hits = {k} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       CAST(max(CASE WHEN k_hits = {k} THEN 1 ELSE 0 END) AS INT)
+           AS contaminated
+FROM hits
+GROUP BY doc_id
+"""
+
+
+def _decontam_grams(spark: SparkSession, sf_dir: str):
+    """The decontamination gram relation (13-token shingles, ``decontam``
+    seed, seeded 90/10 train/eval split — identical to
+    ``corpus_decontamination``'s, so the exact join and the Bloom path
+    audit each other), PERSISTED: the Bloom plan reads it from both sides
+    (eval-side bitset fold + train-side probe). Callers own the handle
+    and must ``unpersist()`` once their result is materialized."""
+    from change_data_capture_spark.functions.text import (
+        seeded_hash,
+        shingles_from_tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = seeded_hash(F.col("doc_id").cast("string"), seed="split") % 100
+    base = d.select(
+        "doc_id",
+        (bucket < 90).alias("is_train"),
+        tokens(F.col("text")).alias("toks"),
+    ).where(F.size("toks") >= 13)
+    return (
+        base.select(
+            "doc_id",
+            "is_train",
+            F.explode(shingles_from_tokens(F.col("toks"), k=13)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_train",
+            seeded_hash(F.col("gram"), seed="decontam").alias("gh"),
+        )
+        .dropDuplicates(["doc_id", "gh"])
+        .persist()
+    )
+
+
+def _decontam_bloom_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    bitmap_transport: str = "auto",
+):
+    """Build the Bloom decontamination plan at any ``(m, k)``; returns
+    ``(result_df, grams_handle)``. Same transport contract as
+    :func:`_bloom_novelty_plan`, with the DIRECTION REVERSED: the bitset
+    folds the EVAL side (the small, fixed benchmark suite) and the probe
+    streams the TRAIN side (the 100 TB corpus) — see the gate docstring."""
+    use_literal = _validate_bloom_params(m, bitmap_transport)
+    grams = _decontam_grams(spark, sf_dir)
+    ev = grams.where(~F.col("is_train")).select("gh").distinct()
+    train = grams.where("is_train").select("doc_id", "gh")
+    packed = _fold_bitset(ev, m, k)
+    probed, flag = _bloom_probe_flag(spark, train, packed, m, k, use_literal)
+    result = (
+        probed.select("doc_id", flag.alias("flag"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("flag").alias("n_flagged"),
+            F.max("flag").alias("contaminated"),
+        )
+    )
+    return result, grams
+
+
+_DECONTAM_BLOOM_ORACLE = _decontam_bloom_oracle()
+
+
+@query("corpus_decontamination_bloom", oracle=_DECONTAM_BLOOM_ORACLE)
+def corpus_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination on the Bloom PRODUCTION path: flag every
+    TRAIN document whose 13-gram set intersects the EVAL set, with the
+    eval grams folded into an m-bit Bloom bitset and every train gram
+    probed by k md5 hashes inside one codegen projection — NO JOIN
+    anywhere (pinned in ``tests/test_analytics_queries.py::
+    test_decontam_bloom_prod_path_has_no_shuffle_join``).
+    ``corpus_decontamination`` is the exact-join audit twin on the
+    identical gram relation (same 13-token shingles, same ``decontam``
+    seed, same seeded 90/10 split), so the two cross-check.
+
+    Direction is the production insight: decontamination at 100 TB means
+    a HUGE train corpus against a SMALL, fixed eval suite, so the filter
+    folds the eval side (bounded by the benchmark suite, not the corpus —
+    1e6 distinct eval grams at 10 bits/gram is a ~1.25 MB literal; a
+    1e8-gram suite crosses ``_BLOOM_LITERAL_MAX_BITS`` and ships as the
+    broadcast relation automatically) while the train side streams through
+    one stage: scan → gram explode → dedup → k-probe projection → per-doc
+    agg. The exact-join form shuffles the full train gram relation by gh
+    every run; this form never moves train grams across the network at
+    all beyond the per-doc agg the result needs anyway.
+
+    Error direction makes Bloom SAFE here, unlike novelty scoring: a
+    false positive over-flags a clean train document (a tiny, tunable
+    training-data loss at the chosen FPR); contamination can never be
+    missed (no false negatives). Removal pipelines therefore run the
+    filter alone; the exact twin exists to measure the realized FPR.
+    Deterministic false positives reproduce bit-for-bit in the oracle —
+    an approximation gate with an exact oracle, same contract as
+    ``ngram_novelty_bloom``. Sizing formula and transport ceiling are
+    documented on :func:`ngram_novelty_bloom`; both (m, k) points and the
+    flag parity with the exact twin are pytest-pinned."""
+    result, grams = _decontam_bloom_plan(spark, sf_dir)
+    # materialize while the gram relation is cached, then release the
+    # cache deterministically (see _novelty_grams)
+    out = result.persist()
+    out.count()
+    grams.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

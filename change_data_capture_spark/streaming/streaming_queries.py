@@ -305,6 +305,63 @@ def _stage_event_time_slices(
     return src
 
 
+def _zscore_score_batch(st: dict, pdf):
+    """Shared vectorized scoring of one key-group micro-batch slice
+    (plain expanding form, no TTL): folds the batch's per-user totals
+    into ``st`` (user → (n, Σv, Σv²) integer-cents state, MUTATED in
+    place) and returns the >3σ rows as a pandas DataFrame, or None.
+
+    This is the single source of the math for BOTH stateful APIs — the
+    ``applyInPandasWithState`` gate (``streaming_anomaly_zscore``, whose
+    DuckDB oracle pins it) and the ``transformWithStateInPandas`` port
+    (``streaming_anomaly_zscore_tws``) — so the env-blocked port shares
+    every scored bit with an oracle-checked twin.
+
+    Fully vectorized across the bucket's users: grouped cumsums give
+    prior-exclusive running sums per user in C, no per-user Python loop
+    (the loop form cost ~2× at the 100× smoke)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    v = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
+    vv = v * v
+    grp = pd.DataFrame(
+        {"u": pdf["user_id"].to_numpy(), "v": v, "vv": vv}
+    ).groupby("u", sort=False)
+    idx = grp.cumcount().to_numpy()
+    c1 = grp["v"].cumsum().to_numpy() - v
+    c2 = grp["vv"].cumsum().to_numpy() - vv
+    seed = pdf["user_id"].map(lambda u: st.get(u, (0, 0, 0)))
+    n0 = seed.map(lambda t: t[0]).to_numpy()
+    s10 = seed.map(lambda t: t[1]).to_numpy()
+    s20 = seed.map(lambda t: t[2]).to_numpy()
+    n_prior = n0 + idx
+    s1_prior = s10 + c1
+    s2_prior = s20 + c2
+    # fold this batch's per-user totals into the carried state
+    totals = grp.agg(n=("v", "size"), s1=("v", "sum"), s2=("vv", "sum"))
+    for uid, row in totals.iterrows():
+        n, s1, s2 = st.get(uid, (0, 0, 0))
+        st[uid] = (n + int(row["n"]), s1 + int(row["s1"]), s2 + int(row["s2"]))
+    ok = n_prior >= 20
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_v = s1_prior.astype(float) / n_prior
+        var_v = (
+            s2_prior.astype(float)
+            - s1_prior.astype(float) * s1_prior / n_prior
+        ) / (n_prior - 1)
+        z = (v.astype(float) - mean_v) / np.sqrt(var_v)
+    mask = ok & (var_v > 0) & (np.abs(z) > 3.0)
+    if not mask.any():
+        return None
+    out = pdf.loc[mask, ["event_id", "user_id", "ts", "event_type"]].copy()
+    out["value"] = v[mask].astype(float) / 100
+    out["mean_prior"] = mean_v[mask] / 100
+    out["zscore"] = z[mask]
+    return out
+
+
 @query(
     "streaming_anomaly_zscore",
     oracle=None,  # set below — shares the batch query's oracle SQL
@@ -371,45 +428,9 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded by the bucket's batch slice, which the key-group
         # compaction already sizes.
         chunks = [p for p in pdfs if not p.empty]
-        for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
-            # fully vectorized across the bucket's users: grouped cumsums
-            # give prior-exclusive running sums per user in C, no per-user
-            # Python loop (the loop form cost ~2× at the 100× smoke)
-            pdf = pdf.sort_values(["user_id", "ts", "event_id"])
-            v = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
-            vv = v * v
-            grp = pd.DataFrame(
-                {"u": pdf["user_id"].to_numpy(), "v": v, "vv": vv}
-            ).groupby("u", sort=False)
-            idx = grp.cumcount().to_numpy()
-            c1 = grp["v"].cumsum().to_numpy() - v
-            c2 = grp["vv"].cumsum().to_numpy() - vv
-            seed = pdf["user_id"].map(lambda u: st.get(u, (0, 0, 0)))
-            n0 = seed.map(lambda t: t[0]).to_numpy()
-            s10 = seed.map(lambda t: t[1]).to_numpy()
-            s20 = seed.map(lambda t: t[2]).to_numpy()
-            n_prior = n0 + idx
-            s1_prior = s10 + c1
-            s2_prior = s20 + c2
-            # fold this batch's per-user totals into the carried state
-            totals = grp.agg(n=("v", "size"), s1=("v", "sum"), s2=("vv", "sum"))
-            for uid, row in totals.iterrows():
-                n, s1, s2 = st.get(uid, (0, 0, 0))
-                st[uid] = (n + int(row["n"]), s1 + int(row["s1"]), s2 + int(row["s2"]))
-            ok = n_prior >= 20
-            with np.errstate(invalid="ignore", divide="ignore"):
-                mean_v = s1_prior.astype(float) / n_prior
-                var_v = (
-                    s2_prior.astype(float)
-                    - s1_prior.astype(float) * s1_prior / n_prior
-                ) / (n_prior - 1)
-                z = (v.astype(float) - mean_v) / np.sqrt(var_v)
-            mask = ok & (var_v > 0) & (np.abs(z) > 3.0)
-            if mask.any():
-                out = pdf.loc[mask, ["event_id", "user_id", "ts", "event_type"]].copy()
-                out["value"] = v[mask].astype(float) / 100
-                out["mean_prior"] = mean_v[mask] / 100
-                out["zscore"] = z[mask]
+        if chunks:
+            out = _zscore_score_batch(st, pd.concat(chunks, ignore_index=True))
+            if out is not None:
                 yield out
         users = sorted(st)
         state.update(
@@ -731,6 +752,143 @@ def streaming_anomaly_zscore_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas port of the anomaly gate — Spark 4's typed
+# stateful-processor API (ENV-BLOCKED here: the TWS state-server wire
+# protocol needs google.protobuf, which this sandbox lacks; same class of
+# documented environment limit as Kafka/JDBC/Avro)
+# ---------------------------------------------------------------------------
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _protobuf_available() -> bool:
+    import importlib.util
+
+    try:
+        # find_spec on a dotted name imports the parent package, which
+        # itself raises when the `google` namespace is entirely absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def streaming_anomaly_zscore_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming_anomaly_zscore`` on Spark 4's ``transformWithStateInPandas``
+    — the typed StatefulProcessor API that supersedes
+    ``applyInPandasWithState`` (named state variables, per-state TTL,
+    timers, RocksDB required). Same staging, same key-group compaction,
+    and the IDENTICAL scoring math: both wrappers call
+    :func:`_zscore_score_batch`, so every bit this port would emit is
+    already pinned through the twin's DuckDB oracle
+    (``tests/test_streaming.py::test_tws_port_matches_twin_or_is_blocked``
+    additionally asserts row-level equality whenever the API can run).
+
+    NOT registered as a driver gate: the TWS driver worker speaks a
+    protobuf wire protocol to the JVM state server
+    (``pyspark/sql/streaming/proto/StateMessage_pb2``), and
+    ``google.protobuf`` is not installed in this sandbox — the query
+    cannot START here (verified: StreamingPythonRunnerInitializationFailure
+    from the pre-init schema probe). Raises RuntimeError with that reason
+    when protobuf is absent so the gap is loud, not a silent skip."""
+    if not _protobuf_available():
+        raise RuntimeError(
+            "transformWithStateInPandas is unavailable: the TWS state-server "
+            "wire protocol requires google.protobuf, which is not installed "
+            "in this environment. streaming_anomaly_zscore is the "
+            "oracle-checked logic twin (shared _zscore_score_batch)."
+        )
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from change_data_capture_spark.sources.tables import load_table
+
+    ws = tempfile.mkdtemp(prefix="cdc_zscore_tws_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = _stage_event_time_slices(spark, events, ws, n=4)
+
+    out_schema = (
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, "
+        "value double, mean_prior double, zscore double"
+    )
+    n_buckets = 64
+    state_schema = (
+        "user_ids array<bigint>, ns array<bigint>, "
+        "s1s array<bigint>, s2s array<bigint>"
+    )
+
+    class ZScoreProcessor(StatefulProcessor):
+        def init(self, handle):
+            # a NAMED state variable — the API difference from
+            # applyInPandasWithState's single implicit state slot
+            self._state = handle.getValueState("zstate", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                uids, ns, s1s, s2s = self._state.get()
+                st = {u: (n, a, b) for u, n, a, b in zip(uids, ns, s1s, s2s)}
+            else:
+                st = {}
+            chunks = [p for p in rows if not p.empty]
+            if chunks:
+                out = _zscore_score_batch(
+                    st, pd.concat(chunks, ignore_index=True)
+                )
+                if out is not None:
+                    yield out
+            users = sorted(st)
+            self._state.update(
+                (
+                    users,
+                    [st[u][0] for u in users],
+                    [st[u][1] for u in users],
+                    [st[u][2] for u in users],
+                )
+            )
+
+        def close(self):
+            pass
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flagged = (
+        stream.withColumn("_kg", F.col("user_id") % n_buckets)
+        .groupBy("_kg")
+        .transformWithStateInPandas(
+            ZScoreProcessor(), out_schema, "Append", "None"
+        )
+    )
+    # TWS requires the RocksDB state store; scope the provider override to
+    # this query and restore whatever the session had
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    try:
+        sink = f"zscore_tws_gate_{uuid.uuid4().hex[:8]}"
+        q = (
+            flagged.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     return spark.table(sink)
 
 

@@ -24,6 +24,7 @@ NEW_QUERIES = [
     "embedding_dim_stats",
     "ewma_monthly_revenue",
     "null_semantics_audit",
+    "corpus_decontamination_bloom",
 ]
 
 
@@ -217,6 +218,91 @@ def test_bloom_prod_matches_audit_flags(spark, sf_dir):
         for r in qs["bloom_novelty_probe"](spark, sf_dir).collect()
     }
     assert prod == audit
+
+
+def test_decontam_bloom_prod_path_has_no_shuffle_join(spark, sf_dir):
+    """The Bloom decontamination gate carries the same production
+    property as the novelty gate: NO JOIN ANYWHERE — the eval-side
+    bitset rides the plan as a literal, the train side streams through
+    one k-probe projection. A join here means the exact-join form (full
+    train-gram shuffle per run) leaked back into the fast path."""
+    from change_data_capture_spark.operators.analytics_queries import (
+        _decontam_bloom_plan,
+    )
+
+    # measure the FRESH plan: the registered gate caches its result, and a
+    # matching cached subtree from an earlier test re-renders with extra
+    # exchanges
+    spark.catalog.clearCache()
+    result, grams = _decontam_bloom_plan(spark, sf_dir)
+    try:
+        s = plan_stats(result)
+        assert "Join" not in s.text, s.text
+        assert s.shuffle_exchanges <= 3, s.text
+        assert not s.has_cartesian and not s.has_bnlj
+    finally:
+        grams.unpersist()
+
+
+def test_decontam_bloom_second_mk_point_matches_oracle(spark, sf_dir):
+    """(m, k) are real parameters on the decontamination gate too: at an
+    undersized point (m = 2^12, k = 5) false positives actually fire and
+    the Spark result must still match the oracle built at the same
+    (m, k)."""
+    from change_data_capture_spark.operators.analytics_queries import (
+        _decontam_bloom_oracle,
+        _decontam_bloom_plan,
+    )
+    from tests.oracle import compare_frames, duck_connection
+
+    result, grams = _decontam_bloom_plan(spark, sf_dir, m=4096, k=5)
+    try:
+        got = result.toPandas()
+    finally:
+        grams.unpersist()
+    con = duck_connection(sf_dir)
+    want = con.sql(_decontam_bloom_oracle(m=4096, k=5)).df()
+    con.close()
+    compare_frames("corpus_decontamination_bloom[m=4096,k=5]", got, want)
+    # the undersized filter must actually over-flag (saturation direction)
+    assert got["contaminated"].sum() > 0
+
+
+def test_decontam_bloom_never_misses_exact_contamination(spark, sf_dir):
+    """Bloom decontamination's error is one-sided — the property that
+    makes it SAFE to run alone in a removal pipeline: every train
+    document with REAL eval overlap must be flagged (no false
+    negatives), and per doc the Bloom gram-flag count dominates the
+    exact shared-gram count."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.operators.analytics_queries import (
+        _decontam_grams,
+    )
+
+    grams = _decontam_grams(spark, sf_dir)
+    try:
+        ev = grams.where(~F.col("is_train")).select("gh").distinct()
+        exact = (
+            grams.where("is_train")
+            .join(ev, "gh")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gh").alias("n_exact"))
+        )
+        exact_counts = {r["doc_id"]: r["n_exact"] for r in exact.collect()}
+    finally:
+        grams.unpersist()
+    assert exact_counts, "fixture must contain real train/eval overlap"
+    bloom = {
+        r["doc_id"]: (r["n_flagged"], r["contaminated"])
+        for r in entrymod.queries()["corpus_decontamination_bloom"](
+            spark, sf_dir
+        ).collect()
+    }
+    for doc, n_exact in exact_counts.items():
+        n_flagged, contaminated = bloom[doc]
+        assert contaminated == 1, doc
+        assert n_flagged >= n_exact, doc
 
 
 def test_cluster_rep_uses_group_limit(spark, sf_dir):

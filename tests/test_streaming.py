@@ -200,3 +200,33 @@ def test_midstream_compaction_is_transparent(spark, sf_dir):
     }
     assert compacted == plain
     assert plain, "fixture delta must produce near-dup pairs"
+
+
+def test_tws_port_matches_twin_or_is_blocked(spark, sf_dir):
+    """The transformWithStateInPandas port shares _zscore_score_batch with
+    the oracle-checked applyInPandasWithState twin, so whenever the TWS
+    API can actually start (google.protobuf present) its drained rows
+    must equal the twin's exactly. In this sandbox protobuf is absent —
+    the port must fail LOUDLY with the documented reason, not skip
+    silently or half-run."""
+    from change_data_capture_spark.streaming.streaming_queries import (
+        _protobuf_available,
+        streaming_anomaly_zscore_tws,
+    )
+
+    if not _protobuf_available():
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            streaming_anomaly_zscore_tws(spark, sf_dir)
+        return
+    twin = {
+        (r.event_id, round(r.zscore, 9))
+        for r in entrymod.queries()["streaming_anomaly_zscore"](
+            spark, sf_dir
+        ).collect()
+    }
+    tws = {
+        (r.event_id, round(r.zscore, 9))
+        for r in streaming_anomaly_zscore_tws(spark, sf_dir).collect()
+    }
+    assert tws == twin
+    assert twin, "fixture must flag at least one anomaly"

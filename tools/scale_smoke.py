@@ -82,6 +82,10 @@ QUERIES = [
     "txlog_update_where",
     "ngram_novelty_bloom",
     "streaming_anomaly_zscore_ttl",
+    # round-10 additions
+    "txlog_history",
+    "streaming_dedup_compact_midstream",
+    "corpus_decontamination_bloom",
 ]
 
 
