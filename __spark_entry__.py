@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50 rows per round. Order therefore encodes check priority. Cumulative
 # record through round 9: 219/219 registered queries have a driver row,
 # all hash-matched, 0 failures. Round-10 rotation (the plan the r9 verdict
-# encoded): the two r10 additions lead (never checked), then the queries
+# encoded): the three r10 additions lead (never checked), then the queries
 # whose CODE changed this round (the novelty trio was refactored into
 # materialize-then-unpersist plan builders and the Bloom gate gained m/k
 # parameters + a broadcast-bitmap transport; txlog update_where gained
@@ -44,10 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # mid-stream compaction hook; the anomaly slice staging gained the
 # empty-input/empty-slice guards; the two SCD2 stream gates' state-read
 # asserts became explicit RuntimeErrors), then the 12 r3 leftovers the r9
-# window could not reach, then the full r4 set (22). That totals 48; the
-# 50-cap reaches 2 names into the r5 block, whose remainder (45) is the
-# documented round-11 rotation. Names absent from this tuple (latest row
-# r6-r9) rank last in registration order.
+# window could not reach, then the full r4 set (22). That totals 48 with
+# the third addition (corpus_decontamination_bloom); the 50-cap reaches 2
+# names into the r5 block, whose remainder (45) is the documented
+# round-11 rotation. Names absent from this tuple (latest row r6-r9) rank
+# last in registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # --- round-10 additions (never driver-checked) ---
     "txlog_history",
