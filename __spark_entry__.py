@@ -43,12 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # operation names into commits for history(); the minhash drain gained the
 # mid-stream compaction hook; the anomaly slice staging gained the
 # empty-input/empty-slice guards; the two SCD2 stream gates' state-read
-# asserts became explicit RuntimeErrors), then the 12 r3 leftovers the r9
-# window could not reach, then the full r4 set (22). That totals 48 with
-# the third addition (corpus_decontamination_bloom); the 50-cap reaches 2
-# names into the r5 block, whose remainder (45) is the documented
-# round-11 rotation. Names absent from this tuple (latest row r6-r9) rank
-# last in registration order.
+# asserts became explicit RuntimeErrors; corpus_decontamination moved to
+# the shared persisted gram builder), then the 11 r3 leftovers the r9
+# window could not reach (the 12th r3-stale name, bloom_novelty_probe,
+# already sits in the code-changed group above), then the full r4 set
+# (22). That totals 49; the 50-cap reaches 1 name into the r5 block,
+# whose remainder is the documented round-11 rotation. Names absent from
+# this tuple (latest row r6-r9) rank last in registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # --- round-10 additions (never driver-checked) ---
     "txlog_history",
@@ -61,6 +62,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_dedup_minhash_incremental",
     "streaming_anomaly_zscore", "streaming_anomaly_zscore_ttl",
     "streaming_scd2_incremental", "streaming_scd2_multibatch",
+    "corpus_decontamination",
     # --- last checked r3 (the documented r9 leftovers) ---
     "attribution_last_touch", "bpe_pair_counts", "cluster_rep_best_quality", "domain_token_budget",
     "embedding_dim_stats", "embedding_mean_pool", "ewma_monthly_revenue",
@@ -85,7 +87,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "percentiles_exact", "salted_join_supplier_revenue",
     "multimodal_image_decode", "multimodal_audio_decode", "events_funnel_conversion",
     "events_retention_cohorts", "text_tfidf_top_terms", "text_bigram_counts",
-    "corpus_decontamination", "calendar_spine_monthly", "pii_redaction",
+    "calendar_spine_monthly", "pii_redaction",
     "text_repetition_quality", "url_domain_stats", "events_anomaly_zscore",
     "merge_scd1_customer", "histogram_price_buckets", "timeseries_gapfill_locf",
     "streaming_python_datasource_drain", "dedup_containment_dfcap", "dedup_containment_recall_sweep",

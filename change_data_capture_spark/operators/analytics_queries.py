@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from change_data_capture_spark.functions.text import tokens
+from change_data_capture_spark.operators.common import materialize_and_release
 from change_data_capture_spark.queries import query
 from change_data_capture_spark.sources.tables import load_table
 
@@ -840,13 +841,7 @@ def bloom_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-OR partials; the positions-table form keeps identical semantics
     and lets the oracle check it."""
     result, grams = _bloom_probe_plan(spark, sf_dir)
-    # materialize the per-doc result while grams is cached, then release
-    # the cache deterministically (131-query driver sessions must not
-    # accumulate leaked relations)
-    out = result.persist()
-    out.count()
-    grams.unpersist()
-    return out
+    return materialize_and_release(result, grams)
 
 
 def _novelty_grams(spark: SparkSession, sf_dir: str):
@@ -1014,19 +1009,16 @@ def ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the broadcast transport are oracle-pinned in
     ``tests/test_analytics_queries.py``."""
     result, grams = _bloom_novelty_plan(spark, sf_dir)
-    # materialize the per-doc result while grams is cached, then release
-    # the cache deterministically (see _novelty_grams)
-    out = result.persist()
-    out.count()
-    grams.unpersist()
-    return out
+    return materialize_and_release(result, grams)
 
 
-def _validate_bloom_params(m: int, bitmap_transport: str) -> bool:
-    """Shared (m, transport) validation of the Bloom production gates;
+def _validate_bloom_params(m: int, k: int, bitmap_transport: str) -> bool:
+    """Shared (m, k, transport) validation of the Bloom production gates;
     returns whether the bitset ships as a plan literal."""
     if m % 64 != 0 or m <= 0:
         raise ValueError(f"Bloom m must be a positive multiple of 64, got {m}")
+    if k <= 0:
+        raise ValueError(f"Bloom k must be a positive hash count, got {k}")
     if bitmap_transport not in ("auto", "literal", "broadcast"):
         raise ValueError(f"unknown bitmap_transport {bitmap_transport!r}")
     return bitmap_transport == "literal" or (
@@ -1101,7 +1093,7 @@ def _bloom_novelty_plan(
     ``"broadcast"`` (one-row broadcast relation carrying the array — for
     filters past the literal ceiling), or ``"auto"`` (literal up to
     ``_BLOOM_LITERAL_MAX_BITS``, broadcast above)."""
-    use_literal = _validate_bloom_params(m, bitmap_transport)
+    use_literal = _validate_bloom_params(m, k, bitmap_transport)
     grams = _novelty_grams(spark, sf_dir)
     ref = grams.where("is_ref").select("gh").distinct()
     cand = grams.where(~F.col("is_ref")).select("doc_id", "gh")
@@ -1171,38 +1163,18 @@ GROUP BY doc_id
 
 
 def _decontam_grams(spark: SparkSession, sf_dir: str):
-    """The decontamination gram relation (13-token shingles, ``decontam``
-    seed, seeded 90/10 train/eval split — identical to
-    ``corpus_decontamination``'s, so the exact join and the Bloom path
-    audit each other), PERSISTED: the Bloom plan reads it from both sides
-    (eval-side bitset fold + train-side probe). Callers own the handle
-    and must ``unpersist()`` once their result is materialized."""
-    from change_data_capture_spark.functions.text import (
-        seeded_hash,
-        shingles_from_tokens,
+    """The decontamination gram relation, PERSISTED: the Bloom plan reads
+    it from both sides (eval-side bitset fold + train-side probe).
+    Construction comes verbatim from the exact gate's shared builder
+    (``text_queries._decontam_gram_rel`` — deferred import; bit-identical
+    grams are what make the exact join and the Bloom path audit each
+    other). Callers own the handle and must ``unpersist()`` once their
+    result is materialized."""
+    from change_data_capture_spark.operators.text_queries import (
+        _decontam_gram_rel,
     )
 
-    d = load_table(spark, sf_dir, "documents")
-    bucket = seeded_hash(F.col("doc_id").cast("string"), seed="split") % 100
-    base = d.select(
-        "doc_id",
-        (bucket < 90).alias("is_train"),
-        tokens(F.col("text")).alias("toks"),
-    ).where(F.size("toks") >= 13)
-    return (
-        base.select(
-            "doc_id",
-            "is_train",
-            F.explode(shingles_from_tokens(F.col("toks"), k=13)).alias("gram"),
-        )
-        .select(
-            "doc_id",
-            "is_train",
-            seeded_hash(F.col("gram"), seed="decontam").alias("gh"),
-        )
-        .dropDuplicates(["doc_id", "gh"])
-        .persist()
-    )
+    return _decontam_gram_rel(spark, sf_dir).persist()
 
 
 def _decontam_bloom_plan(
@@ -1217,7 +1189,7 @@ def _decontam_bloom_plan(
     :func:`_bloom_novelty_plan`, with the DIRECTION REVERSED: the bitset
     folds the EVAL side (the small, fixed benchmark suite) and the probe
     streams the TRAIN side (the 100 TB corpus) — see the gate docstring."""
-    use_literal = _validate_bloom_params(m, bitmap_transport)
+    use_literal = _validate_bloom_params(m, k, bitmap_transport)
     grams = _decontam_grams(spark, sf_dir)
     ev = grams.where(~F.col("is_train")).select("gh").distinct()
     train = grams.where("is_train").select("doc_id", "gh")
@@ -1272,12 +1244,7 @@ def corpus_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented on :func:`ngram_novelty_bloom`; both (m, k) points and the
     flag parity with the exact twin are pytest-pinned."""
     result, grams = _decontam_bloom_plan(spark, sf_dir)
-    # materialize while the gram relation is cached, then release the
-    # cache deterministically (see _novelty_grams)
-    out = result.persist()
-    out.count()
-    grams.unpersist()
-    return out
+    return materialize_and_release(result, grams)
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from change_data_capture_spark.functions.text import (
     shingles_from_tokens,
     tokens,
 )
+from change_data_capture_spark.operators.common import materialize_and_release
 from change_data_capture_spark.queries import query
 from change_data_capture_spark.sources.tables import load_table
 
@@ -491,6 +492,37 @@ GROUP BY ev.doc_id
 """
 
 
+def _decontam_gram_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination gram relation — 13-token shingles reduced to
+    60-bit ``decontam``-seeded hashes, deduped per doc, with the seeded
+    90/10 train/eval split — UNPERSISTED (callers decide caching). This is
+    the SINGLE construction behind both the exact-join gate
+    (``corpus_decontamination``) and the Bloom production gate
+    (``corpus_decontamination_bloom``): their audit-each-other property
+    requires the two gram relations to be bit-identical, so the build
+    must not be duplicated."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = seeded_hash(F.col("doc_id").cast("string"), seed="split") % 100
+    base = d.select(
+        "doc_id",
+        (bucket < 90).alias("is_train"),
+        tokens(F.col("text")).alias("toks"),
+    ).where(F.size("toks") >= 13)
+    return (
+        base.select(
+            "doc_id",
+            "is_train",
+            F.explode(shingles_from_tokens(F.col("toks"), k=13)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_train",
+            seeded_hash(F.col("gram"), seed="decontam").alias("gh"),
+        )
+        .dropDuplicates(["doc_id", "gh"])
+    )
+
+
 @query("corpus_decontamination", oracle=_DECONTAM_ORACLE)
 def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: flag every EVAL document that shares a
@@ -506,30 +538,19 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the gram hash — perfectly partitionable; hot grams (boilerplate) are
     the one skew source and would be frequency-capped in production (drop
     grams present in >0.1% of docs) — not applied here to keep the oracle
-    the exact textbook definition."""
-    d = load_table(spark, sf_dir, "documents")
-    bucket = seeded_hash(F.col("doc_id").cast("string"), seed="split") % 100
-    base = d.select(
-        "doc_id",
-        (bucket < 90).alias("is_train"),
-        tokens(F.col("text")).alias("toks"),
-    ).where(F.size("toks") >= 13)
-    grams = (
-        base.select(
-            "doc_id",
-            "is_train",
-            F.explode(shingles_from_tokens(F.col("toks"), k=13)).alias("gram"),
-        )
-        .select(
-            "doc_id",
-            "is_train",
-            seeded_hash(F.col("gram"), seed="decontam").alias("gh"),
-        )
-        .dropDuplicates(["doc_id", "gh"])
-    )
+    the exact textbook definition.
+
+    The gram relation (:func:`_decontam_gram_rel`, shared verbatim with
+    the Bloom production gate so the two audit each other) is PERSISTED
+    here because both join sides derive from it — unpersisted, the
+    tokenize + explode + hash + dedup subtree runs twice, the identical
+    double-recompute the r9 round measured at 2× end-to-end on the
+    novelty gates; the cache is released once the result is
+    materialized."""
+    grams = _decontam_gram_rel(spark, sf_dir).persist()
     train = grams.where("is_train").select("gh", F.col("doc_id").alias("train_doc"))
     ev = grams.where(~F.col("is_train")).select("gh", "doc_id")
-    return (
+    result = (
         ev.join(train, "gh")
         .groupBy("doc_id")
         .agg(
@@ -537,6 +558,7 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("train_doc").alias("n_train_docs"),
         )
     )
+    return materialize_and_release(result, grams)
 
 
 # ---------------------------------------------------------------------------
@@ -595,46 +617,25 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping the shuffle entirely; the exact join is kept here because the
     oracle must be exact."""
     result, grams = _novelty_score_plan(spark, sf_dir)
-    # materialize the (small, per-doc) result while the gram relation is
-    # still cached, then release the cache DETERMINISTICALLY — a driver
-    # session runs 100+ gates and leaked caches accumulate into eviction
-    # churn for every later query
-    out = result.persist()
-    out.count()
-    grams.unpersist()
-    return out
+    return materialize_and_release(result, grams)
 
 
 def _novelty_score_plan(spark: SparkSession, sf_dir: str):
     """The lazy plan of :func:`ngram_novelty_score` plus the persisted gram
     relation handle — split out so plan pins can inspect the REAL compute
     plan (the gate wrapper returns a cached result whose formatted explain
-    duplicates operators across AQE initial/final renderings)."""
-    d = load_table(spark, sf_dir, "documents")
-    ref_srcs = ("src0", "src1", "src2", "src3")
-    base = d.select(
-        "doc_id",
-        F.col("source").isin(*ref_srcs).alias("is_ref"),
-        tokens(F.col("text")).alias("toks"),
-    ).where(F.size("toks") >= 5)
-    grams = (
-        base.select(
-            "doc_id",
-            "is_ref",
-            F.explode(shingles_from_tokens(F.col("toks"), k=5)).alias("gram"),
-        )
-        .select(
-            "doc_id",
-            "is_ref",
-            seeded_hash(F.col("gram"), seed="novelty").alias("gh"),
-        )
-        .dropDuplicates(["doc_id", "gh"])
-        # two consumers (ref side and cand side of the membership join):
-        # without persist each re-runs the tokenize + explode + hash +
-        # dedup subtree — the gate's dominant cost (the r9 Bloom twin
-        # measured the recompute at 2× end-to-end at 300×)
-        .persist()
+    duplicates operators across AQE initial/final renderings).
+
+    The PERSISTED gram relation comes from the single shared builder
+    (``analytics_queries._novelty_grams`` — deferred import, the two
+    modules import each other's pieces lazily): the Bloom gates' audit
+    twins must see a bit-identical gram relation, so the construction is
+    not duplicated here."""
+    from change_data_capture_spark.operators.analytics_queries import (
+        _novelty_grams,
     )
+
+    grams = _novelty_grams(spark, sf_dir)
     ref = grams.where("is_ref").select(F.col("gh").alias("ref_gh")).distinct()
     cand = grams.where(~F.col("is_ref")).select("doc_id", "gh")
     seen = F.count("ref_gh")

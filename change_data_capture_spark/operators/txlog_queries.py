@@ -805,7 +805,14 @@ def txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-dependent row counts from ``orders`` and pins the rest as the
     literal audit trail the script must produce — every file count is
     deterministic because each append lands exactly one file and each
-    rewrite rescans exactly one file.
+    rewrite rescans exactly one file. (GATE-SCALE pin: "one rewrite
+    output file" additionally assumes the touched file reads back as ONE
+    partition, which holds while an append stays under
+    ``spark.sql.files.maxPartitionBytes`` — far above any driver fixture.
+    Past that, the rewrite legitimately emits one file per read split and
+    ``n_add`` reports the real count; the ENGINE is right and this
+    oracle's literal would need re-deriving, same class of fixture-scale
+    pin as the sequence-packing global form.)
 
     Completes the Delta read surface (time travel r6, CDF r6, restore
     r7, vacuum r8, DML r6/r8/r9): the log is the audit trail — history

@@ -609,14 +609,42 @@ def delete_where(
     return version, touched
 
 
+def _nullability_norm(dt):
+    """Recursively normalize every nullability flag in a type to True —
+    Spark's expression analysis often resolves a literal-built array/
+    struct as non-null-elements while the stored column (parquet default)
+    is nullable-elements; store assignment must treat those as the SAME
+    type (Spark's own ANSI policy ignores nullability for compatibility)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullability_norm(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _nullability_norm(dt.keyType), _nullability_norm(dt.valueType), True
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _nullability_norm(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def _check_update_types(snap, set_exprs: dict[str, str]) -> None:
     """Reject an UPDATE whose SET expression cannot sensibly store into its
     target column — Delta's UPDATE fails analysis on a non-coercible type;
     a silent ``cast`` would turn ``SET price = name`` into NULLs instead.
     Resolution is analysis-only (no job): the expression's type comes from
     the snapshot's analyzed schema. Store-assignment policy (ANSI-shaped):
-    exact type match, NULL literals, numeric→numeric, string→string, and
-    date↔timestamp are coercible; everything else raises."""
+    exact type match (ignoring nullability at any nesting depth — an
+    ``array('x')`` literal stores into an ARRAY<STRING> column), NULL
+    literals, numeric→numeric, string→string, and date↔timestamp are
+    coercible; everything else raises (including nested ELEMENT-type
+    coercions like array<int>→array<long>, deliberately stricter than a
+    silent deep cast)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
         DateType,
@@ -632,7 +660,7 @@ def _check_update_types(snap, set_exprs: dict[str, str]) -> None:
     for f in resolved:
         src, dst = f.dataType, snap.schema[f.name].dataType
         ok = (
-            src == dst
+            _nullability_norm(src) == _nullability_norm(dst)
             or isinstance(src, NullType)
             or (isinstance(src, NumericType) and isinstance(dst, NumericType))
             or (isinstance(src, StringType) and isinstance(dst, StringType))

@@ -268,6 +268,27 @@ def test_decontam_bloom_second_mk_point_matches_oracle(spark, sf_dir):
     assert got["contaminated"].sum() > 0
 
 
+def test_bloom_param_validation_raises_at_the_boundary(spark, sf_dir):
+    """Bad (m, k, transport) must fail with a clear ValueError at plan
+    build, not an opaque error deep inside expression construction."""
+    from change_data_capture_spark.operators.analytics_queries import (
+        _bloom_novelty_plan,
+        _decontam_bloom_plan,
+    )
+
+    for bad_kwargs, msg in [
+        (dict(m=100), "multiple of 64"),
+        (dict(m=0), "multiple of 64"),
+        (dict(k=0), "positive hash count"),
+        (dict(k=-1), "positive hash count"),
+        (dict(bitmap_transport="carrier-pigeon"), "unknown bitmap_transport"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            _bloom_novelty_plan(spark, sf_dir, **bad_kwargs)
+        with pytest.raises(ValueError, match=msg):
+            _decontam_bloom_plan(spark, sf_dir, **bad_kwargs)
+
+
 def test_decontam_bloom_never_misses_exact_contamination(spark, sf_dir):
     """Bloom decontamination's error is one-sided — the property that
     makes it SAFE to run alone in a removal pipeline: every train

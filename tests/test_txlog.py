@@ -743,6 +743,22 @@ def test_update_where_rewrites_only_matching_files(spark, tmp_path):
     txlog.update_where(spark, t3, "id = 7", {"a": "NULL"})
     assert txlog.read_version(spark, t3).collect()[0].a is None
 
+    # complex-typed columns: the store-assignment check compares types
+    # IGNORING nullability at any depth — array('x') resolves with
+    # containsNull=false while the stored parquet column is
+    # containsNull=true, and that UPDATE must be accepted (Spark's own
+    # ANSI store assignment ignores nullability); a genuinely wrong
+    # element type still raises
+    t4 = str(tmp_path / "t4")
+    arr = spark.createDataFrame(
+        [(1, ["a", "b"])], "id INT, tags ARRAY<STRING>"
+    )
+    txlog.commit(t4, add=txlog.write_files(arr, t4), expected_version=0)
+    txlog.update_where(spark, t4, "id = 1", {"tags": "array('x')"})
+    assert txlog.read_version(spark, t4).collect()[0].tags == ["x"]
+    with pytest.raises(ValueError, match="cannot store"):
+        txlog.update_where(spark, t4, "id = 1", {"tags": "array(1)"})
+
     # no-match: metadata-only no-op, NO commit
     tip = txlog.latest_version(t)
     v2, touched2 = txlog.update_where(spark, t, "id > 99999", {"v": "'x'"})
