@@ -196,12 +196,17 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             per_run.append(time.perf_counter() - t0)
+            # clear BETWEEN runs, not just after the pair: "warm" means
+            # JIT/codegen-warm, never data-cached. Several gates return a
+            # MATERIALIZED (persisted) result, and Spark's cache manager
+            # matches the second invocation's identical logical plan to the
+            # first run's cache — measured: corpus_decontamination
+            # [9.1, 0.8] s uncleaned vs [2.6, 2.3] cleared, i.e. min-of-2
+            # silently reported a cache replay. Clearing here also keeps
+            # cached blocks from accumulating across the 130-query run.
+            spark.catalog.clearCache()
         cold[name] = round(per_run[0], 3)
         timings[name] = round(min(per_run), 3)
-        # several operators persist() intermediates that only their own
-        # execution consumes; without this, cached blocks accumulate across
-        # the whole 99-query run and late queries pay the eviction pressure
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)

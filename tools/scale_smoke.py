@@ -215,6 +215,11 @@ def main() -> None:
             t0 = time.perf_counter()
             entry.queries()[name](spark, out).write.mode("overwrite").format("noop").save()
             times.append(time.perf_counter() - t0)
+            # between-runs cache clear: gates that return a materialized
+            # (persisted) result would otherwise serve run 2 from run 1's
+            # cache and min-of-N reports a replay, not the engine (same
+            # fix + measurement as bench.py)
+            spark.catalog.clearCache()
         dt = min(times)
         total += dt
         print(f"  {name}: {dt:.2f}s", flush=True)
