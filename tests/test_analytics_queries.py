@@ -282,11 +282,57 @@ def test_bloom_param_validation_raises_at_the_boundary(spark, sf_dir):
         (dict(k=0), "positive hash count"),
         (dict(k=-1), "positive hash count"),
         (dict(bitmap_transport="carrier-pigeon"), "unknown bitmap_transport"),
+        (dict(hash_family="sha0"), "unknown hash_family"),
     ]:
         with pytest.raises(ValueError, match=msg):
             _bloom_novelty_plan(spark, sf_dir, **bad_kwargs)
         with pytest.raises(ValueError, match=msg):
             _decontam_bloom_plan(spark, sf_dir, **bad_kwargs)
+
+
+def test_bloom_xxhash64_family_no_false_negatives(spark, sf_dir):
+    """The production hash family (xxhash64 — JVM intrinsic, not
+    DuckDB-reproducible, hence no oracle) must keep the two properties
+    that define a Bloom filter regardless of family: identical per-doc
+    gram counts (the family touches only positions, never the gram
+    relation) and NO false negatives against the exact overlap."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.operators.analytics_queries import (
+        _decontam_bloom_plan,
+        _decontam_grams,
+    )
+
+    res, grams = _decontam_bloom_plan(spark, sf_dir, hash_family="xxhash64")
+    try:
+        bloom = {
+            r["doc_id"]: (r["n_grams"], r["n_flagged"], r["contaminated"])
+            for r in res.collect()
+        }
+    finally:
+        grams.unpersist()
+    res_md5, grams_md5 = _decontam_bloom_plan(spark, sf_dir)
+    try:
+        md5_n = {r["doc_id"]: r["n_grams"] for r in res_md5.collect()}
+    finally:
+        grams_md5.unpersist()
+    assert {d: v[0] for d, v in bloom.items()} == md5_n
+    g = _decontam_grams(spark, sf_dir)
+    try:
+        ev = g.where(~F.col("is_train")).select("gh").distinct()
+        exact = (
+            g.where("is_train")
+            .join(ev, "gh")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gh").alias("n"))
+        )
+        exact_counts = {r["doc_id"]: r["n"] for r in exact.collect()}
+    finally:
+        g.unpersist()
+    assert exact_counts
+    for doc, n in exact_counts.items():
+        n_grams, n_flagged, contaminated = bloom[doc]
+        assert contaminated == 1 and n_flagged >= n, doc
 
 
 def test_decontam_bloom_never_misses_exact_contamination(spark, sf_dir):
