@@ -44,12 +44,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # mid-stream compaction hook; the anomaly slice staging gained the
 # empty-input/empty-slice guards; the two SCD2 stream gates' state-read
 # asserts became explicit RuntimeErrors; corpus_decontamination moved to
-# the shared persisted gram builder), then the 11 r3 leftovers the r9
+# the shared persisted gram builder; the late-round txlog review pass
+# changed MERGE/RESTORE/VACUUM semantics and the stats encoding, adding
+# the vacuum pair + data_skipping here), then the 11 r3 leftovers the r9
 # window could not reach (the 12th r3-stale name, bloom_novelty_probe,
-# already sits in the code-changed group above), then the full r4 set
-# (22). That totals 49; the 50-cap reaches 1 name into the r5 block,
-# whose remainder is the documented round-11 rotation. Names absent from
-# this tuple (latest row r6-r9) rank last in registration order.
+# already sits in the code-changed group above), then the r4 set (22).
+# That totals 52 — the 50-cap cuts the last 2 r4 names, which join the
+# r5 block as the documented round-11 rotation. Names absent from this
+# tuple (latest row r6-r9) rank last in registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # --- round-10 additions (never driver-checked) ---
     "txlog_history",
@@ -58,7 +60,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # --- code changed in round 10 -> re-verify ---
     "ngram_novelty_bloom", "ngram_novelty_score", "bloom_novelty_probe",
     "txlog_update_where", "txlog_delete_where", "txlog_merge_upsert",
-    "txlog_restore",
+    "txlog_restore", "txlog_vacuum", "txlog_vacuum_retention",
+    "txlog_data_skipping",
     "streaming_dedup_minhash_incremental",
     "streaming_anomaly_zscore", "streaming_anomaly_zscore_ttl",
     "streaming_scd2_incremental", "streaming_scd2_multibatch",

@@ -201,19 +201,50 @@ def write_bucketed(
     )
 
 
+def _catalog_bucket_spec(
+    spark: SparkSession, table: str
+) -> tuple[list[str], int] | None:
+    """The table's (bucket_cols, num_buckets) as the CATALOG declares
+    them (``DESCRIBE FORMATTED`` rows ``Bucket Columns`` / ``Num
+    Buckets``), or None for an unbucketed table. The catalog is the
+    single source of truth for the layout — rewrites must derive the
+    spec from it, never trust a caller's copy (a mismatched rewrite
+    lands files hashed mod the WRONG bucket count under a catalog entry
+    that still declares the old spec, and later same-spec joins skip
+    the shuffle on a false premise, silently dropping matches)."""
+    cols: list[str] | None = None
+    n: int | None = None
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        name = (row["col_name"] or "").strip()
+        if name == "Num Buckets":
+            n = int(row["data_type"].strip())
+        elif name == "Bucket Columns":
+            cols = [
+                c.strip(" `")
+                for c in row["data_type"].strip("[]").split(",")
+                if c.strip(" `")
+            ]
+    if cols is None or n is None:
+        return None
+    return cols, n
+
+
 def compact_bucketed(
     spark: SparkSession,
     table: str,
-    bucket_cols: list[str],
-    num_buckets: int,
-    path: str,
+    bucket_cols: list[str] | None = None,
+    num_buckets: int | None = None,
+    path: str | None = None,
 ) -> int:
     """OPTIMIZE-style bin-pack of a bucketed table written/appended by
     :func:`write_bucketed`: merge each bucket's accumulated per-append
     files into ONE file per non-empty bucket, preserving the bucket
     layout — after compaction the table still joins with zero
     store-side Exchange (plan-pinned in ``tests/test_plans.py``).
-    Returns the compacted file count.
+    Returns the compacted file count. The bucket spec (and the data
+    ``path``) are DERIVED from the catalog; passing them is optional
+    and validated — a mismatch raises instead of corrupting the layout
+    (see :func:`_catalog_bucket_spec`).
 
     Shape: the catalog scan of a bucketed table yields exactly ONE
     partition per bucket (all of a bucket's files coalesced), and its
@@ -236,6 +267,32 @@ def compact_bucketed(
     import os
     import shutil
     import uuid as _uuid
+
+    # the CATALOG owns the layout: derive the spec from it, and treat a
+    # caller-supplied spec as an assertion to validate, never as truth —
+    # rewriting with the wrong bucket count silently corrupts every
+    # later shuffle-free join against this table
+    spec = _catalog_bucket_spec(spark, table)
+    if spec is None:
+        raise ValueError(f"table {table} has no bucket spec in the catalog")
+    cat_cols, cat_n = spec
+    if bucket_cols is not None and list(bucket_cols) != cat_cols:
+        raise ValueError(
+            f"bucket_cols {bucket_cols} != catalog spec {cat_cols} for {table}"
+        )
+    if num_buckets is not None and num_buckets != cat_n:
+        raise ValueError(
+            f"num_buckets {num_buckets} != catalog spec {cat_n} for {table}"
+        )
+    bucket_cols, num_buckets = cat_cols, cat_n
+    if path is None:
+        for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+            if (row["col_name"] or "").strip() == "Location":
+                loc = row["data_type"].strip()
+                path = loc[len("file:"):] if loc.startswith("file:") else loc
+                break
+        if path is None:
+            raise ValueError(f"table {table} has no Location in the catalog")
 
     tmp_tbl = f"{table}__compacting_{_uuid.uuid4().hex[:8]}"
     tmp, old = f"{path}__compacting", f"{path}__old"

@@ -318,6 +318,10 @@ def snapshot_files(
     if predicate_range is None:
         return [_action_path(a) for a in actions]
     col, lo, hi = predicate_range
+    # normalize the caller's bounds the same way the stats were encoded
+    # (dates→ISO strings, decimals→outward-widened floats) so the
+    # comparison is type-consistent and conservatively widened
+    lo, hi = _prune_bound(lo, "lo"), _prune_bound(hi, "hi")
     keep = []
     for a in actions:
         stats = a.get("stats", {}) if isinstance(a, dict) else {}
@@ -365,7 +369,60 @@ def read_version(
         all_files = snapshot_files(table_dir, v)
         if all_files:
             return spark.read.parquet(all_files[0]).limit(0)
+        # zero files AND no declared schema: there is nothing to lift a
+        # schema from — raise the real reason instead of letting the
+        # zero-path reader fail with an unrelated inference error
+        raise ValueError(
+            f"snapshot v{v} of {table_dir} has no data files and no "
+            "declared schema; commit table metadata to make empty "
+            "snapshots readable"
+        )
     return reader.parquet(*files)
+
+
+def _local_path(p: str) -> str:
+    """Normalize an ``input_file_name()`` value to a comparable local
+    path (strip the ``file:`` scheme, absolutize) — the ONE place this
+    logic lives; touched-file discovery in MERGE/DELETE/UPDATE and the
+    stats keying in :func:`write_files` must agree on it exactly."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    return os.path.abspath(p)
+
+
+def _stat_bound(v, side: str):
+    """JSON-safe, ORDER-PRESERVING encoding of a per-file stat bound
+    (actions are serialized with ``json.dumps``; ``datetime.date`` /
+    ``Decimal`` would TypeError at commit time otherwise):
+
+    - date/datetime → ISO-8601 string (lexicographic order == temporal
+      order, so pruning comparisons stay exact);
+    - Decimal → float, WIDENED one ulp outward (min down, max up) so the
+      lossy conversion can never tighten a bound — skipping must stay
+      conservative (prune only what provably cannot match);
+    - everything else (int/float/str/bool/None) passes through.
+
+    :func:`_prune_bound` applies the matching normalization to
+    caller-supplied predicate ranges at compare time."""
+    import datetime
+    import decimal
+    import math
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return math.nextafter(f, -math.inf) if side == "min" else math.nextafter(f, math.inf)
+    return v
+
+
+def _prune_bound(v, side: str):
+    """Normalize a caller-supplied predicate bound the same way
+    :func:`_stat_bound` normalized the stored stats, widened OUTWARD
+    (lo down, hi up) where conversion is lossy — so data skipping
+    against encoded stats can only keep extra files, never drop a
+    matching one."""
+    return _stat_bound(v, "min" if side == "lo" else "max")
 
 
 def write_files(
@@ -408,13 +465,15 @@ def write_files(
     by_file = {}
     nrows = {}
     for r in rows:
-        p = r["f"]
-        if p.startswith("file:"):
-            p = p[len("file:"):]
-        by_file[os.path.abspath(p)] = {
-            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
+        p = _local_path(r["f"])
+        by_file[p] = {
+            c: [
+                _stat_bound(r[f"min_{c}"], "min"),
+                _stat_bound(r[f"max_{c}"], "max"),
+            ]
+            for c in stats_cols
         }
-        nrows[os.path.abspath(p)] = r["__num_rows"]
+        nrows[p] = r["__num_rows"]
     return [
         {
             "path": p,
@@ -482,11 +541,19 @@ def merge_into(
     src = source.select(*cols)
 
     # pass 1: prune by the source's key envelope, then find touched files
-    lo, hi = src.agg(F.min(key), F.max(key)).collect()[0]
+    # (row count shares the one aggregation job with the envelope)
+    n_src, lo, hi = src.agg(
+        F.count(F.lit(1)), F.min(key), F.max(key)
+    ).collect()[0]
+    if n_src == 0:
+        # empty source (a common CDC micro-batch): metadata-only no-op,
+        # NO commit — same contract as delete_where/update_where, so
+        # empty batches never grow the snapshot's action list
+        return tip, []
     cand = (
         snapshot_files(table_dir, tip, predicate_range=(key, lo, hi))
         if lo is not None
-        else []  # empty source: no file can be touched
+        else []  # only-NULL-key source: no file can be touched
     )
     touched: list[str] = []
     if cand:
@@ -501,13 +568,39 @@ def merge_into(
             .distinct()
             .collect()
         )
-        hit_paths = set()
-        for r in hit:
-            p = r["f"]
-            if p.startswith("file:"):
-                p = p[len("file:"):]
-            hit_paths.add(os.path.abspath(p))
+        hit_paths = {_local_path(r["f"]) for r in hit}
         touched = [p for p in cand if os.path.abspath(p) in hit_paths]
+
+    # Delta MERGE semantics for duplicate source keys: duplicates that
+    # match NO target row are plain multi-row inserts (allowed — the
+    # full-outer join below emits each), but a TARGET row matched by
+    # more than one source row is ambiguous (which image wins?) and
+    # Delta fails the command — so do we, before any file is written.
+    # Cost: one delta-sized aggregation + (only when duplicates exist
+    # at all) one semi probe of the touched files.
+    if touched:
+        dup_keys = (
+            src.where(F.col(key).isNotNull())
+            .groupBy(key)
+            .count()
+            .where(F.col("count") > 1)
+            .select(key)
+        )
+        if not dup_keys.isEmpty():
+            clash = (
+                _snapshot_reader(spark, table_dir, tip).parquet(*touched)
+                .join(F.broadcast(dup_keys), key, "left_semi")
+                .select(key)
+                .limit(1)
+                .collect()
+            )
+            if clash:
+                raise ValueError(
+                    f"MERGE source has multiple rows for key "
+                    f"{clash[0][key]!r}, which matches an existing target "
+                    "row — ambiguous UPDATE (Delta: 'multiple source rows "
+                    "matched'); de-duplicate the source first"
+                )
 
     # pass 2: rewrite touched rows ∪ source in ONE full-outer join
     marked = src.select(
@@ -589,12 +682,7 @@ def delete_where(
             .distinct()
             .collect()
         )
-        hit_paths = set()
-        for r in hit:
-            p = r["f"]
-            if p.startswith("file:"):
-                p = p[len("file:"):]
-            hit_paths.add(os.path.abspath(p))
+        hit_paths = {_local_path(r["f"]) for r in hit}
         touched = [p for p in cand if os.path.abspath(p) in hit_paths]
     if not touched:
         return tip, []  # no matching row anywhere: metadata-only no-op
@@ -748,12 +836,7 @@ def update_where(
             .distinct()
             .collect()
         )
-        hit_paths = set()
-        for r in hit:
-            p = r["f"]
-            if p.startswith("file:"):
-                p = p[len("file:"):]
-            hit_paths.add(os.path.abspath(p))
+        hit_paths = {_local_path(r["f"]) for r in hit}
         touched = [p for p in cand if os.path.abspath(p) in hit_paths]
     if not touched:
         return tip, []  # no matching row anywhere: metadata-only no-op
@@ -844,17 +927,43 @@ def restore(table_dir: str, version: int) -> int:
     "undo the bad backfill on the 100 TB table" an O(KB) operation.
     History is preserved: the restore is itself a new version, and the
     pre-restore tip remains time-travelable (pinned in
-    ``tests/test_txlog.py``)."""
+    ``tests/test_txlog.py``).
+
+    Two Delta-RESTORE safety properties:
+
+    - **Existence check.** Re-added files must still exist — restoring
+      past a :func:`vacuum` horizon would otherwise commit a tip whose
+      every read throws; Delta's RESTORE fails the command up front and
+      so does this (FileNotFoundError naming the missing files; nothing
+      is committed).
+    - **Metadata travels with the files.** The restore commit carries
+      the TARGET version's metadata when it differs from the current
+      one, so a restore across a schema evolution reads under the
+      restored version's own schema, not the later one. (Metadata can
+      only move FORWARD to the target's — a table that declared
+      metadata after ``version`` and restores to a version that never
+      had any keeps the current metadata: the log's fold cannot unset
+      a metaData action, same as Delta where metadata always exists.)"""
     tip = latest_version(table_dir)
-    cur_actions, _, _, _ = _resolve(table_dir, tip)
-    old_actions, _, _, _ = _resolve(table_dir, version)
+    cur_actions, _, cur_meta, _ = _resolve(table_dir, tip)
+    old_actions, _, old_meta, _ = _resolve(table_dir, version)
     cur = {_action_path(a) for a in cur_actions}
     old = {_action_path(a) for a in old_actions}
+    missing = sorted(
+        p for p in old if p not in cur and not os.path.exists(p)
+    )
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {table_dir} to v{version}: {len(missing)} "
+            f"data file(s) no longer exist (vacuumed past the restore "
+            f"target), e.g. {missing[0]}"
+        )
     return commit(
         table_dir,
         add=[a for a in old_actions if _action_path(a) not in cur],
         remove=[p for p in cur if p not in old],
         expected_version=tip + 1,
+        metadata=old_meta if old_meta is not None and old_meta != cur_meta else None,
         operation="RESTORE",
     )
 
@@ -863,7 +972,12 @@ def table_metadata(table_dir: str, version: int | None = None) -> dict | None:
     """The table's governing metaData action as of ``version`` (default
     tip): ``{"schema": <DDL string>, "constraints": {name: predicate}}``
     — the LATEST metadata commit wins (schema evolution is just a new
-    metadata commit). None if the table never declared metadata."""
+    metadata commit). None if the table never declared metadata — which
+    includes a FRESH table with no commits at all (``version=None``
+    only; asking for an explicit version of an empty log still raises),
+    so :func:`validated_write` works as a table's first-ever write."""
+    if version is None and latest_version(table_dir) < 0:
+        return None
     _, _, meta, _ = _resolve(table_dir, version)
     return meta
 
@@ -939,8 +1053,12 @@ def count_rows(table_dir: str, version: int | None = None) -> int | None:
     per-file ``numRecords`` in the log): sum the ``num_rows`` every
     stats-collecting writer recorded per file. Returns None — refusing,
     not guessing — if ANY live file lacks a recorded count (e.g. it was
-    added by a stats-less writer); callers then fall back to a scan.
+    added by a stats-less writer); callers then fall back to a scan. A
+    fresh table with no commits has no snapshot to count: also None
+    (``version=None`` only; an explicit version still raises).
     O(actions) driver-side fold, zero data read."""
+    if version is None and latest_version(table_dir) < 0:
+        return None
     actions, _, _, _ = _resolve(table_dir, version)
     total = 0
     for a in actions:
@@ -1004,6 +1122,7 @@ def vacuum(
     dry_run: bool = False,
     retention_versions: int = 0,
     _tmp_grace_seconds: float = 600.0,
+    data_grace_seconds: float = 600.0,
 ) -> list[str]:
     """Delete data files referenced by NO retained snapshot and return
     their paths (Delta ``VACUUM``). ``retention_versions=N`` keeps every
@@ -1022,6 +1141,19 @@ def vacuum(
     The walk is metadata-only: O(files on disk) + O(retained actions),
     no data read.
 
+    **Uncommitted-writer safety**: a concurrent writer's
+    :func:`write_files` output sits on disk referenced by NO commit
+    until its :func:`commit` lands. Files the log has NEVER referenced
+    are therefore reclaimed only when older than ``data_grace_seconds``
+    (default 10 min — ample for the write→commit gap): without the
+    grace, vacuuming during a live write deletes files the writer is
+    about to commit and the new tip is permanently unreadable — the same
+    in-flight-transaction hazard behind Delta VACUUM's refusal of
+    short retention windows. Files that SOME commit did reference
+    (stranded pre-images of rewrites) are governed purely by
+    ``retention_versions`` — age-irrelevant, reclaimed immediately when
+    outside the retained window, exactly as before.
+
     Also sweeps ``*.tmp`` files stranded in ``_txlog/`` by a writer that
     crashed between publishing and unlinking its private temp file
     (harmless to readers — the log listing only folds ``*.json`` — but
@@ -1034,22 +1166,37 @@ def vacuum(
     """
     import time as _time
 
+    now = _time.time()
     tip = latest_version(table_dir)
     live: set[str] = set()
     for v in range(max(0, tip - max(0, retention_versions)), tip + 1):
         live.update(
             os.path.abspath(_action_path(a)) for a in _resolve(table_dir, v)[0]
         )
+    # every path ANY commit ever added: a data file absent from this set
+    # was never committed — either garbage from a crashed writer (old)
+    # or an IN-FLIGHT writer's pending output (young, protected below)
+    ever_referenced: set[str] = set()
+    for v in range(tip + 1):
+        with open(_commit_path(table_dir, v)) as f:
+            ever_referenced.update(
+                os.path.abspath(_action_path(a))
+                for a in json.load(f).get("add") or ()
+            )
     victims = []
     for dirpath, _, files in os.walk(os.path.join(table_dir, "data")):
         for f in files:
             if not f.endswith(".parquet"):
                 continue
             p = os.path.abspath(os.path.join(dirpath, f))
-            if p not in live:
-                victims.append(p)
+            if p in live:
+                continue
+            if p not in ever_referenced:
+                with contextlib.suppress(FileNotFoundError):
+                    if now - os.stat(p).st_mtime <= data_grace_seconds:
+                        continue  # likely an in-flight writer's pending file
+            victims.append(p)
     ldir = _log_dir(table_dir)
-    now = _time.time()
     tmp_sweeps: list[str] = []
     if os.path.isdir(ldir):
         for f in os.listdir(ldir):

@@ -285,3 +285,39 @@ def test_provenance_metadata_parity(spark, sf_dir):
         "provenance_file_metadata", spark, sf_dir,
         entrymod.queries(), entrymod.oracle_sql(),
     )
+
+
+def test_compact_bucketed_spec_comes_from_the_catalog(spark, tmp_path):
+    """The catalog owns the bucket layout: compact_bucketed derives
+    (bucket_cols, num_buckets, path) from DESCRIBE FORMATTED when not
+    given, and REJECTS a caller-supplied spec that contradicts the
+    catalog — rewriting with the wrong bucket count would silently
+    corrupt every later shuffle-free join against the table."""
+    import uuid
+
+    from change_data_capture_spark.operators.maintenance import (
+        compact_bucketed,
+        write_bucketed,
+    )
+
+    tbl = f"spec_guard_{uuid.uuid4().hex[:8]}"
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id AS k", "id AS v")
+    write_bucketed(df, tbl, ["k"], 4, path)
+    write_bucketed(
+        spark.range(100, 200).selectExpr("id AS k", "id AS v"),
+        tbl, ["k"], 4, path, mode="append",
+    )
+    try:
+        import pytest
+
+        with pytest.raises(ValueError, match="catalog spec"):
+            compact_bucketed(spark, tbl, ["k"], 8, path)
+        with pytest.raises(ValueError, match="catalog spec"):
+            compact_bucketed(spark, tbl, ["v"], 4, path)
+        # fully derived call: no spec, no path — the catalog knows both
+        n = compact_bucketed(spark, tbl)
+        assert n == 4  # one file per non-empty bucket
+        assert spark.table(tbl).count() == 200
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

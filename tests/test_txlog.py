@@ -941,3 +941,156 @@ def test_history_records_operations_and_counts(spark, tmp_path):
     assert h[3]["rows_added"] is None  # stats-less write: refuse, not guess
     assert h[4]["rows_added"] is None and h[4]["metadata_changed"]
     assert (h[2]["n_add"], h[2]["n_remove"]) == (1, 1)
+
+
+def test_vacuum_spares_inflight_uncommitted_files(spark, tmp_path):
+    """A concurrent writer's write_files() output is referenced by NO
+    commit until its commit lands; vacuum must not destroy it inside
+    the data grace window — doing so corrupts the writer's upcoming tip
+    permanently. Once-committed pre-images stay age-irrelevant (the
+    retention window alone governs them, as the other vacuum tests
+    pin); only never-referenced young files get the grace."""
+    t = str(tmp_path / "t")
+    f0 = txlog.write_files(_df(spark, [(1, "a")]), t)
+    txlog.commit(t, add=f0, expected_version=0)
+    # writer B is mid-transaction: files on disk, commit not yet landed
+    pending = txlog.write_files(_df(spark, [(2, "b")]), t)
+    reclaimed = txlog.vacuum(t)
+    assert reclaimed == []  # grace protects the pending write
+    txlog.commit(t, add=pending, expected_version=1)
+    got = sorted(r.id for r in txlog.read_version(spark, t).collect())
+    assert got == [1, 2]  # the commit lands intact after the vacuum
+    # with the grace disabled (operator asserts no writer is in flight)
+    orphan = txlog.write_files(_df(spark, [(3, "c")]), t)
+    reclaimed = txlog.vacuum(t, data_grace_seconds=0)
+    assert {os.path.abspath(txlog._action_path(a)) for a in orphan} <= {
+        os.path.abspath(p) for p in reclaimed
+    }
+
+
+def test_fresh_table_metadata_count_and_first_validated_write(spark, tmp_path):
+    """A fresh table (no commits) reads as metadata-absent, not as an
+    error: table_metadata/count_rows return None and validated_write
+    can be the table's FIRST write. Asking for an explicit version of
+    an empty log still raises."""
+    t = str(tmp_path / "fresh")
+    assert txlog.table_metadata(t) is None
+    assert txlog.count_rows(t) is None
+    with pytest.raises(ValueError, match="not in log"):
+        txlog.table_metadata(t, version=0)
+    acts = txlog.validated_write(_df(spark, [(1, "a")]), t, stats_cols=["id"])
+    txlog.commit(t, add=acts, expected_version=0)
+    assert txlog.count_rows(t) == 1
+
+
+def test_stats_on_date_and_decimal_columns_commit_and_prune(spark, tmp_path):
+    """Per-file stats on date/decimal columns must survive the JSON
+    commit (dates→ISO strings, decimals→outward-widened floats) and
+    still prune correctly — the canonical skipping column IS a date."""
+    import datetime
+
+    t = str(tmp_path / "dated")
+    df = spark.createDataFrame(
+        [
+            (1, datetime.date(1995, 1, 10), "19.99"),
+            (2, datetime.date(1995, 6, 10), "29.99"),
+        ],
+        "id long, d date, price string",
+    ).selectExpr("id", "d", "CAST(price AS DECIMAL(10,2)) AS price")
+    a = df.where("id = 1").repartition(1)
+    b = df.where("id = 2").repartition(1)
+    acts = txlog.write_files(a, t, stats_cols=["d", "price"]) + txlog.write_files(
+        b, t, stats_cols=["d", "price"]
+    )
+    txlog.commit(t, add=acts, expected_version=0)  # must not TypeError
+    only_jan = txlog.snapshot_files(
+        t, predicate_range=("d", datetime.date(1995, 1, 1), datetime.date(1995, 1, 31))
+    )
+    assert len(only_jan) == 1
+    rows = txlog.read_version(
+        spark, t,
+        predicate_range=("d", datetime.date(1995, 1, 1), datetime.date(1995, 1, 31)),
+    ).collect()
+    assert [r.id for r in rows] == [1]
+    cheap = txlog.snapshot_files(t, predicate_range=("price", 0, 25))
+    assert len(cheap) == 1
+
+
+def test_merge_duplicate_source_keys(spark, tmp_path):
+    """Delta MERGE semantics: duplicate source keys that match a target
+    row are ambiguous and must FAIL before anything is written;
+    duplicates that match nothing are plain multi-row inserts."""
+    t = str(tmp_path / "m")
+    txlog.commit(
+        t, add=txlog.write_files(_df(spark, [(1, "old")]), t), expected_version=0
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        txlog.merge_into(
+            spark, t, _df(spark, [(1, "x"), (1, "y")]), key="id"
+        )
+    assert txlog.latest_version(t) == 0  # nothing committed
+    # dup keys that match NO target row insert both rows (Delta allows)
+    v, touched = txlog.merge_into(
+        spark, t, _df(spark, [(7, "p"), (7, "q")]), key="id"
+    )
+    assert v == 1 and touched == []
+    got = sorted(
+        (r.id, r.v) for r in txlog.read_version(spark, t).collect()
+    )
+    assert got == [(1, "old"), (7, "p"), (7, "q")]
+
+
+def test_merge_empty_source_is_a_no_op(spark, tmp_path):
+    """An empty CDC micro-batch merged into the table must not commit a
+    junk version (same contract as delete_where/update_where)."""
+    t = str(tmp_path / "e")
+    txlog.commit(
+        t, add=txlog.write_files(_df(spark, [(1, "a")]), t), expected_version=0
+    )
+    v, touched = txlog.merge_into(spark, t, _df(spark, []), key="id")
+    assert (v, touched) == (0, [])
+    assert txlog.latest_version(t) == 0
+
+
+def test_restore_refuses_vacuumed_target_and_restores_metadata(spark, tmp_path):
+    """RESTORE must fail up front when the target version's files were
+    vacuumed (committing them would make the PRESENT unreadable), and a
+    successful restore across a schema evolution must carry the target
+    version's metadata so reads use the restored schema."""
+    t = str(tmp_path / "r")
+    s0 = "id BIGINT, v STRING"
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(1, "a")]), t),
+        expected_version=0,
+        metadata={"schema": s0},
+    )
+    # v1: rewrite (strands v0's file), evolve schema
+    wide = spark.createDataFrame([(1, "a", "x")], "id long, v string, extra string")
+    txlog.commit(
+        t,
+        add=txlog.write_files(wide, t),
+        remove=txlog.snapshot_files(t),
+        expected_version=1,
+        metadata={"schema": "id BIGINT, v STRING, extra STRING"},
+    )
+    # metadata travels back with a restore
+    txlog.restore(t, 0)
+    assert txlog.table_metadata(t)["schema"] == s0
+    assert txlog.read_version(spark, t).columns == ["id", "v"]
+    # vacuum away the pre-restore tip's files, then try to restore to it
+    txlog.vacuum(t, data_grace_seconds=0)
+    tip = txlog.latest_version(t)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        txlog.restore(t, 1)
+    assert txlog.latest_version(t) == tip  # nothing committed
+
+
+def test_read_version_empty_no_schema_raises_clearly(spark, tmp_path):
+    """A snapshot with zero files and no declared schema has nothing to
+    type an empty frame with — the error must say THAT, not a parquet
+    inference failure."""
+    t = str(tmp_path / "z")
+    txlog.commit(t, add=[], expected_version=0)
+    with pytest.raises(ValueError, match="no data files and no declared"):
+        txlog.read_version(spark, t)
