@@ -25,20 +25,27 @@ def read_envelope_ndjson(
     path: str,
     schema: StructType = PRODUCTS_ENVELOPE,
     streaming: bool = False,
+    options: dict | None = None,
 ) -> DataFrame:
     """S1: scan NDJSON event files into the typed envelope.
 
     ``spark.read.schema(...).json`` — explicit schema, so no inference pass
     over 100 TB of text, and Catalyst prunes nested fields at the scan.
     ``streaming=True`` returns the ``readStream`` twin (same schema, same
-    downstream code — the batch/stream unification Spark gives for free).
+    downstream code — the batch/stream unification Spark gives for free);
+    ``options`` forwards extra reader options (e.g.
+    ``maxFilesPerTrigger``) so callers never rebuild the reader by hand
+    and silently lose the explicit PERMISSIVE poison-pill contract.
     """
     ensure_runtime_confs(spark)
     reader = spark.readStream if streaming else spark.read
     # PERMISSIVE (explicit): a malformed line yields a null envelope row
     # instead of failing the task — poison pills are inevitable in a 100 TB
     # log, and the decode's lsn-not-null gate drops the nulls downstream.
-    return reader.schema(schema).option("mode", "PERMISSIVE").json(path)
+    reader = reader.schema(schema).option("mode", "PERMISSIVE")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.json(path)
 
 
 def read_json_auto(spark: SparkSession, path: str) -> DataFrame:

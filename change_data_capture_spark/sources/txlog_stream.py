@@ -83,7 +83,7 @@ class TxlogStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
-        self.table_dir = options.get("path")
+        self.table_dir = _required_path(options)
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -98,13 +98,16 @@ class TxlogStreamReader(DataSourceStreamReader):
         return [_AddedFile(p) for p in files]
 
     def read(self, partition: _AddedFile):
-        # executor-side: one columnar parquet read per added file
+        # executor-side: one columnar parquet read per added file, handed
+        # to Spark as Arrow RecordBatches — the DataSource API accepts
+        # them directly, so the read stays columnar end to end (the
+        # earlier to_pylist + zip form materialized every row as Python
+        # tuples: ~3× the memory and per-row conversion cost for nothing)
         import pyarrow.parquet as pq
 
         names = self.schema_.fieldNames()
         tbl = pq.read_table(partition.path, columns=names)
-        cols = [tbl.column(n).to_pylist() for n in names]
-        return iter(list(zip(*cols)))
+        yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:
         # offsets are derived from the immutable log; nothing to release
@@ -115,11 +118,47 @@ class TxlogStreamDataSource(DataSource):
     """``readStream.format("cdc_txlog").option("path", table_dir)`` —
     register with ``spark.dataSource.register(TxlogStreamDataSource)``.
     Batch reads of the same table go through :func:`txlog.read_version`
-    (plain distributed parquet scan); this class is the streaming tail."""
+    (plain distributed parquet scan); this class is the streaming tail.
+
+    SELF-DESCRIBING like the Delta source it models: ``schema()``
+    resolves from the table's committed ``metaData`` action (the log
+    governs, same rule as :func:`txlog.read_version`), falling back to a
+    committed file's parquet footer — so ``.load()`` works without an
+    explicit ``.schema()`` call; a caller-supplied schema still
+    overrides (Spark only calls ``schema()`` when none was given)."""
 
     @classmethod
     def name(cls) -> str:
         return "cdc_txlog"
 
+    def schema(self):
+        table_dir = _required_path(self.options)
+        meta = txlog.table_metadata(table_dir) or {}
+        declared = meta.get("schema")
+        if declared is not None:
+            return declared  # DDL string, accepted by the DataSource API
+        files = txlog.snapshot_files(table_dir)
+        if files:
+            import pyarrow.parquet as pq
+
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            return from_arrow_schema(pq.read_schema(files[0]))
+        raise ValueError(
+            f"cdc_txlog source: table {table_dir} has no committed "
+            "metadata and no data files to infer a schema from; pass "
+            ".schema(...) explicitly or commit table metadata"
+        )
+
     def streamReader(self, schema: StructType):
         return TxlogStreamReader(schema, self.options)
+
+
+def _required_path(options: dict) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError(
+            "cdc_txlog source: the 'path' option (table directory) is "
+            "required — readStream.format('cdc_txlog').option('path', dir)"
+        )
+    return path

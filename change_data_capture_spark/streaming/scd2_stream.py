@@ -118,7 +118,10 @@ def apply_batch(state: Scd2State, batch: DataFrame) -> None:
         .dropDuplicates(["id", "lsn"])
         .select("id", *_PAYLOAD, "lsn", "ts_ms")
     )
-    if state.read() is None:
+    # cheap one-listdir probe — state.read() here would pay a full
+    # file-listing + footer read of the whole state dir every micro-batch
+    # just to learn "initialized: yes"
+    if not state._initialized():
         state.overwrite_buckets(_intervals(new_events))
         return
 
@@ -172,5 +175,6 @@ def run_incremental_scd2(
     )
     q.awaitTermination()
     final = state.read()
-    assert final is not None, "stream produced no batches"
+    if final is None:  # explicit, not assert: python -O must not skip it
+        raise RuntimeError("stream produced no batches")
     return final

@@ -58,15 +58,11 @@ def streaming_ingest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
     ).json(src)
     # Size the dedup state store to the topic, not to the session's batch
     # shuffle width: 8 state partitions for this event volume (each state
-    # partition pays a per-batch commit). Restore the session conf after the
-    # drain — it is read once at stream start.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        ingest_stream(
-            spark, src, sink, ckpt, available_now=True, state_partitions=8
-        ).awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # partition pays a per-batch commit). ingest_stream itself captures
+    # and restores the session's shuffle conf around stream start.
+    ingest_stream(
+        spark, src, sink, ckpt, available_now=True, state_partitions=8
+    ).awaitTermination()
 
     landed = spark.read.parquet(sink)
     # partition-dir values come back type-inferred (date / int); restore the
@@ -97,12 +93,11 @@ def streaming_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     env.write.mode("overwrite").json(src)
 
     state = Scd2State(spark, f"{ws}/state")
-    stream = read_envelope_ndjson(spark, src, streaming=True)
-    # cap files per trigger so availableNow yields multiple batches
-    stream = (
-        spark.readStream.schema(stream.schema)
-        .option("maxFilesPerTrigger", 2)
-        .json(src)
+    # cap files per trigger so availableNow yields multiple batches (the
+    # options= passthrough keeps the pinned schema AND the explicit
+    # PERMISSIVE poison-pill contract — no hand-rebuilt reader)
+    stream = read_envelope_ndjson(
+        spark, src, streaming=True, options={"maxFilesPerTrigger": 2}
     )
     q = (
         decode_envelope(stream)
@@ -2230,12 +2225,9 @@ def streaming_scd2_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
                 .collect()
             )
-            hp = set()
-            for r in hit:
-                p = r["f"]
-                if p.startswith("file:"):
-                    p = p[len("file:"):]
-                hp.add(os.path.abspath(p))
+            from change_data_capture_spark.sources.txlog import _local_path
+
+            hp = {_local_path(r["f"]) for r in hit}
             touched = [p for p in cand if os.path.abspath(p) in hp]
         # MERGE pass 2: re-chain affected keys, pass bucket-mates through
         if touched:
