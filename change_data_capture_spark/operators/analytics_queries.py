@@ -1146,10 +1146,14 @@ def _bloom_novelty_plan(
 
 
 def _decontam_gram_prefix() -> str:
-    from change_data_capture_spark.operators.text_queries import _DECONTAM_ORACLE
+    # the gram relation's CTE chain is a NAMED constant in text_queries
+    # (shared with the exact-join oracle), so both oracles compose from
+    # the same block instead of one parsing the other's finished SQL
+    from change_data_capture_spark.operators.text_queries import (
+        _DECONTAM_GRAMS_CTE,
+    )
 
-    body = _DECONTAM_ORACLE.strip().removeprefix("WITH")
-    return body.split("train AS", 1)[0].rstrip().rstrip(",")
+    return _DECONTAM_GRAMS_CTE
 
 
 def _decontam_bloom_oracle(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:

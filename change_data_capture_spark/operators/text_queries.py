@@ -464,8 +464,13 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Eval-set decontamination (13-gram train/eval overlap)
 # ---------------------------------------------------------------------------
 
-_DECONTAM_ORACLE = """
-WITH toks AS (
+# The toks → pos → grams CTE chain building the decontamination gram
+# relation (13-token shingles, 'decontam'-seeded 60-bit hashes, seeded
+# 90/10 split buckets). A NAMED block, not a finished query: both the
+# exact-join oracle below and analytics_queries' Bloom-path oracle
+# compose from it, so the two oracles stay bit-identical by
+# construction instead of by string surgery on each other's SQL.
+_DECONTAM_GRAMS_CTE = """toks AS (
     SELECT doc_id,
            CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
            regexp_split_to_array(trim(text), '\\s+') AS w
@@ -481,7 +486,10 @@ grams AS (
     SELECT DISTINCT doc_id, bucket,
            CAST(('0x' || substr(md5('decontam|' || array_to_string(w[i:i+12], ' ')), 1, 15)) AS BIGINT) AS gh
     FROM pos
-),
+)"""
+
+_DECONTAM_ORACLE = f"""
+WITH {_DECONTAM_GRAMS_CTE},
 train AS (SELECT DISTINCT gh, doc_id AS train_doc FROM grams WHERE bucket < 90),
 ev    AS (SELECT DISTINCT gh, doc_id FROM grams WHERE bucket >= 90)
 SELECT ev.doc_id,

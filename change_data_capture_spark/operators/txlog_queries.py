@@ -498,7 +498,11 @@ def txlog_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected_version=0,
     )
     n = txlog.count_rows(tdir)
-    assert n is not None  # every action came from the stats writer
+    if n is None:  # every action came from the stats writer
+        raise RuntimeError(
+            "count_rows returned None for a table written entirely with "
+            "stats_cols — a commit is missing its numRecords stat"
+        )
     return spark.createDataFrame([(n,)], "n_rows bigint")
 
 
@@ -874,3 +878,105 @@ def txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version BIGINT, operation STRING, n_add BIGINT, n_remove BIGINT, "
         "rows_added BIGINT, metadata_changed BOOLEAN",
     )
+
+
+_CDF_UPD_LO, _CDF_UPD_HI = 100, 299
+_CDF_DEL_LO, _CDF_DEL_HI = 400, 499
+
+# The feed the gate must produce: v1 = UPDATE pre/post image pairs for
+# every row the SET actually changed (a no-op image — price*1.10 == price
+# AND upper(name) == name — is an unchanged copy, not a change), v2 =
+# DELETE pre-images. Both recomputed relationally from the raw change
+# events; the literal 1.10 routes through CAST(... AS DOUBLE) so both
+# engines compute the identical binary product (DuckDB literals are
+# DECIMAL otherwise).
+_CDF_OPS_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+{_STATE_CTE.format(m=4)},
+upd AS (
+    SELECT id, name, description, price FROM state4
+    WHERE id BETWEEN {_CDF_UPD_LO} AND {_CDF_UPD_HI}
+      AND (upper(name) IS DISTINCT FROM name
+           OR price * CAST(1.10 AS DOUBLE) IS DISTINCT FROM price)
+)
+SELECT id, name, description, price,
+       'update_preimage' AS _change_type,
+       1 AS _commit_version, 'UPDATE' AS operation
+FROM upd
+UNION ALL
+SELECT id, upper(name) AS name, description,
+       price * CAST(1.10 AS DOUBLE) AS price,
+       'update_postimage' AS _change_type,
+       1 AS _commit_version, 'UPDATE' AS operation
+FROM upd
+UNION ALL
+SELECT id, name, description, price,
+       'delete' AS _change_type,
+       2 AS _commit_version, 'DELETE' AS operation
+FROM state4
+WHERE id BETWEEN {_CDF_DEL_LO} AND {_CDF_DEL_HI}
+"""
+
+
+@query("txlog_cdf_ops", oracle=_CDF_OPS_ORACLE)
+def txlog_cdf_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed over the DML surface (Delta ``table_changes``):
+    run a predicate UPDATE (price × 1.10, name uppercased on id
+    {ulo}–{uhi}) then a predicate DELETE (id {dlo}–{dhi}) against the
+    products table, and read back the PER-OPERATION change rows —
+    ``update_preimage``/``update_postimage`` pairs for every row the
+    UPDATE changed and ``delete`` pre-images for every row the DELETE
+    removed, each stamped with its ``_commit_version`` and the
+    operation name the DML entry point recorded
+    (:func:`txlog.table_changes`).
+
+    Where ``txlog_change_feed`` diffs two SNAPSHOT endpoints (what is
+    different between then and now), this reads the feed PER COMMIT —
+    which operation produced each change, with both row images for
+    updates — the shape downstream incremental consumers (SCD2
+    maintenance, cache invalidation, reverse ETL) actually subscribe
+    to. No wire log involved: the copy-on-write commits' remove/add
+    metadata carries enough structure to rebuild the images after the
+    fact, because every rewrite is file-bounded.
+
+    Scale: O(churned files) per version — the v1 diff scans only the
+    files the UPDATE rewrote, v2 only the DELETE's; at 100 TB a day of
+    feed reads the day's rewritten files, never the table. Unchanged
+    copies carried along in rewritten files (both DMLs rewrite whole
+    touched files) are dropped by image equality inside the per-version
+    join; the no-op-SET edge (new image == old image emits nothing) and
+    the insert branch (an append commit feeds pure inserts) are pinned
+    in ``tests/test_txlog.py``."""
+    tdir = tempfile.mkdtemp(prefix="cdc_txcdf_")
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base).repartitionByRange(8, "id")
+    txlog.commit(
+        tdir,
+        add=txlog.write_files(state, tdir, stats_cols=["id"]),
+        expected_version=0,
+        operation="WRITE",
+    )
+    txlog.update_where(
+        spark,
+        tdir,
+        f"id BETWEEN {_CDF_UPD_LO} AND {_CDF_UPD_HI}",
+        {
+            "price": "price * CAST(1.10 AS DOUBLE)",
+            "name": "upper(name)",
+        },
+        stats_cols=["id"],
+        prune_range=("id", _CDF_UPD_LO, _CDF_UPD_HI),
+    )
+    txlog.delete_where(
+        spark,
+        tdir,
+        f"id BETWEEN {_CDF_DEL_LO} AND {_CDF_DEL_HI}",
+        stats_cols=["id"],
+        prune_range=("id", _CDF_DEL_LO, _CDF_DEL_HI),
+    )
+    return txlog.table_changes(spark, tdir, 1, 2, key="id")
+
+
+txlog_cdf_ops.__doc__ = txlog_cdf_ops.__doc__.format(
+    ulo=_CDF_UPD_LO, uhi=_CDF_UPD_HI, dlo=_CDF_DEL_LO, dhi=_CDF_DEL_HI
+)

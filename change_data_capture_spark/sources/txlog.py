@@ -64,7 +64,9 @@ list, with normal pushdown/pruning below the file-level skip.
 from __future__ import annotations
 
 import contextlib
+import functools
 import json
+import logging
 import os
 import uuid
 
@@ -579,11 +581,13 @@ def merge_into(
     # Cost: one delta-sized aggregation + (only when duplicates exist
     # at all) one semi probe of the touched files.
     if touched:
+        # explicit alias: .count() would collide with a merge key that
+        # is itself named "count" (ambiguous-reference AnalysisException)
         dup_keys = (
             src.where(F.col(key).isNotNull())
             .groupBy(key)
-            .count()
-            .where(F.col("count") > 1)
+            .agg(F.count(F.lit(1)).alias("__merge_key_n"))
+            .where(F.col("__merge_key_n") > 1)
             .select(key)
         )
         if not dup_keys.isEmpty():
@@ -913,7 +917,11 @@ def rewrite_with_retry(
             _time.sleep(
                 backoff_seconds * (2**attempt) * (0.5 + random.random())
             )
-    assert last is not None  # max_attempts >= 1 guarantees a bound error
+    if last is None:  # max_attempts >= 1 guarantees a bound error
+        raise RuntimeError(
+            "commit_with_retry exhausted attempts without binding an error "
+            f"(max_attempts={max_attempts})"
+        )
     raise last
 
 
@@ -1078,9 +1086,12 @@ def history(table_dir: str) -> list[dict]:
     changed table metadata. Pure driver-side log fold, O(commits),
     KB-sized JSON each — the log IS the audit trail, no data read.
 
-    Reference parity: the reference's Delta sink exposes DESCRIBE
-    HISTORY for exactly this "what changed the table, when" audit
-    (``/root/reference/README.md`` names Delta as the sink format)."""
+    Reference parity: the reference's own sink is the Aiven S3
+    connector writing JSONL (``/root/reference/connectors/s3-sink.json:10``);
+    the Delta-parity justification is ``repo:BASELINE.json``'s approach
+    line ("Structured Streaming + Kafka + Delta"), whose Delta sink
+    exposes DESCRIBE HISTORY for exactly this "what changed the table,
+    when" audit."""
     rows: list[dict] = []
     for v in range(latest_version(table_dir) + 1):
         with open(_commit_path(table_dir, v)) as f:
@@ -1149,7 +1160,18 @@ def vacuum(
     grace, vacuuming during a live write deletes files the writer is
     about to commit and the new tip is permanently unreadable — the same
     in-flight-transaction hazard behind Delta VACUUM's refusal of
-    short retention windows. Files that SOME commit did reference
+    short retention windows. **The grace is a deadline, not a proof**:
+    ``data_grace_seconds`` must exceed the longest expected write→commit
+    gap on the cluster (a large distributed write, a stalled executor,
+    writer/vacuum-host clock skew) — a writer slower than the grace can
+    still lose its pending files and its upcoming tip with them. Delta
+    defaults the equivalent window to 7 DAYS for exactly this reason;
+    the 10-min default here suits the single-host test profile, so
+    raise it for production fleets. To make breaches auditable, every
+    reclaimed never-referenced file (old-but-uncommitted — the only
+    class the hazard applies to) is logged at WARNING with its age,
+    separately from stranded pre-images, which are the normal,
+    log-governed case. Files that SOME commit did reference
     (stranded pre-images of rewrites) are governed purely by
     ``retention_versions`` — age-irrelevant, reclaimed immediately when
     outside the retained window, exactly as before.
@@ -1192,9 +1214,22 @@ def vacuum(
             if p in live:
                 continue
             if p not in ever_referenced:
+                age = None
                 with contextlib.suppress(FileNotFoundError):
-                    if now - os.stat(p).st_mtime <= data_grace_seconds:
-                        continue  # likely an in-flight writer's pending file
+                    age = now - os.stat(p).st_mtime
+                if age is not None and age <= data_grace_seconds:
+                    continue  # likely an in-flight writer's pending file
+                # old-but-uncommitted: the one class the in-flight-writer
+                # hazard applies to — flag it so operators can audit
+                # whether data_grace_seconds is shorter than real writes
+                logging.getLogger(__name__).warning(
+                    "vacuum reclaiming never-committed file %s (age %.0fs "
+                    "> data_grace_seconds=%.0fs); if a live writer is "
+                    "slower than the grace, raise data_grace_seconds",
+                    p,
+                    age if age is not None else float("nan"),
+                    data_grace_seconds,
+                )
             victims.append(p)
     ldir = _log_dir(table_dir)
     tmp_sweeps: list[str] = []
@@ -1221,3 +1256,133 @@ def last_txn(table_dir: str, app_id: str) -> int | None:
     _, txns, _, _ = _resolve(table_dir, None)
     b = txns.get(app_id)
     return int(b) if b is not None else None
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    start_version: int,
+    end_version: int | None = None,
+    key: str = "id",
+) -> DataFrame:
+    """Per-commit change-data rows for versions ``start..end`` — the
+    Delta ``table_changes`` (Change Data Feed) read, reconstructed from
+    the commit metadata the DML entry points already leave behind:
+    every copy-on-write commit names exactly WHICH files entered
+    (``add``) and left (``remove``) the snapshot, and its stamped
+    ``operation`` says what the writer meant. Emits one row per changed
+    row image with ``_change_type`` in ``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage``, plus the commit's
+    ``_commit_version`` and stamped ``operation``.
+
+    Per version the feed is a key-joined diff of the REMOVED files (the
+    pre-image side) against the ADDED files (the post-image side), both
+    read under the log-governed schema:
+
+    - add-only commit (append / initial WRITE): every added row is an
+      ``insert`` — no diff, no join;
+    - rewrite commit: full-outer join on ``key``; a key only in the
+      post side is an ``insert``, only in the pre side a ``delete``,
+      in both with a changed image an ``update_preimage`` +
+      ``update_postimage`` pair, and in both with an IDENTICAL image an
+      unchanged copy the rewrite carried along (UPDATE/DELETE rewrite
+      whole touched files) — dropped, it is not a change.
+
+    This is the read-side reconstruction Delta enables with
+    ``delta.enableChangeDataFeed`` write-side tracking; here the
+    copy-on-write remove/add pairs carry enough structure to rebuild
+    the same rows AFTER the fact, because rewrites are file-bounded
+    (only touched files move through a commit). Cost per version is
+    O(churned files), never O(table): at 100 TB, reading a day of
+    changes off a range-clustered table scans only the files its
+    commits actually rewrote, and each per-version diff shuffles only
+    those rows on the key. Versions stay independent — Spark unions
+    their per-version plans, so a multi-version feed parallelizes
+    across commits as well as within them.
+
+    ``key`` must identify rows within every diffed commit the way the
+    table's DML used it (the same contract :func:`merge_into` places on
+    its ``key``). Reference parity: the reference's downstream consumers
+    read per-operation change rows off the wire log
+    (``/root/reference/README.md:86-125``); this is the same feed
+    recovered from the TABLE's own history, no wire log needed."""
+    from pyspark.sql import functions as F
+
+    tip = latest_version(table_dir)
+    end = tip if end_version is None else end_version
+    if start_version < 0 or end > tip or start_version > end:
+        raise ValueError(
+            f"table_changes range [{start_version}, {end}] outside the "
+            f"log's committed range [0, {tip}]"
+        )
+    per_version: list[DataFrame] = []
+    for v in range(start_version, end + 1):
+        with open(_commit_path(table_dir, v)) as f:
+            payload = json.load(f)
+        adds = [_action_path(a) for a in payload.get("add") or ()]
+        removes = [_action_path(a) for a in payload.get("remove") or ()]
+        op = payload.get("operation")
+        reader = _snapshot_reader(spark, table_dir, v)
+        meta = F.lit(v).alias("_commit_version"), F.lit(op).alias("operation")
+        if not removes:
+            if not adds:
+                continue  # metadata-only commit: no row changes
+            per_version.append(
+                reader.parquet(*adds).select(
+                    "*", F.lit("insert").alias("_change_type"), *meta
+                )
+            )
+            continue
+        pre = reader.parquet(*removes).alias("b")
+        post = (
+            reader.parquet(*adds)
+            if adds
+            else reader.parquet(*removes).limit(0)
+        ).alias("a")
+        cols = [f.name for f in pre.schema.fields]
+        data_cols = [c for c in cols if c != key]
+        img_b = F.struct(*[F.col(f"b.{c}").alias(c) for c in cols])
+        img_a = F.struct(*[F.col(f"a.{c}").alias(c) for c in cols])
+        differ = functools.reduce(
+            lambda x, y: x | y,
+            [
+                ~F.col(f"b.{c}").eqNullSafe(F.col(f"a.{c}"))
+                for c in data_cols
+            ],
+            F.lit(False),
+        )
+        entry = lambda t, img: F.struct(  # noqa: E731
+            F.lit(t).alias("t"), img.alias("img")
+        )
+        entries = (
+            F.when(
+                F.col(f"b.{key}").isNull(),
+                F.array(entry("insert", img_a)),
+            )
+            .when(
+                F.col(f"a.{key}").isNull(),
+                F.array(entry("delete", img_b)),
+            )
+            .when(
+                differ,
+                F.array(
+                    entry("update_preimage", img_b),
+                    entry("update_postimage", img_a),
+                ),
+            )
+            .otherwise(F.array())  # unchanged copy in a rewritten file
+        )
+        joined = pre.join(
+            post, F.col(f"b.{key}") == F.col(f"a.{key}"), "full_outer"
+        )
+        per_version.append(
+            joined.select(F.explode(entries).alias("e")).select(
+                "e.img.*", F.col("e.t").alias("_change_type"), *meta
+            )
+        )
+    if not per_version:
+        raise ValueError(
+            f"table_changes range [{start_version}, {end}] contains only "
+            "metadata commits — no row changes to return"
+        )
+    return functools.reduce(lambda x, y: x.unionByName(y), per_version)

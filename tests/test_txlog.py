@@ -352,8 +352,13 @@ def test_txlog_stream_source_offsets_are_versions(spark, tmp_path):
     assert tip == {"version": 1}
 
     def drain(start, end):
+        # read() yields Arrow RecordBatches (the columnar executor path);
+        # flatten them back to row tuples so equality checks stay simple
         return sorted(
-            row for p in r.partitions(start, end) for row in r.read(p)
+            tuple(row.values())
+            for p in r.partitions(start, end)
+            for batch in r.read(p)
+            for row in batch.to_pylist()
         )
 
     assert drain({"version": -1}, tip) == [(1, "a"), (2, "b"), (3, "c")]
@@ -1094,3 +1099,60 @@ def test_read_version_empty_no_schema_raises_clearly(spark, tmp_path):
     txlog.commit(t, add=[], expected_version=0)
     with pytest.raises(ValueError, match="no data files and no declared"):
         txlog.read_version(spark, t)
+
+
+def test_table_changes_classifies_per_commit(spark, tmp_path):
+    """CDF reconstruction from commit metadata: an append commit feeds
+    pure inserts; an update rewrite feeds pre/post image pairs for
+    changed rows only (unchanged copies carried by the whole-file
+    rewrite are dropped, and a no-op SET emits nothing); a delete
+    rewrite feeds delete pre-images; every row carries its commit
+    version and stamped operation; a metadata-only range raises."""
+    t = str(tmp_path / "t")
+    # v0: two rows; id=2's value is ALREADY uppercase -> later no-op SET
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(1, "a"), (2, "B")]), t),
+        expected_version=0,
+        operation="WRITE",
+    )
+    # v1: append one more row
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(3, "c")]), t),
+        expected_version=1,
+        operation="WRITE",
+    )
+    # v2: UPDATE v = upper(v) on every row (id=2 is a no-op image)
+    txlog.update_where(spark, t, "id >= 1", {"v": "upper(v)"})
+    # v3: DELETE id = 3
+    txlog.delete_where(spark, t, "id = 3")
+    # v4: metadata-only commit
+    txlog.commit(
+        t,
+        add=[],
+        expected_version=4,
+        metadata={"schema": "id BIGINT, v STRING"},
+    )
+
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"],
+         r["operation"])
+        for r in txlog.table_changes(spark, t, 0, 3).collect()
+    )
+    assert rows == [
+        (0, "insert", 1, "a", "WRITE"),
+        (0, "insert", 2, "B", "WRITE"),
+        (1, "insert", 3, "c", "WRITE"),
+        (2, "update_postimage", 1, "A", "UPDATE"),
+        (2, "update_postimage", 3, "C", "UPDATE"),
+        (2, "update_preimage", 1, "a", "UPDATE"),
+        (2, "update_preimage", 3, "c", "UPDATE"),
+        (3, "delete", 3, "C", "DELETE"),
+    ]
+    # a metadata-only range has no row changes to return
+    with pytest.raises(ValueError, match="metadata commits"):
+        txlog.table_changes(spark, t, 4, 4)
+    # a range outside the log fails loudly
+    with pytest.raises(ValueError, match="outside the log"):
+        txlog.table_changes(spark, t, 0, 99)
