@@ -1089,6 +1089,15 @@ def _bloom_probe_flag(spark: SparkSession, cand, packed: list, m: int, k: int,
         bm = spark.createDataFrame([(packed,)], "_bm array<bigint>")
         probed = cand.join(F.broadcast(bm))
         bitmap = F.col("_bm")
+    return _attach_bloom_probes(probed, bitmap, m, k, hash_family)
+
+
+def _attach_bloom_probes(probed, bitmap, m: int, k: int,
+                         hash_family: str = "md5"):
+    """The probe loop shared by every Bloom transport (plan literal,
+    one-row broadcast, sharded broadcast relation): attach the k
+    position/word columns against ``bitmap`` (any array<bigint>-typed
+    column or literal) and return ``(probed_df, flag_col)``."""
     hit_exprs = []
     for j in range(k):
         pos = _bloom_pos(F.lit(j), F.col("gh"), m, hash_family)
@@ -1276,6 +1285,168 @@ def corpus_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag parity with the exact twin are pytest-pinned."""
     result, grams = _decontam_bloom_plan(spark, sf_dir)
     return materialize_and_release(result, grams)
+
+
+# ---------------------------------------------------------------------------
+# Sharded Bloom decontamination — the gram-hash-range sharding the
+# ngram_novelty_bloom sizing note describes, exercised end to end
+# ---------------------------------------------------------------------------
+
+_DECONTAM_SHARDS = 4
+# gram hashes are 60-bit values (15 md5 hex digits); range sharding takes
+# the TOP bits so each shard owns a contiguous gh range
+_DECONTAM_SHARD_SHIFT = 60 - (_DECONTAM_SHARDS.bit_length() - 1)
+
+
+def _decontam_bloom_sharded_oracle(
+    m: int, k: int, shards: int, shift: int
+) -> str:
+    """DuckDB oracle for the SHARDED Bloom decontamination: same seeded
+    md5 family, but each shard folds its own m-bit bitset from only its
+    gh-range's eval grams, and every train gram probes only its own
+    shard's bits — so the (deterministic) false-positive pattern differs
+    from the unsharded filter and the oracle must shard identically."""
+    from change_data_capture_spark.operators.text_queries import (
+        _DECONTAM_GRAMS_CTE,
+    )
+
+    return f"""
+WITH {_DECONTAM_GRAMS_CTE},
+ev AS (SELECT DISTINCT gh FROM grams WHERE bucket >= 90),
+train AS (SELECT doc_id, gh FROM grams WHERE bucket < 90),
+seeds AS (SELECT unnest(range(0, {k})) AS j),
+bits AS (
+    SELECT DISTINCT e.gh >> {shift} AS shard,
+           {_bloom_hash_duck("s.j", "e.gh", m)} AS pos
+    FROM ev e, seeds s
+),
+probe AS (
+    SELECT t.doc_id, t.gh, s.j, t.gh >> {shift} AS shard,
+           {_bloom_hash_duck("s.j", "t.gh", m)} AS pos
+    FROM train t, seeds s
+),
+hits AS (
+    SELECT p.doc_id, p.gh, count(b.pos) AS k_hits
+    FROM probe p LEFT JOIN bits b ON b.shard = p.shard AND b.pos = p.pos
+    GROUP BY p.doc_id, p.gh
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(SUM(CASE WHEN k_hits = {k} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       CAST(max(CASE WHEN k_hits = {k} THEN 1 ELSE 0 END) AS INT)
+           AS contaminated
+FROM hits
+GROUP BY doc_id
+"""
+
+
+def _decontam_bloom_sharded_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    shards: int = _DECONTAM_SHARDS,
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    hash_family: str = "md5",
+):
+    """Build the sharded Bloom decontamination plan; returns
+    ``(result_df, grams_handle)``. The filter is ``shards`` independent
+    m-bit bitsets, one per contiguous gram-hash range (top bits of the
+    60-bit gh), shipped as a ``shards``-row broadcast relation
+    ``(shard, _bm)``; train grams route to their shard with one equi-join
+    and probe ONLY that shard's bits."""
+    if shards <= 0 or shards & (shards - 1):
+        raise ValueError(f"shards must be a positive power of two, got {shards}")
+    _validate_bloom_params(m, k, "broadcast", hash_family)
+    shift = 60 - (shards.bit_length() - 1)
+    grams = _decontam_grams(spark, sf_dir)
+    ev = grams.where(~F.col("is_train")).select("gh").distinct()
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    pos_rows = (
+        ev.select("gh", seeds)
+        .select(
+            F.shiftright("gh", shift).alias("shard"),
+            _bloom_pos(F.col("j"), F.col("gh"), m, hash_family).alias("pos"),
+        )
+        .distinct()
+        .collect()  # bounded by shards * m, never by the corpus
+    )
+    words = {s: [0] * (m // 64) for s in range(shards)}
+    for r in pos_rows:
+        p = r["pos"]
+        words[r["shard"]][p >> 6] |= 1 << (p & 63)
+    bm_rows = [
+        (s, [w - (1 << 64) if w >= (1 << 63) else w for w in ws])
+        for s, ws in sorted(words.items())
+    ]
+    bm = spark.createDataFrame(bm_rows, "shard bigint, _bm array<bigint>")
+    train = grams.where("is_train").select(
+        F.shiftright("gh", shift).alias("shard"), "doc_id", "gh"
+    )
+    probed = train.join(F.broadcast(bm), "shard")
+    probed, flag = _attach_bloom_probes(
+        probed, F.col("_bm"), m, k, hash_family
+    )
+    result = (
+        probed.select("doc_id", flag.alias("flag"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("flag").alias("n_flagged"),
+            F.max("flag").alias("contaminated"),
+        )
+    )
+    return result, grams
+
+
+_DECONTAM_BLOOM_SHARDED_ORACLE = _decontam_bloom_sharded_oracle(
+    _BLOOM_M, _BLOOM_K, _DECONTAM_SHARDS, _DECONTAM_SHARD_SHIFT
+)
+
+
+@query(
+    "corpus_decontamination_bloom_sharded",
+    oracle=_DECONTAM_BLOOM_SHARDED_ORACLE,
+)
+def corpus_decontamination_bloom_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval-set decontamination with the Bloom filter SHARDED BY
+    GRAM-HASH RANGE — the true 100 TB transport the
+    :func:`ngram_novelty_bloom` sizing note describes. One monolithic
+    filter for a 1e8-gram eval suite crosses the plan-literal ceiling
+    and even the single-relation broadcast eventually stops scaling (a
+    1.2 TB filter at 1e12 grams ships to no executor whole); the
+    deployment answer is range-sharding: split the 60-bit gram-hash
+    space into contiguous ranges, fold an independent m-bit bitset per
+    range, and route every probe to ITS shard only. Here that is
+    literal: a {shards}-row broadcast relation ``(shard, bitmap)``, one
+    equi-join on the shard id (BroadcastHashJoin — each task hashes
+    into the {shards}-row table and touches only the bitsets its grams
+    need), then the same k-probe projection as the unsharded gate
+    against the joined shard's bits. No train gram crosses the network
+    before the per-doc agg the result needs anyway; pinned join-shape
+    in ``tests/test_analytics_queries.py``.
+
+    Statistically each shard holds ~1/{shards} of the eval grams in the
+    same m bits, so per-shard load factor (and FPR) drops — sharding
+    buys transport AND precision; at fleet scale shard count tracks the
+    suite size (keep each shard under the broadcast budget) and probes
+    still cost k hashes + k bit tests per gram, whole-stage codegen.
+    The false-positive pattern differs from the unsharded filter (bit
+    collisions only happen within a shard), and the oracle reproduces
+    it bit-for-bit — same exact-oracle contract as the other Bloom
+    gates; no-false-negative parity with the exact twin is pytest-
+    pinned."""
+    result, grams = _decontam_bloom_sharded_plan(spark, sf_dir)
+    return materialize_and_release(result, grams)
+
+
+corpus_decontamination_bloom_sharded.__doc__ = (
+    corpus_decontamination_bloom_sharded.__doc__.replace(
+        "{shards}", str(_DECONTAM_SHARDS)
+    )
+)
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ NEW_QUERIES = [
     "ewma_monthly_revenue",
     "null_semantics_audit",
     "corpus_decontamination_bloom",
+    "corpus_decontamination_bloom_sharded",
 ]
 
 
@@ -377,3 +378,106 @@ def test_cluster_rep_uses_group_limit(spark, sf_dir):
     s = _stats(spark, sf_dir, "cluster_rep_best_quality")
     assert s.has_window_group_limit, s.text
     assert not s.has_cartesian and not s.has_bnlj
+
+
+def test_decontam_bloom_sharded_routes_via_one_broadcast_join(spark, sf_dir):
+    """The sharded transport's plan shape IS the claim: train grams route
+    to their shard's bitset through exactly one broadcast equi-join on
+    the shard id — no sort-merge join (which would shuffle the train
+    gram relation), no cartesian/nested-loop fallback (which would probe
+    every shard instead of the matching one)."""
+    from change_data_capture_spark.operators.analytics_queries import (
+        _decontam_bloom_sharded_plan,
+    )
+
+    spark.catalog.clearCache()
+    result, grams = _decontam_bloom_sharded_plan(spark, sf_dir)
+    try:
+        s = plan_stats(result)
+        assert "BroadcastHashJoin" in s.text, s.text
+        assert "SortMergeJoin" not in s.text, s.text
+        assert not s.has_cartesian and not s.has_bnlj
+        assert s.broadcast_exchanges == 1, s.text
+        assert s.shuffle_exchanges <= 3, s.text
+    finally:
+        grams.unpersist()
+
+
+def test_decontam_bloom_sharded_never_misses_exact_contamination(
+    spark, sf_dir
+):
+    """Sharding must not change the filter's one-sided error: every train
+    document with real eval overlap stays flagged (a cross-shard routing
+    bug would turn misrouted probes into false NEGATIVES — the one
+    failure mode a decontamination filter must never have), and the
+    per-doc flag count still dominates the exact shared-gram count."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.operators.analytics_queries import (
+        _decontam_grams,
+    )
+
+    grams = _decontam_grams(spark, sf_dir)
+    try:
+        ev = grams.where(~F.col("is_train")).select("gh").distinct()
+        exact = (
+            grams.where("is_train")
+            .join(ev, "gh")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gh").alias("n_exact"))
+        )
+        exact_counts = {r["doc_id"]: r["n_exact"] for r in exact.collect()}
+    finally:
+        grams.unpersist()
+    assert exact_counts, "fixture must contain real train/eval overlap"
+    sharded = {
+        r["doc_id"]: (r["n_flagged"], r["contaminated"])
+        for r in entrymod.queries()["corpus_decontamination_bloom_sharded"](
+            spark, sf_dir
+        ).collect()
+    }
+    for doc, n_exact in exact_counts.items():
+        n_flagged, contaminated = sharded[doc]
+        assert contaminated == 1, doc
+        assert n_flagged >= n_exact, doc
+
+
+def test_decontam_bloom_sharded_second_point_matches_oracle(spark, sf_dir):
+    """(m, k, shards) are real parameters: at an undersized (m = 2^12,
+    k = 5) point with 8 shards the per-shard false positives actually
+    fire, and the Spark result must still match the oracle built at the
+    identical parameters — including the shard-local collision pattern."""
+    from change_data_capture_spark.operators.analytics_queries import (
+        _decontam_bloom_sharded_oracle,
+        _decontam_bloom_sharded_plan,
+    )
+    from tests.oracle import compare_frames, duck_connection
+
+    result, grams = _decontam_bloom_sharded_plan(
+        spark, sf_dir, shards=8, m=4096, k=5
+    )
+    try:
+        got = result.toPandas()
+    finally:
+        grams.unpersist()
+    con = duck_connection(sf_dir)
+    want = con.sql(
+        _decontam_bloom_sharded_oracle(m=4096, k=5, shards=8, shift=57)
+    ).df()
+    con.close()
+    compare_frames(
+        "corpus_decontamination_bloom_sharded[m=4096,k=5,s=8]", got, want
+    )
+    assert got["contaminated"].sum() > 0
+
+
+def test_decontam_bloom_sharded_validates_shard_count(spark, sf_dir):
+    """A non-power-of-two shard count cannot range-shard a binary hash
+    space evenly — it must fail loudly at plan build."""
+    from change_data_capture_spark.operators.analytics_queries import (
+        _decontam_bloom_sharded_plan,
+    )
+
+    for bad in (0, 3, -4):
+        with pytest.raises(ValueError, match="power of two"):
+            _decontam_bloom_sharded_plan(spark, sf_dir, shards=bad)
