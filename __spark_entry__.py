@@ -33,54 +33,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks this dict in order and caps the run at
 # 50 rows per round. Order therefore encodes check priority. Cumulative
-# record through round 9: 219/219 registered queries have a driver row,
-# all hash-matched, 0 failures. Round-10 rotation (the plan the r9 verdict
-# encoded): the three r10 additions lead (never checked), then the queries
-# whose CODE changed this round (the novelty trio was refactored into
-# materialize-then-unpersist plan builders and the Bloom gate gained m/k
-# parameters + a broadcast-bitmap transport; txlog update_where gained
-# store-assignment type validation; the DML entry points now stamp
-# operation names into commits for history(); the minhash drain gained the
-# mid-stream compaction hook; the anomaly slice staging gained the
-# empty-input/empty-slice guards; the two SCD2 stream gates' state-read
-# asserts became explicit RuntimeErrors; corpus_decontamination moved to
-# the shared persisted gram builder; the late-round txlog review pass
-# changed MERGE/RESTORE/VACUUM semantics and the stats encoding, adding
-# the vacuum pair + data_skipping here), then the 11 r3 leftovers the r9
-# window could not reach (the 12th r3-stale name, bloom_novelty_probe,
-# already sits in the code-changed group above), then the r4 set (22).
-# That totals 52 — the 50-cap cuts the last 2 r4 names, which join the
-# r5 block as the documented round-11 rotation. Names absent from this
-# tuple (latest row r6-r9) rank last in registration order.
+# record through round 10: 222/222 registered queries have a driver row,
+# all hash-matched, 0 failures. Round-11 rotation: the three r11 additions
+# lead (never checked), then the two gates whose r10 code change landed in
+# the end-of-round snapshot AFTER the r10 list was written (the breach the
+# r10 verdict flagged — their driver rows predate their code), then the
+# queries whose CODE changed in round 11 (MERGE's duplicate-source check
+# gained a collision-proof alias; vacuum gained the uncommitted-reclaim
+# audit log; count_rows' guard became a RuntimeError; history()'s citation
+# was corrected; the decontamination oracles now compose from a shared
+# named CTE constant instead of string surgery; the Bloom k-probe loop was
+# factored into _attach_bloom_probes shared with the new sharded
+# transport), then the 2 r4 names the r10 50-cap cut, then the r5-stale
+# block. 3+2+8+2 = 15 ahead of the 45 r5 names -> the 50-cap reaches 35 of
+# them; the last 10 r5 names are the documented round-12 carry. Names
+# absent from this tuple (latest row r7-r10) rank last in registration
+# order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # --- round-10 additions (never driver-checked) ---
-    "txlog_history",
-    "streaming_dedup_compact_midstream",
-    "corpus_decontamination_bloom",
-    # --- code changed in round 10 -> re-verify ---
-    "ngram_novelty_bloom", "ngram_novelty_score", "bloom_novelty_probe",
-    "txlog_update_where", "txlog_delete_where", "txlog_merge_upsert",
-    "txlog_restore", "txlog_vacuum", "txlog_vacuum_retention",
-    "txlog_data_skipping",
-    "streaming_dedup_minhash_incremental",
-    "streaming_anomaly_zscore", "streaming_anomaly_zscore_ttl",
-    "streaming_scd2_incremental", "streaming_scd2_multibatch",
-    "corpus_decontamination",
-    # --- last checked r3 (the documented r9 leftovers) ---
-    "attribution_last_touch", "bpe_pair_counts", "cluster_rep_best_quality", "domain_token_budget",
-    "embedding_dim_stats", "embedding_mean_pool", "ewma_monthly_revenue",
-    "scd3_products", "streaming_session_windows", "streaming_tumbling_drain",
-    "triangle_count_neardup",
-    # --- last checked r4 ---
-    "streaming_ingest_exactly_once", "dedup_minhash_lsh", "similarity_topk_cosine",
-    "scd2_products_b64price", "dedup_cc_minhash", "semantic_dedup_keeplist",
-    "multimodal_image_decode_png", "pagerank_dangling", "sequence_packing_sharded",
-    "heavy_hitters_cms", "multimodal_image_decode_jpeg", "cohort_ltv_matrix",
-    "nation_balance_percentiles", "skew_key_diagnostics", "nation_revenue_share",
-    "cumulative_unique_users", "events_dau_wau", "basket_affinity_lift",
-    "orders_seasonality_decomposition", "dedup_cluster_size_histogram", "events_dau_wau_approx",
-    "multimodal_video_nal_index",
-    # --- last checked r5 (the 50-cap reaches ~2 of these; rest = round 11) ---
+    # --- round-11 additions (never driver-checked) ---
+    "txlog_cdf_ops",
+    "corpus_decontamination_bloom_sharded",
+    "streaming_sink_orc_roundtrip",
+    # --- r10 snapshot-commit gates: code changed after the r10 list froze ---
+    "streaming_txlog_source_feed", "streaming_scd2_txlog",
+    # --- code changed in round 11 -> re-verify ---
+    "txlog_merge_upsert", "txlog_vacuum", "txlog_vacuum_retention",
+    "txlog_metadata_count", "txlog_history",
+    "corpus_decontamination", "corpus_decontamination_bloom",
+    "ngram_novelty_bloom",
+    # --- last checked r4 (the documented r10 50-cap carry) ---
+    "events_dau_wau_approx", "multimodal_video_nal_index",
+    # --- last checked r5 (the 50-cap reaches 35; the last 10 = round 12) ---
     "q1_pricing_summary", "q3_shipping_priority", "count_distinct_approx",
     "dedup_connected_components", "multimodal_features", "stats_corr_regr",
     "grouping_sets_customer", "window_distribution_funcs", "lateral_topn_per_nation",

@@ -134,6 +134,11 @@ HEADLINE = [
     "txlog_history",
     "streaming_dedup_compact_midstream",
     "corpus_decontamination_bloom",
+    # round-11 additions: Change Data Feed, sharded-Bloom decontamination,
+    # ORC streaming sink
+    "txlog_cdf_ops",
+    "corpus_decontamination_bloom_sharded",
+    "streaming_sink_orc_roundtrip",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

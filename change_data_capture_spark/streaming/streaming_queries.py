@@ -2282,3 +2282,64 @@ def streaming_scd2_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     if txlog.latest_version(tdir) != pre_replay_tip:
         raise RuntimeError("txn markers failed to absorb the replay")
     return _flagship_shape(txlog.read_version(spark, tdir))
+
+
+_SINK_ORC_ORACLE = f"""
+WITH {CDC_EVENTS_SQL}
+SELECT id, op, lsn, ts_ms, name, CAST(price AS DOUBLE) AS price
+FROM cdc_events
+"""
+
+
+@query("streaming_sink_orc_roundtrip", oracle=_SINK_ORC_ORACLE)
+def streaming_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC streaming-SINK round trip — the write-side twin of the batch
+    ``scan_orc_roundtrip`` gate, closing the scan-gate matrix
+    symmetrically (parquet had both directions via
+    ``streaming_ingest_exactly_once``; ORC only had the read). The NDJSON
+    change log streams through the typed-envelope decode into a
+    CHECKPOINTED ORC file sink (availableNow trigger), then the landed
+    files read back through ``flat_files.read_orc`` and must hash-match
+    the raw event log — a pure transport-fidelity claim, deliberately
+    WITHOUT the dedup stage, so the gate isolates the sink format (the
+    at-least-once replays in the log must land too; exactly-once is the
+    parquet gate's claim).
+
+    The ORC sink shares parquet's exactly-once machinery — the
+    checkpoint's offset log plus the sink's file-manifest commit protocol
+    are format-agnostic (Spark's ``FileStreamSink``), so a columnar lake
+    in ORC (the Hive-ecosystem default) gets the identical guarantees.
+    The CSV streaming sink runs the same pipeline in
+    ``tests/test_streaming.py`` (text formats lose types, so its
+    read-back pins the schema explicitly — kept a pytest pin, not a
+    second driver gate).
+
+    Scale: the sink commits one manifest entry per partition file per
+    micro-batch — O(files), no data rewrite; read-back is a plain
+    distributed ORC scan. Same layout knobs as the parquet sink
+    (partitionBy + pre-sink repartition) apply unchanged."""
+    from change_data_capture_spark.functions.envelope import decode_envelope
+    from change_data_capture_spark.sources.flat_files import read_orc
+    from change_data_capture_spark.sources.ndjson import read_envelope_ndjson
+
+    ws = tempfile.mkdtemp(prefix="cdc_orcsink_")
+    src, sink, ckpt = f"{ws}/log", f"{ws}/landed", f"{ws}/ckpt"
+    product_change_events(spark, sf_dir).repartition(8).write.mode(
+        "overwrite"
+    ).json(src)
+    decoded = decode_envelope(
+        read_envelope_ndjson(spark, src, streaming=True)
+    ).select(
+        "id", "op", "lsn", "ts_ms", "name",
+        F.col("price").cast("double").alias("price"),
+    )
+    q = (
+        decoded.writeStream.format("orc")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_orc(spark, sink)

@@ -28,6 +28,7 @@ from tests.oracle import compare
         "streaming_complete_mode_topk",
         "streaming_python_datasource_drain",
         "streaming_anomaly_zscore_ttl",
+        "streaming_sink_orc_roundtrip",
     ],
 )
 def test_streaming_oracle_parity(spark, sf_dir, name):
@@ -230,3 +231,49 @@ def test_tws_port_matches_twin_or_is_blocked(spark, sf_dir):
     }
     assert tws == twin
     assert twin, "fixture must flag at least one anomaly"
+
+
+def test_csv_streaming_sink_roundtrips_with_explicit_schema(spark, sf_dir):
+    """The CSV streaming sink runs the identical checkpointed pipeline as
+    the ORC gate (Spark's FileStreamSink is format-agnostic), but text
+    formats lose types — the read-back must pin the schema explicitly
+    (FAILFAST, no inference) and still reproduce the event log
+    row-for-row, quoting included."""
+    from change_data_capture_spark.functions.envelope import decode_envelope
+    from change_data_capture_spark.sources.cdc_generator import (
+        product_change_events,
+    )
+    from change_data_capture_spark.sources.flat_files import read_csv
+    from change_data_capture_spark.sources.ndjson import read_envelope_ndjson
+
+    ws = tempfile.mkdtemp(prefix="cdc_csvsink_")
+    src, sink, ckpt = f"{ws}/log", f"{ws}/landed", f"{ws}/ckpt"
+    product_change_events(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).json(src)
+    cols = [
+        "id", "op", "lsn", "ts_ms", "name",
+        F.col("price").cast("double").alias("price"),
+    ]
+    decoded = decode_envelope(
+        read_envelope_ndjson(spark, src, streaming=True)
+    ).select(*cols)
+    q = (
+        decoded.writeStream.format("csv")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .option("header", "true")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = read_csv(
+        spark, sink,
+        "id BIGINT, op STRING, lsn BIGINT, ts_ms BIGINT, name STRING, "
+        "price DOUBLE",
+    )
+    batch = decode_envelope(read_envelope_ndjson(spark, src)).select(*cols)
+    want = sorted(map(tuple, batch.collect()))
+    got = sorted(map(tuple, landed.collect()))
+    assert got == want
