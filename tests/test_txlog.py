@@ -973,6 +973,42 @@ def test_vacuum_spares_inflight_uncommitted_files(spark, tmp_path):
     }
 
 
+def test_vacuum_logs_reclaimed_never_committed_files(caplog, spark, tmp_path):
+    """Reclaiming an old-but-uncommitted file is the one case the
+    in-flight-writer hazard applies to — vacuum must flag each such file
+    at WARNING (so operators can audit whether data_grace_seconds is
+    shorter than real writes), and must stay SILENT for ordinary
+    stranded pre-images, which the log governs."""
+    import logging
+
+    t = str(tmp_path / "t")
+    f0 = txlog.write_files(_df(spark, [(1, "a")]), t)
+    txlog.commit(t, add=f0, expected_version=0)
+    # once-committed pre-image: rewrite strands f0
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(1, "b")]), t),
+        remove=f0,
+        expected_version=1,
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="change_data_capture_spark.sources.txlog"
+    ):
+        assert txlog.vacuum(t) != []  # pre-image reclaimed
+    assert not caplog.records  # the normal, log-governed case is silent
+    orphan = txlog.write_files(_df(spark, [(2, "c")]), t)
+    with caplog.at_level(
+        logging.WARNING, logger="change_data_capture_spark.sources.txlog"
+    ):
+        reclaimed = txlog.vacuum(t, data_grace_seconds=0)
+    assert {os.path.abspath(txlog._action_path(a)) for a in orphan} <= {
+        os.path.abspath(p) for p in reclaimed
+    }
+    warned = [r for r in caplog.records if "never-committed" in r.getMessage()]
+    assert len(warned) == len(orphan)
+    assert "data_grace_seconds" in warned[0].getMessage()
+
+
 def test_fresh_table_metadata_count_and_first_validated_write(spark, tmp_path):
     """A fresh table (no commits) reads as metadata-absent, not as an
     error: table_metadata/count_rows return None and validated_write
