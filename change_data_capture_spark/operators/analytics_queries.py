@@ -1154,24 +1154,19 @@ def _bloom_novelty_plan(
 # ---------------------------------------------------------------------------
 
 
-def _decontam_gram_prefix() -> str:
-    # the gram relation's CTE chain is a NAMED constant in text_queries
-    # (shared with the exact-join oracle), so both oracles compose from
-    # the same block instead of one parsing the other's finished SQL
-    from change_data_capture_spark.operators.text_queries import (
-        _DECONTAM_GRAMS_CTE,
-    )
-
-    return _DECONTAM_GRAMS_CTE
-
-
 def _decontam_bloom_oracle(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
     """DuckDB oracle for :func:`corpus_decontamination_bloom` at any
     (m, k) — same engine-portable seeded-md5 Bloom family, same
     deterministic false positives, over the decontamination gram relation
-    (13-gram, ``decontam`` seed, 90/10 ``split`` buckets)."""
+    (13-gram, ``decontam`` seed, 90/10 ``split`` buckets). The gram CTE
+    chain is the NAMED constant shared with the exact-join oracle and the
+    sharded oracle, so all three stay bit-identical by construction."""
+    from change_data_capture_spark.operators.text_queries import (
+        _DECONTAM_GRAMS_CTE,
+    )
+
     return f"""
-WITH {_decontam_gram_prefix()},
+WITH {_DECONTAM_GRAMS_CTE},
 ev AS (SELECT DISTINCT gh FROM grams WHERE bucket >= 90),
 train AS (SELECT doc_id, gh FROM grams WHERE bucket < 90),
 seeds AS (SELECT unnest(range(0, {k})) AS j),
@@ -1292,24 +1287,26 @@ def corpus_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ngram_novelty_bloom sizing note describes, exercised end to end
 # ---------------------------------------------------------------------------
 
-_DECONTAM_SHARDS = 4
 # gram hashes are 60-bit values (15 md5 hex digits); range sharding takes
-# the TOP bits so each shard owns a contiguous gh range
-_DECONTAM_SHARD_SHIFT = 60 - (_DECONTAM_SHARDS.bit_length() - 1)
+# the TOP bits so each shard owns a contiguous gh range — shift derives
+# from the shard count in ONE formula shared by plan and oracle
+_DECONTAM_SHARDS = 4
 
 
-def _decontam_bloom_sharded_oracle(
-    m: int, k: int, shards: int, shift: int
-) -> str:
+def _decontam_bloom_sharded_oracle(m: int, k: int, shards: int) -> str:
     """DuckDB oracle for the SHARDED Bloom decontamination: same seeded
     md5 family, but each shard folds its own m-bit bitset from only its
     gh-range's eval grams, and every train gram probes only its own
     shard's bits — so the (deterministic) false-positive pattern differs
-    from the unsharded filter and the oracle must shard identically."""
+    from the unsharded filter and the oracle must shard identically.
+    The shard shift derives from ``shards`` HERE, the same formula the
+    plan uses — callers can't hand it a stale shift that silently shards
+    differently from the Spark side."""
     from change_data_capture_spark.operators.text_queries import (
         _DECONTAM_GRAMS_CTE,
     )
 
+    shift = 60 - (shards.bit_length() - 1)
     return f"""
 WITH {_DECONTAM_GRAMS_CTE},
 ev AS (SELECT DISTINCT gh FROM grams WHERE bucket >= 90),
@@ -1400,7 +1397,7 @@ def _decontam_bloom_sharded_plan(
 
 
 _DECONTAM_BLOOM_SHARDED_ORACLE = _decontam_bloom_sharded_oracle(
-    _BLOOM_M, _BLOOM_K, _DECONTAM_SHARDS, _DECONTAM_SHARD_SHIFT
+    _BLOOM_M, _BLOOM_K, _DECONTAM_SHARDS
 )
 
 

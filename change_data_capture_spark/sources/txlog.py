@@ -919,7 +919,7 @@ def rewrite_with_retry(
             )
     if last is None:  # max_attempts >= 1 guarantees a bound error
         raise RuntimeError(
-            "commit_with_retry exhausted attempts without binding an error "
+            "rewrite_with_retry exhausted attempts without binding an error "
             f"(max_attempts={max_attempts})"
         )
     raise last
@@ -1214,20 +1214,22 @@ def vacuum(
             if p in live:
                 continue
             if p not in ever_referenced:
-                age = None
-                with contextlib.suppress(FileNotFoundError):
+                try:
                     age = now - os.stat(p).st_mtime
-                if age is not None and age <= data_grace_seconds:
+                except FileNotFoundError:
+                    continue  # vanished concurrently: nothing to reclaim
+                if age <= data_grace_seconds:
                     continue  # likely an in-flight writer's pending file
                 # old-but-uncommitted: the one class the in-flight-writer
                 # hazard applies to — flag it so operators can audit
                 # whether data_grace_seconds is shorter than real writes
                 logging.getLogger(__name__).warning(
-                    "vacuum reclaiming never-committed file %s (age %.0fs "
-                    "> data_grace_seconds=%.0fs); if a live writer is "
+                    "vacuum %s never-committed file %s (age %.0fs > "
+                    "data_grace_seconds=%.0fs); if a live writer is "
                     "slower than the grace, raise data_grace_seconds",
+                    "would reclaim (dry run)" if dry_run else "reclaiming",
                     p,
-                    age if age is not None else float("nan"),
+                    age,
                     data_grace_seconds,
                 )
             victims.append(p)
@@ -1315,6 +1317,12 @@ def table_changes(
             f"table_changes range [{start_version}, {end}] outside the "
             f"log's committed range [0, {tip}]"
         )
+    # one reader, resolved ONCE at the END version's log-governed schema
+    # (Delta CDF semantics: the feed is served in the reading snapshot's
+    # schema — files written pre-evolution null-fill the new columns), so
+    # every per-version frame has identical columns for the final union
+    # and the driver-side log fold stays O(range), not O(range × prefix)
+    reader = _snapshot_reader(spark, table_dir, end)
     per_version: list[DataFrame] = []
     for v in range(start_version, end + 1):
         with open(_commit_path(table_dir, v)) as f:
@@ -1322,7 +1330,6 @@ def table_changes(
         adds = [_action_path(a) for a in payload.get("add") or ()]
         removes = [_action_path(a) for a in payload.get("remove") or ()]
         op = payload.get("operation")
-        reader = _snapshot_reader(spark, table_dir, v)
         meta = F.lit(v).alias("_commit_version"), F.lit(op).alias("operation")
         if not removes:
             if not adds:
@@ -1333,13 +1340,20 @@ def table_changes(
                 )
             )
             continue
-        pre = reader.parquet(*removes).alias("b")
+        # side-presence flags, NOT key nullness: a NULL-key row never
+        # equi-joins (NULL != NULL), and inferring its side from b.key /
+        # a.key would misread its delete as an all-null insert
+        pre = (
+            reader.parquet(*removes)
+            .withColumn("_b_present", F.lit(True))
+            .alias("b")
+        )
         post = (
-            reader.parquet(*adds)
-            if adds
-            else reader.parquet(*removes).limit(0)
-        ).alias("a")
-        cols = [f.name for f in pre.schema.fields]
+            (reader.parquet(*adds) if adds else reader.parquet(*removes).limit(0))
+            .withColumn("_a_present", F.lit(True))
+            .alias("a")
+        )
+        cols = [f.name for f in pre.schema.fields if f.name != "_b_present"]
         data_cols = [c for c in cols if c != key]
         img_b = F.struct(*[F.col(f"b.{c}").alias(c) for c in cols])
         img_a = F.struct(*[F.col(f"a.{c}").alias(c) for c in cols])
@@ -1356,11 +1370,11 @@ def table_changes(
         )
         entries = (
             F.when(
-                F.col(f"b.{key}").isNull(),
+                F.col("_b_present").isNull(),
                 F.array(entry("insert", img_a)),
             )
             .when(
-                F.col(f"a.{key}").isNull(),
+                F.col("_a_present").isNull(),
                 F.array(entry("delete", img_b)),
             )
             .when(

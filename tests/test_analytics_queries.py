@@ -462,7 +462,7 @@ def test_decontam_bloom_sharded_second_point_matches_oracle(spark, sf_dir):
         grams.unpersist()
     con = duck_connection(sf_dir)
     want = con.sql(
-        _decontam_bloom_sharded_oracle(m=4096, k=5, shards=8, shift=57)
+        _decontam_bloom_sharded_oracle(m=4096, k=5, shards=8)
     ).df()
     con.close()
     compare_frames(

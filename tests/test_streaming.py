@@ -274,6 +274,9 @@ def test_csv_streaming_sink_roundtrips_with_explicit_schema(spark, sf_dir):
         "price DOUBLE",
     )
     batch = decode_envelope(read_envelope_ndjson(spark, src)).select(*cols)
-    want = sorted(map(tuple, batch.collect()))
-    got = sorted(map(tuple, landed.collect()))
+    # None-safe sort key: the generator emits NULL-lsn replay markers, and
+    # at larger fixtures two rows can tie on every leading non-null field
+    none_safe = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    want = sorted(map(tuple, batch.collect()), key=none_safe)
+    got = sorted(map(tuple, landed.collect()), key=none_safe)
     assert got == want

@@ -1192,3 +1192,50 @@ def test_table_changes_classifies_per_commit(spark, tmp_path):
     # a range outside the log fails loudly
     with pytest.raises(ValueError, match="outside the log"):
         txlog.table_changes(spark, t, 0, 99)
+
+
+def test_table_changes_null_key_rows_and_schema_evolution(spark, tmp_path):
+    """Two CDF edges: (1) a NULL-key row never equi-joins (NULL != NULL),
+    so side presence must come from presence flags, not key nullness — a
+    rewrite that drops a null-key row feeds a 'delete' with its real
+    pre-image, not an all-null 'insert'; (2) a range spanning a schema
+    evolution reads every version under the END version's log-governed
+    schema (Delta CDF semantics), null-filling pre-evolution files."""
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(None, "ghost"), (1, "a")]), t),
+        expected_version=0,
+        operation="WRITE",
+        metadata={"schema": "id BIGINT, v STRING"},
+    )
+    # v1: rewrite the whole table WITHOUT the null-key row, evolving the
+    # schema with a new column in the same commit
+    wide = spark.createDataFrame(
+        [(1, "a", "x")], "id long, v string, w string"
+    )
+    txlog.commit(
+        t,
+        add=txlog.write_files(wide, t),
+        remove=txlog.snapshot_files(t),
+        expected_version=1,
+        operation="UPDATE",
+        metadata={"schema": "id BIGINT, v STRING, w STRING"},
+    )
+    rows = sorted(
+        (
+            (r["_commit_version"], r["_change_type"], r["id"], r["v"], r["w"])
+            for r in txlog.table_changes(spark, t, 0, 1).collect()
+        ),
+        key=lambda x: tuple((f is None, f) for f in x),
+    )
+    assert rows == [
+        # v0 inserts, read under the evolved end schema (w null-filled)
+        (0, "insert", 1, "a", None),
+        (0, "insert", None, "ghost", None),
+        # v1: the null-key row's disappearance is a DELETE with its image;
+        # id=1 gained w -> a pre/post pair under the evolved schema
+        (1, "delete", None, "ghost", None),
+        (1, "update_postimage", 1, "a", "x"),
+        (1, "update_preimage", 1, "a", None),
+    ]
