@@ -901,18 +901,18 @@ upd AS (
 )
 SELECT id, name, description, price,
        'update_preimage' AS _change_type,
-       1 AS _commit_version, 'UPDATE' AS operation
+       1 AS _commit_version, 'UPDATE' AS _operation
 FROM upd
 UNION ALL
 SELECT id, upper(name) AS name, description,
        price * CAST(1.10 AS DOUBLE) AS price,
        'update_postimage' AS _change_type,
-       1 AS _commit_version, 'UPDATE' AS operation
+       1 AS _commit_version, 'UPDATE' AS _operation
 FROM upd
 UNION ALL
 SELECT id, name, description, price,
        'delete' AS _change_type,
-       2 AS _commit_version, 'DELETE' AS operation
+       2 AS _commit_version, 'DELETE' AS _operation
 FROM state4
 WHERE id BETWEEN {_CDF_DEL_LO} AND {_CDF_DEL_HI}
 """
@@ -927,7 +927,7 @@ def txlog_cdf_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``update_preimage``/``update_postimage`` pairs for every row the
     UPDATE changed and ``delete`` pre-images for every row the DELETE
     removed, each stamped with its ``_commit_version`` and the
-    operation name the DML entry point recorded
+    ``_operation`` name the DML entry point recorded
     (:func:`txlog.table_changes`).
 
     Where ``txlog_change_feed`` diffs two SNAPSHOT endpoints (what is

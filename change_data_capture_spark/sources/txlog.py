@@ -1275,7 +1275,10 @@ def table_changes(
     ``operation`` says what the writer meant. Emits one row per changed
     row image with ``_change_type`` in ``insert`` / ``delete`` /
     ``update_preimage`` / ``update_postimage``, plus the commit's
-    ``_commit_version`` and stamped ``operation``.
+    ``_commit_version`` and stamped ``_operation`` (underscore-prefixed
+    like Delta's own CDF meta columns, keeping the feed out of the user
+    namespace; a table whose data already uses a reserved meta/scratch
+    name raises at plan build instead of silently colliding).
 
     Per version the feed is a key-joined diff of the REMOVED files (the
     pre-image side) against the ADDED files (the post-image side), both
@@ -1323,6 +1326,23 @@ def table_changes(
     # every per-version frame has identical columns for the final union
     # and the driver-side log fold stays O(range), not O(range × prefix)
     reader = _snapshot_reader(spark, table_dir, end)
+    # the feed's meta columns and join-scratch flags live in the Delta-style
+    # underscore namespace; a table whose DATA already uses one would
+    # silently corrupt classification (withColumn replaces) or duplicate an
+    # output name — refuse up front, once, against the end-version schema
+    reserved = {
+        "_change_type", "_commit_version", "_operation",
+        "_b_present", "_a_present",
+    }
+    probe_files = snapshot_files(table_dir, end) or snapshot_files(table_dir)
+    if probe_files:
+        clash = reserved & set(reader.parquet(probe_files[0]).columns)
+        if clash:
+            raise ValueError(
+                f"table_changes reserves column names {sorted(clash)}; "
+                "the table's data already uses them — rename before "
+                "reading the feed"
+            )
     per_version: list[DataFrame] = []
     for v in range(start_version, end + 1):
         with open(_commit_path(table_dir, v)) as f:
@@ -1330,7 +1350,10 @@ def table_changes(
         adds = [_action_path(a) for a in payload.get("add") or ()]
         removes = [_action_path(a) for a in payload.get("remove") or ()]
         op = payload.get("operation")
-        meta = F.lit(v).alias("_commit_version"), F.lit(op).alias("operation")
+        meta = (
+            F.lit(v).alias("_commit_version"),
+            F.lit(op).alias("_operation"),
+        )
         if not removes:
             if not adds:
                 continue  # metadata-only commit: no row changes

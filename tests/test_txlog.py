@@ -1173,7 +1173,7 @@ def test_table_changes_classifies_per_commit(spark, tmp_path):
 
     rows = sorted(
         (r["_commit_version"], r["_change_type"], r["id"], r["v"],
-         r["operation"])
+         r["_operation"])
         for r in txlog.table_changes(spark, t, 0, 3).collect()
     )
     assert rows == [
@@ -1239,3 +1239,16 @@ def test_table_changes_null_key_rows_and_schema_evolution(spark, tmp_path):
         (1, "update_postimage", 1, "a", "x"),
         (1, "update_preimage", 1, "a", None),
     ]
+
+
+def test_table_changes_refuses_reserved_column_collisions(spark, tmp_path):
+    """A table whose DATA uses one of the feed's reserved meta/scratch
+    names would silently corrupt classification (withColumn replaces) —
+    the read must refuse up front with the offending names."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "x")], "id long, v string, _change_type string"
+    )
+    txlog.commit(t, add=txlog.write_files(df, t), expected_version=0)
+    with pytest.raises(ValueError, match="_change_type"):
+        txlog.table_changes(spark, t, 0, 0)
