@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate walks this dict in order and caps the run at
 # 50 rows per round. Order therefore encodes check priority. Cumulative
 # record through round 10: 222/222 registered queries have a driver row,
-# all hash-matched, 0 failures. Round-11 rotation: the three r11 additions
+# all hash-matched, 0 failures. Round-11 rotation: the four r11 additions
 # lead (never checked), then the two gates whose r10 code change landed in
 # the end-of-round snapshot AFTER the r10 list was written (the breach the
 # r10 verdict flagged — their driver rows predate their code), then the
@@ -45,8 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # named CTE constant instead of string surgery; the Bloom k-probe loop was
 # factored into _attach_bloom_probes shared with the new sharded
 # transport), then the 2 r4 names the r10 50-cap cut, then the r5-stale
-# block. 3+2+8+2 = 15 ahead of the 45 r5 names -> the 50-cap reaches 35 of
-# them; the last 10 r5 names are the documented round-12 carry. Names
+# block. 4+2+8+2 = 16 ahead of the 45 r5 names -> the 50-cap reaches 34 of
+# them; the last 11 r5 names are the documented round-12 carry. Names
 # absent from this tuple (latest row r7-r10) rank last in registration
 # order.
 _CHECK_PRIORITY: tuple[str, ...] = (
@@ -54,6 +54,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "txlog_cdf_ops",
     "corpus_decontamination_bloom_sharded",
     "streaming_sink_orc_roundtrip",
+    "streaming_txlog_skip_change_commits",
     # --- r10 snapshot-commit gates: code changed after the r10 list froze ---
     "streaming_txlog_source_feed", "streaming_scd2_txlog",
     # --- code changed in round 11 -> re-verify ---
@@ -63,7 +64,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "ngram_novelty_bloom",
     # --- last checked r4 (the documented r10 50-cap carry) ---
     "events_dau_wau_approx", "multimodal_video_nal_index",
-    # --- last checked r5 (the 50-cap reaches 35; the last 10 = round 12) ---
+    # --- last checked r5 (the 50-cap reaches 34; the last 11 = round 12) ---
     "q1_pricing_summary", "q3_shipping_priority", "count_distinct_approx",
     "dedup_connected_components", "multimodal_features", "stats_corr_regr",
     "grouping_sets_customer", "window_distribution_funcs", "lateral_topn_per_nation",

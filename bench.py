@@ -139,6 +139,7 @@ HEADLINE = [
     "txlog_cdf_ops",
     "corpus_decontamination_bloom_sharded",
     "streaming_sink_orc_roundtrip",
+    "streaming_txlog_skip_change_commits",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

@@ -16,10 +16,13 @@ immutability:
 - Replanning a committed range is bit-identical — commits and data
   files are both immutable once published, so checkpoint recovery
   re-reads exactly the same rows (pinned in ``tests/test_txlog.py``).
-- The source is APPEND-ONLY, like Delta's streaming source without
-  ``skipChangeCommits``: a commit carrying ``remove`` actions in the
-  consumed range raises instead of silently emitting rewritten rows
-  twice or dropping retractions the sink never sees.
+- The source is APPEND-ONLY by default, like Delta's streaming source:
+  a commit carrying ``remove`` actions in the consumed range raises
+  instead of silently emitting rewritten rows twice or dropping
+  retractions the sink never sees. ``.option("skipChangeCommits",
+  "true")`` opts into Delta's documented escape hatch — data-changing
+  commits are skipped WHOLE (their adds carry re-images of
+  already-emitted rows) and the stream continues over later appends.
 
 Scale: the reader is the PARTITION-BASED ``DataSourceStreamReader`` —
 ``partitions(start, end)`` plans one ``InputPartition`` per file added in
@@ -47,21 +50,34 @@ from pyspark.sql.types import StructType
 from change_data_capture_spark.sources import txlog
 
 
-def _added_files(table_dir: str, from_v: int, to_v: int) -> list[str]:
+def _added_files(
+    table_dir: str,
+    from_v: int,
+    to_v: int,
+    skip_change_commits: bool = False,
+) -> list[str]:
     """Files added by commits ``(from_v .. to_v]``, in commit order.
     Raises on any ``remove`` action in the range — this source is
     append-only (Delta streaming-source contract: data-changing commits
-    are an error unless the reader opts into skipping them)."""
+    are an error unless the reader opts into skipping them). With
+    ``skip_change_commits`` (Delta's ``skipChangeCommits``) a
+    data-changing commit is skipped WHOLE — its adds too, because a
+    rewrite's added files carry updated images of rows the stream
+    already emitted (forwarding them double-counts; forwarding only
+    their changed rows is the CDF reader's job, not this one's)."""
     out: list[str] = []
     for v in range(from_v + 1, to_v + 1):
         with open(os.path.join(table_dir, "_txlog", f"{v:020d}.json")) as f:
             c = json.load(f)
         if c["remove"]:
+            if skip_change_commits:
+                continue
             raise ValueError(
                 f"txlog stream source: commit {v} rewrites data "
                 "(remove actions present); the streaming source is "
-                "append-only — compact/merge on a downstream copy, or "
-                "restart the stream from the rewritten snapshot"
+                "append-only — compact/merge on a downstream copy, "
+                "restart the stream from the rewritten snapshot, or opt "
+                "into .option('skipChangeCommits', 'true')"
             )
         out.extend(txlog._action_path(a) for a in c["add"])
     return out
@@ -84,6 +100,11 @@ class TxlogStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
         self.table_dir = _required_path(options)
+        # Spark SQL option keys are case-insensitive and may arrive
+        # lowercased through the DataSource API — accept either spelling
+        raw = options.get("skipchangecommits",
+                          options.get("skipChangeCommits", "false"))
+        self.skip_change_commits = str(raw).lower() == "true"
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -93,7 +114,10 @@ class TxlogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         files = _added_files(
-            self.table_dir, int(start["version"]), int(end["version"])
+            self.table_dir,
+            int(start["version"]),
+            int(end["version"]),
+            self.skip_change_commits,
         )
         return [_AddedFile(p) for p in files]
 

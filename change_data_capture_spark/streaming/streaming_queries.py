@@ -2142,6 +2142,88 @@ def streaming_txlog_source_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_txlog_skip_change_commits", oracle=_TXLOG_SOURCE_FEED_ORACLE)
+def streaming_txlog_skip_change_commits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The txlog streaming source's ``skipChangeCommits`` escape hatch
+    (Delta's documented option of the same name): the wire events land
+    over three append commits, a predicate UPDATE then REWRITES part of
+    the table (a data-changing commit the append-only contract would
+    refuse), one more append lands after it, and a streaming per-op
+    aggregate tails the table with ``.option("skipChangeCommits",
+    "true")``. The skipped commit is skipped WHOLE — its added files
+    carry re-images of rows the stream already emitted, so forwarding
+    them would double-count (emitting only their CHANGED rows is the
+    CDF reader's job — :func:`txlog.table_changes`). The stream must
+    therefore equal the one-shot relational aggregate over exactly the
+    APPENDED rows — the full wire log, which is what the oracle
+    computes; the post-rewrite append proves the stream CONTINUES past
+    the skipped commit instead of stalling at it. Without the option
+    the same range raises (the default contract, pinned in
+    ``tests/test_txlog.py`` alongside this skip behavior).
+
+    Scale: identical planning cost to the plain source — skipping is a
+    per-commit metadata decision inside the same O(commits-in-range)
+    driver fold; partitions stay one-per-added-file, reads stay
+    executor-side Arrow."""
+    from change_data_capture_spark.functions.envelope import decode_envelope
+    from change_data_capture_spark.sources import txlog
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamDataSource,
+    )
+
+    ws = tempfile.mkdtemp(prefix="cdc_txskip_")
+    src_table = f"{ws}/src"
+    wire = decode_envelope(product_change_events(spark, sf_dir)).select(
+        "id",
+        "op",
+        "lsn",
+        "ts_ms",
+        "name",
+        "description",
+        F.col("price").cast("double").alias("price"),
+    )
+    spark.dataSource.register(TxlogStreamDataSource)
+    quarter = F.pmod(F.coalesce(F.col("id"), F.lit(0)), F.lit(4))
+    for i in range(3):
+        txlog.commit(
+            src_table,
+            add=txlog.write_files(wire.where(quarter == i), src_table),
+            operation="WRITE",
+        )
+    # the data-changing commit the stream must skip: rewrite every name
+    # in a key range (touched files re-land as fresh adds + removes)
+    txlog.update_where(
+        spark, src_table, "id % 4 = 0", {"name": "upper(name)"}
+    )
+    txlog.commit(
+        src_table,
+        add=txlog.write_files(wire.where(quarter == 3), src_table),
+        operation="WRITE",
+    )
+    q = (
+        spark.readStream.format("cdc_txlog")
+        .schema(wire.schema)
+        .option("path", src_table)
+        .option("skipChangeCommits", "true")
+        .load()
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("lsn").cast("long").alias("lsn_sum"),
+        )
+        .writeStream.format("memory")
+        .queryName("txlog_skip_cc")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{ws}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT op, n_events, lsn_sum FROM txlog_skip_cc")
+
+
 @query("streaming_scd2_txlog", oracle=_SCD2_ORACLE)
 def streaming_scd2_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star composite — "Structured Streaming + Kafka + Delta"

@@ -1252,3 +1252,48 @@ def test_table_changes_refuses_reserved_column_collisions(spark, tmp_path):
     txlog.commit(t, add=txlog.write_files(df, t), expected_version=0)
     with pytest.raises(ValueError, match="_change_type"):
         txlog.table_changes(spark, t, 0, 0)
+
+
+def test_txlog_stream_skip_change_commits_option(spark, tmp_path):
+    """`.option("skipChangeCommits", "true")`: a rewrite commit in the
+    consumed range is skipped WHOLE (its adds carry re-images of rows
+    the stream already emitted), the stream continues over later
+    appends, and the default reader still raises on the same range."""
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    schema = spark.createDataFrame([], "id long, v string").schema
+    txlog.commit(t, add=txlog.write_files(_df(spark, [(1, "a")]), t))
+    # v1: rewrite (update in place) — a data-changing commit
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(1, "A")]), t),
+        remove=txlog.snapshot_files(t),
+        expected_version=1,
+        operation="UPDATE",
+    )
+    # v2: append after the rewrite
+    txlog.commit(t, add=txlog.write_files(_df(spark, [(2, "b")]), t))
+
+    def drain(reader, start, end):
+        return sorted(
+            tuple(row.values())
+            for p in reader.partitions(start, end)
+            for batch in p and reader.read(p) or ()
+            for row in batch.to_pylist()
+        )
+
+    skip = TxlogStreamReader(
+        schema, {"path": t, "skipChangeCommits": "true"}
+    )
+    got = drain(skip, {"version": -1}, {"version": 2})
+    assert got == [(1, "a"), (2, "b")]  # v1's re-image never emitted
+    # lowercased key (Spark lowercases option names) works too
+    skip_lc = TxlogStreamReader(schema, {"path": t, "skipchangecommits": "true"})
+    assert drain(skip_lc, {"version": -1}, {"version": 2}) == got
+    # the default contract is unchanged: the same range raises
+    strict = TxlogStreamReader(schema, {"path": t})
+    with pytest.raises(ValueError, match="append-only"):
+        strict.partitions({"version": -1}, {"version": 2})
