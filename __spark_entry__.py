@@ -44,9 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # was corrected; the decontamination oracles now compose from a shared
 # named CTE constant instead of string surgery; the Bloom k-probe loop was
 # factored into _attach_bloom_probes shared with the new sharded
-# transport), then the 2 r4 names the r10 50-cap cut, then the r5-stale
-# block. 4+2+8+2 = 16 ahead of the 45 r5 names -> the 50-cap reaches 34 of
-# them; the last 11 r5 names are the documented round-12 carry. Names
+# transport; CHECK-constraint enforcement moved into a helper shared with
+# the UPDATE/MERGE rewrite paths, which now refuse violating DML like
+# Delta — adding update_where/constrained_write/schema_evolution_read
+# here), then the 2 r4 names the r10 50-cap cut, then the r5-stale
+# block. 4+2+11+2 = 19 ahead of the 45 r5 names -> the 50-cap reaches 31 of
+# them; the last 14 r5 names are the documented round-12 carry. Names
 # absent from this tuple (latest row r7-r10) rank last in registration
 # order.
 _CHECK_PRIORITY: tuple[str, ...] = (
@@ -60,11 +63,13 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # --- code changed in round 11 -> re-verify ---
     "txlog_merge_upsert", "txlog_vacuum", "txlog_vacuum_retention",
     "txlog_metadata_count", "txlog_history",
+    "txlog_update_where", "txlog_constrained_write",
+    "txlog_schema_evolution_read",
     "corpus_decontamination", "corpus_decontamination_bloom",
     "ngram_novelty_bloom",
     # --- last checked r4 (the documented r10 50-cap carry) ---
     "events_dau_wau_approx", "multimodal_video_nal_index",
-    # --- last checked r5 (the 50-cap reaches 34; the last 11 = round 12) ---
+    # --- last checked r5 (the 50-cap reaches 31; the last 14 = round 12) ---
     "q1_pricing_summary", "q3_shipping_priority", "count_distinct_approx",
     "dedup_connected_components", "multimodal_features", "stats_corr_regr",
     "grouping_sets_customer", "window_distribution_funcs", "lateral_topn_per_nation",

@@ -627,6 +627,10 @@ def merge_into(
         ).select(*cols)
     else:
         merged = src  # nothing matched anywhere: pure insert
+    # Delta enforces CHECK constraints on EVERY write path: the merged
+    # images must satisfy the table's declared predicates before any
+    # file lands (a violating MERGE is refused whole, nothing committed)
+    _enforce_constraints(merged, table_metadata(table_dir, tip))
     new_actions = write_files(merged, table_dir, stats_cols=stats_cols)
     version = commit(
         table_dir, add=new_actions, remove=touched, expected_version=tip + 1,
@@ -859,6 +863,10 @@ def update_where(
             for c in cols
         ]
     )
+    # Delta enforces CHECK constraints on EVERY write path: the updated
+    # images must satisfy the table's declared predicates before any
+    # file lands (a violating UPDATE is refused whole, nothing committed)
+    _enforce_constraints(updated, table_metadata(table_dir, tip))
     new_actions = write_files(updated, table_dir, stats_cols=stats_cols)
     version = commit(
         table_dir, add=new_actions, remove=touched, expected_version=tip + 1,
@@ -1038,22 +1046,37 @@ def validated_write(
                 f"schema {want}; pass evolve=True (and commit new "
                 "metadata) to change the table's schema deliberately"
             )
-    constraints = meta.get("constraints") or {}
-    if constraints:
-        aggs = [
-            F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(name)
-            for name, pred in constraints.items()
-        ]
-        row = df.agg(*aggs).collect()[0]
-        for name in constraints:
-            bad = row[name] or 0
-            if bad > 0:
-                raise ConstraintViolation(
-                    f"CHECK constraint '{name}' "
-                    f"({constraints[name]}) violated by {bad} row(s); "
-                    "write refused"
-                )
+    _enforce_constraints(df, meta)
     return write_files(df, table_dir, stats_cols=stats_cols)
+
+
+def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
+    """Evaluate every declared CHECK constraint against ``df`` in ONE
+    distributed aggregate (sum of violation flags); raise
+    :class:`ConstraintViolation` naming the constraint and the violating
+    row count. Shared by :func:`validated_write` AND the DML rewrite
+    paths (UPDATE/MERGE) — Delta enforces CHECK constraints on every
+    write path, so a declared ``price > 0`` must refuse an UPDATE that
+    drives prices negative exactly as it refuses a fresh write. A NULL
+    predicate result counts as satisfied (SQL CHECK semantics)."""
+    from pyspark.sql import functions as F
+
+    constraints = (meta or {}).get("constraints") or {}
+    if not constraints:
+        return
+    aggs = [
+        F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(name)
+        for name, pred in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    for name in constraints:
+        bad = row[name] or 0
+        if bad > 0:
+            raise ConstraintViolation(
+                f"CHECK constraint '{name}' "
+                f"({constraints[name]}) violated by {bad} row(s); "
+                "write refused"
+            )
 
 
 def count_rows(table_dir: str, version: int | None = None) -> int | None:

@@ -1297,3 +1297,48 @@ def test_txlog_stream_skip_change_commits_option(spark, tmp_path):
     strict = TxlogStreamReader(schema, {"path": t})
     with pytest.raises(ValueError, match="append-only"):
         strict.partitions({"version": -1}, {"version": 2})
+
+
+def test_dml_rewrites_enforce_check_constraints(spark, tmp_path):
+    """Delta enforces CHECK constraints on EVERY write path: an UPDATE
+    or MERGE whose output violates a declared predicate is refused WHOLE
+    (ConstraintViolation, no new commit, no files added), a satisfying
+    DML passes, and DELETE never re-validates (removing rows cannot
+    introduce violations)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, price double")
+    txlog.commit(
+        t,
+        add=txlog.validated_write(df, t),
+        expected_version=0,
+        metadata={
+            "schema": "id BIGINT, price DOUBLE",
+            "constraints": {"price_pos": "price > 0"},
+        },
+    )
+    tip_before = txlog.latest_version(t)
+    files_before = set(txlog.snapshot_files(t))
+    with pytest.raises(txlog.ConstraintViolation, match="price_pos"):
+        txlog.update_where(
+            spark, t, "id = 1", {"price": "price - CAST(100 AS DOUBLE)"}
+        )
+    assert txlog.latest_version(t) == tip_before  # nothing committed
+    assert set(txlog.snapshot_files(t)) == files_before
+    with pytest.raises(txlog.ConstraintViolation, match="price_pos"):
+        txlog.merge_into(
+            spark,
+            t,
+            spark.createDataFrame([(3, -5.0)], "id long, price double"),
+            key="id",
+        )
+    assert txlog.latest_version(t) == tip_before
+    # a satisfying UPDATE commits normally
+    txlog.update_where(
+        spark, t, "id = 1", {"price": "price + CAST(5 AS DOUBLE)"}
+    )
+    got = sorted(tuple(r) for r in txlog.read_version(spark, t).collect())
+    assert got == [(1, 15.0), (2, 20.0)]
+    # DELETE is unaffected by constraints (no re-validation needed)
+    txlog.delete_where(spark, t, "id = 2")
+    got = sorted(tuple(r) for r in txlog.read_version(spark, t).collect())
+    assert got == [(1, 15.0)]
