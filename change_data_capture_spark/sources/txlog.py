@@ -606,7 +606,14 @@ def merge_into(
                     "matched'); de-duplicate the source first"
                 )
 
-    # pass 2: rewrite touched rows ∪ source in ONE full-outer join
+    # pass 2: rewrite touched rows ∪ source in ONE full-outer join; the
+    # __txlog_modified flag marks rows the MERGE actually changed
+    # (source-image rows: matched updates + inserts) so constraint
+    # enforcement can scope to them — a carried-along target row the
+    # MERGE did not touch cannot INTRODUCE a violation, and refusing DML
+    # over a legacy violation it didn't create would brick repair writes
+    # (:func:`add_constraints` is the Delta ADD-CONSTRAINT-shaped guard
+    # that keeps legacy violations out in the first place)
     marked = src.select(
         F.col(key),
         *[F.col(c).alias(f"__s_{c}") for c in cols if c != key],
@@ -624,14 +631,14 @@ def merge_into(
                 for c in cols
                 if c != key
             ],
-        ).select(*cols)
+            F.col("__src").isNotNull().alias("__txlog_modified"),
+        ).select(*cols, "__txlog_modified")
     else:
-        merged = src  # nothing matched anywhere: pure insert
-    # Delta enforces CHECK constraints on EVERY write path: the merged
-    # images must satisfy the table's declared predicates before any
-    # file lands (a violating MERGE is refused whole, nothing committed)
-    _enforce_constraints(merged, table_metadata(table_dir, tip))
-    new_actions = write_files(merged, table_dir, stats_cols=stats_cols)
+        # nothing matched anywhere: pure insert, every row is new
+        merged = src.withColumn("__txlog_modified", F.lit(True))
+    new_actions = _write_files_checked(
+        merged, table_dir, table_metadata(table_dir, tip), stats_cols
+    )
     version = commit(
         table_dir, add=new_actions, remove=touched, expected_version=tip + 1,
         operation="MERGE",
@@ -852,7 +859,10 @@ def update_where(
     tgt = _snapshot_reader(spark, table_dir, tip).parquet(*touched)
     # one select over the old row image: all SET expressions (and the
     # predicate) see pre-update values, and each output keeps the
-    # column's original type (UPDATE never changes the schema)
+    # column's original type (UPDATE never changes the schema). The
+    # __txlog_modified flag marks the rows the predicate matched so
+    # constraint enforcement scopes to rows this UPDATE actually changed
+    # (a carried-along row cannot introduce a violation; see merge_into)
     updated = tgt.select(
         *[
             F.when(cond, F.expr(set_exprs[c]).cast(tgt.schema[c].dataType))
@@ -861,13 +871,12 @@ def update_where(
             if c in set_exprs
             else F.col(c)
             for c in cols
-        ]
+        ],
+        cond.alias("__txlog_modified"),
     )
-    # Delta enforces CHECK constraints on EVERY write path: the updated
-    # images must satisfy the table's declared predicates before any
-    # file lands (a violating UPDATE is refused whole, nothing committed)
-    _enforce_constraints(updated, table_metadata(table_dir, tip))
-    new_actions = write_files(updated, table_dir, stats_cols=stats_cols)
+    new_actions = _write_files_checked(
+        updated, table_dir, table_metadata(table_dir, tip), stats_cols
+    )
     version = commit(
         table_dir, add=new_actions, remove=touched, expected_version=tip + 1,
         operation="UPDATE",
@@ -1054,11 +1063,14 @@ def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
     """Evaluate every declared CHECK constraint against ``df`` in ONE
     distributed aggregate (sum of violation flags); raise
     :class:`ConstraintViolation` naming the constraint and the violating
-    row count. Shared by :func:`validated_write` AND the DML rewrite
-    paths (UPDATE/MERGE) — Delta enforces CHECK constraints on every
-    write path, so a declared ``price > 0`` must refuse an UPDATE that
-    drives prices negative exactly as it refuses a fresh write. A NULL
-    predicate result counts as satisfied (SQL CHECK semantics)."""
+    row count. Shared by :func:`validated_write`, the fused DML write
+    path (:func:`_write_files_checked` — UPDATE/MERGE, scoped to
+    modified rows over a persisted frame), and
+    :func:`add_constraints`'s existing-data validation — Delta enforces
+    CHECK constraints on every write path, so a declared ``price > 0``
+    must refuse an UPDATE that drives prices negative exactly as it
+    refuses a fresh write. A NULL predicate result counts as satisfied
+    (SQL CHECK semantics)."""
     from pyspark.sql import functions as F
 
     constraints = (meta or {}).get("constraints") or {}
@@ -1077,6 +1089,84 @@ def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
                 f"({constraints[name]}) violated by {bad} row(s); "
                 "write refused"
             )
+
+
+def _write_files_checked(
+    flagged: DataFrame,
+    table_dir: str,
+    meta: dict | None,
+    stats_cols: list[str] | None,
+) -> list:
+    """Write a DML rewrite frame with fused CHECK-constraint enforcement
+    (Delta enforces constraints on every write path — a violating DML is
+    refused whole, nothing committed). ``flagged`` is the rewrite frame
+    plus a boolean ``__txlog_modified`` column marking the rows the DML
+    actually changed; the constraint aggregate scopes to those rows (a
+    carried-along row cannot INTRODUCE a violation — legacy violations
+    are :func:`add_constraints`'s job to keep out, Delta's own split).
+
+    The frame is persisted across the check and the write, so the
+    touched∪source input is SCANNED ONCE per DML instead of twice (the
+    round-11 shape re-ran the full-outer join / rewrite scan for the
+    check, and with a non-deterministic MERGE source the rows checked
+    were not necessarily the rows written — the persisted frame is both
+    the checked and the written data). Without declared constraints the
+    write is exactly :func:`write_files` of the unflagged frame: no
+    persist, no extra job, the r11 plan unchanged."""
+    constraints = (meta or {}).get("constraints") or {}
+    if not constraints:
+        return write_files(
+            flagged.drop("__txlog_modified"), table_dir, stats_cols=stats_cols
+        )
+    from pyspark.sql import functions as F
+
+    flagged = flagged.persist()
+    try:
+        _enforce_constraints(
+            flagged.where(F.col("__txlog_modified")), meta
+        )
+        return write_files(
+            flagged.drop("__txlog_modified"), table_dir, stats_cols=stats_cols
+        )
+    finally:
+        flagged.unpersist()
+
+
+def add_constraints(
+    spark: SparkSession, table_dir: str, constraints: dict[str, str]
+) -> int:
+    """Delta ``ALTER TABLE ... ADD CONSTRAINT``: validate the EXISTING
+    tip data against the new predicates (one distributed aggregate over
+    the current snapshot — Delta's ADD CONSTRAINT does exactly this full
+    validation scan), then commit the merged constraint set as table
+    metadata under an ``expected_version`` guard (a writer landing
+    between the validation and the commit could introduce a violation
+    the scan never saw — the lost race re-raises as
+    :class:`ConcurrentCommitError` and the caller re-runs).
+
+    This is the declared-time half of the enforcement split: DML
+    enforcement scopes to the rows a command actually modified, which is
+    only sound because this entry point refuses to DECLARE a constraint
+    over data that already violates it. A raw ``commit(metadata=...)``
+    can still declare unvalidated constraints (the protocol layer stays
+    policy-free), accepting that legacy violations then live outside any
+    DML's responsibility."""
+    tip = latest_version(table_dir)
+    meta = dict(table_metadata(table_dir) or {})
+    if tip >= 0 and snapshot_files(table_dir, tip):
+        _enforce_constraints(
+            read_version(spark, table_dir, tip), {"constraints": constraints}
+        )
+    merged = dict(meta.get("constraints") or {})
+    merged.update(constraints)
+    meta["constraints"] = merged
+    return commit(
+        table_dir,
+        add=[],
+        metadata=meta,
+        expected_version=tip + 1,
+        operation="ADD CONSTRAINT",
+    )
 
 
 def count_rows(table_dir: str, version: int | None = None) -> int | None:

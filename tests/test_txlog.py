@@ -1342,3 +1342,128 @@ def test_dml_rewrites_enforce_check_constraints(spark, tmp_path):
     txlog.delete_where(spark, t, "id = 2")
     got = sorted(tuple(r) for r in txlog.read_version(spark, t).collect())
     assert got == [(1, 15.0)]
+
+
+def test_add_constraints_validates_existing_data(spark, tmp_path):
+    """Delta ADD CONSTRAINT semantics: declaring a constraint over data
+    that already violates it is refused (no metadata commit), a clean
+    declaration commits and later DML enforces it, and the declaration
+    merges with (never clobbers) previously declared constraints."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0), (2, -3.0)], "id long, price double")
+    txlog.commit(t, add=txlog.write_files(df, t), expected_version=0)
+    tip = txlog.latest_version(t)
+    with pytest.raises(txlog.ConstraintViolation, match="price_pos"):
+        txlog.add_constraints(spark, t, {"price_pos": "price > 0"})
+    assert txlog.latest_version(t) == tip  # nothing committed
+    # repair the data, then the declaration lands (as its own version)
+    txlog.update_where(spark, t, "id = 2", {"price": "CAST(3 AS DOUBLE)"})
+    v = txlog.add_constraints(spark, t, {"price_pos": "price > 0"})
+    assert v == txlog.latest_version(t)
+    assert txlog.table_metadata(t)["constraints"] == {"price_pos": "price > 0"}
+    # a second declaration MERGES into the existing constraint set
+    txlog.add_constraints(spark, t, {"id_present": "id IS NOT NULL"})
+    assert set(txlog.table_metadata(t)["constraints"]) == {
+        "price_pos", "id_present",
+    }
+    # and DML now enforces the declared predicates
+    with pytest.raises(txlog.ConstraintViolation, match="price_pos"):
+        txlog.update_where(spark, t, "id = 1", {"price": "CAST(-1 AS DOUBLE)"})
+    hist = txlog.history(t)
+    assert hist[-1]["operation"] == "ADD CONSTRAINT"
+
+
+def test_dml_constraint_scope_is_modified_rows(spark, tmp_path):
+    """DML constraint enforcement scopes to the rows the command
+    actually modified: a raw (unvalidated) metadata commit can declare a
+    constraint over data that already violates it, and an UPDATE or
+    MERGE that touches the violating FILE without touching the violating
+    ROWS must still succeed — the DML introduced no violation, and
+    refusing it would brick exactly the repair writes that fix legacy
+    data. Driving a MODIFIED row into violation is still refused."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, 30.0)], "id long, price double"
+    ).coalesce(1)
+    txlog.commit(t, add=txlog.write_files(df, t), expected_version=0)
+    # raw protocol-level declaration: no existing-data validation
+    txlog.commit(
+        t,
+        add=[],
+        expected_version=1,
+        metadata={"constraints": {"price_pos": "price > 0"}},
+    )
+    # UPDATE touches the one file holding the legacy violation (id=2,
+    # price=-3) but modifies only id=1 — succeeds under modified-row scope
+    txlog.update_where(spark, t, "id = 1", {"price": "price + CAST(5 AS DOUBLE)"})
+    got = sorted(tuple(r) for r in txlog.read_version(spark, t).collect())
+    assert got == [(1, 15.0), (2, -3.0), (3, 30.0)]
+    # MERGE inserting/updating only satisfying rows likewise succeeds
+    src = spark.createDataFrame([(3, 33.0), (4, 44.0)], "id long, price double")
+    txlog.merge_into(spark, t, src, key="id")
+    got = sorted(tuple(r) for r in txlog.read_version(spark, t).collect())
+    assert got == [(1, 15.0), (2, -3.0), (3, 33.0), (4, 44.0)]
+    # but a DML that drives a MODIFIED row into violation is refused whole
+    with pytest.raises(txlog.ConstraintViolation, match="price_pos"):
+        txlog.update_where(spark, t, "id = 1", {"price": "CAST(-9 AS DOUBLE)"})
+    with pytest.raises(txlog.ConstraintViolation, match="price_pos"):
+        txlog.merge_into(
+            spark,
+            t,
+            spark.createDataFrame([(5, -1.0)], "id long, price double"),
+            key="id",
+        )
+
+
+def test_constrained_dml_is_single_compute(spark, tmp_path, monkeypatch):
+    """The fused write path computes the rewrite frame ONCE: the
+    constraint check runs over a persisted frame and the write's plan
+    reads the SAME cache (InMemoryRelation) instead of re-running the
+    rewrite scan — the r11 shape re-computed the full frame for the
+    check, and with a non-deterministic MERGE source the rows checked
+    were not the rows written. Also pins: no persist at all without
+    declared constraints, and the cache is released after the DML."""
+    sc = spark.sparkContext
+    captured: list[str] = []
+    real_write_files = txlog.write_files
+
+    def spy(df, table_dir, stats_cols=None):
+        captured.append(df._jdf.queryExecution().optimizedPlan().toString())
+        return real_write_files(df, table_dir, stats_cols=stats_cols)
+
+    monkeypatch.setattr(txlog, "write_files", spy)
+
+    def run(tag, declare):
+        t = str(tmp_path / tag)
+        df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, price double")
+        txlog.commit(t, add=real_write_files(df, t), expected_version=0)
+        if declare:
+            txlog.commit(
+                t,
+                add=[],
+                expected_version=1,
+                metadata={"constraints": {"price_pos": "price > 0"}},
+            )
+        captured.clear()
+        txlog.update_where(
+            spark, t, "id = 1", {"price": "price + CAST(1 AS DOUBLE)"}
+        )
+        assert len(captured) == 1
+        return captured[0]
+
+    # without constraints: no cache in the written plan (no persist cost)
+    assert "InMemoryRelation" not in run("upd_plain", declare=False)
+    # with constraints: the written frame reads the cache the constraint
+    # aggregate materialized — the touched-file scan ran once
+    assert "InMemoryRelation" in run("upd_checked", declare=True)
+    # the persisted frame is unpersisted even on the success path
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
+    # and on the REFUSAL path (violating DML): still no cache leak
+    with pytest.raises(txlog.ConstraintViolation):
+        txlog.update_where(
+            spark,
+            str(tmp_path / "upd_checked"),
+            "id = 1",
+            {"price": "CAST(-5 AS DOUBLE)"},
+        )
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
