@@ -1418,9 +1418,26 @@ def table_changes(
     their per-version plans, so a multi-version feed parallelizes
     across commits as well as within them.
 
-    ``key`` must identify rows within every diffed commit the way the
-    table's DML used it (the same contract :func:`merge_into` places on
-    its ``key``). Reference parity: the reference's downstream consumers
+    ``key`` must UNIQUELY identify rows within every DIFFED (rewrite)
+    commit the way the table's DML used it (the same contract
+    :func:`merge_into` places on its ``key``); a duplicated non-NULL key
+    on either side of a diffed commit would cross-product through the
+    full-outer join into a silently wrong feed, so the read FAILS LOUD
+    instead — one key-column aggregate over the range's churned files
+    (column-pruned, O(churned rows)) guards every diffed version before
+    the feed plan is returned. NULL keys are exempt from the guard
+    because NULL never equi-joins: a NULL-key row's pre and post images
+    can never pair, so a rewrite that carries one along (even UNCHANGED)
+    emits a faithful-but-unpaired ``delete`` + ``insert`` instead of an
+    update pair or a drop — net-equivalent to any downstream applier,
+    just not minimal (pinned in ``tests/test_txlog.py``).
+
+    A range containing only metadata commits returns an EMPTY feed in
+    the end-version schema (Delta's ``table_changes`` contract — pollers
+    distinguish "no changes" from a bad call by row count, not by
+    catching errors); only a range outside the log raises.
+
+    Reference parity: the reference's downstream consumers
     read per-operation change rows off the wire log
     (``/root/reference/README.md:86-125``); this is the same feed
     recovered from the TABLE's own history, no wire log needed."""
@@ -1438,28 +1455,52 @@ def table_changes(
     # schema — files written pre-evolution null-fill the new columns), so
     # every per-version frame has identical columns for the final union
     # and the driver-side log fold stays O(range), not O(range × prefix)
-    reader = _snapshot_reader(spark, table_dir, end)
+    _, _, end_meta, _ = _resolve(table_dir, end)
+    declared = (end_meta or {}).get("schema")
+    reader = spark.read.schema(declared) if declared is not None else spark.read
+    commits: list[dict] = []
+    for v in range(start_version, end + 1):
+        with open(_commit_path(table_dir, v)) as f:
+            commits.append(json.load(f))
     # the feed's meta columns and join-scratch flags live in the Delta-style
     # underscore namespace; a table whose DATA already uses one would
     # silently corrupt classification (withColumn replaces) or duplicate an
-    # output name — refuse up front, once, against the end-version schema
+    # output name — refuse up front. With a declared schema the column set
+    # IS the declaration (no file opened); without one, probe the FIRST
+    # file of each diffed commit's add and remove sides (footer-only
+    # pyarrow reads, bounded by 2×range) — one tip file is not enough when
+    # heterogeneous-schema files entered the log without metadata
     reserved = {
         "_change_type", "_commit_version", "_operation",
         "_b_present", "_a_present",
     }
-    probe_files = snapshot_files(table_dir, end) or snapshot_files(table_dir)
-    if probe_files:
-        clash = reserved & set(reader.parquet(probe_files[0]).columns)
-        if clash:
-            raise ValueError(
-                f"table_changes reserves column names {sorted(clash)}; "
-                "the table's data already uses them — rename before "
-                "reading the feed"
-            )
+    if declared is not None:
+        from pyspark.sql.types import StructType
+
+        data_columns = set(StructType.fromDDL(declared).fieldNames())
+    else:
+        import pyarrow.parquet as _pq
+
+        data_columns = set()
+        probe_paths = {
+            _action_path(acts[0])
+            for payload in commits
+            for acts in (payload.get("add") or (), payload.get("remove") or ())
+            if acts
+        }
+        for p in sorted(probe_paths):
+            data_columns.update(_pq.read_schema(p).names)
+    clash = reserved & data_columns
+    if clash:
+        raise ValueError(
+            f"table_changes reserves column names {sorted(clash)}; "
+            "the table's data already uses them — rename before "
+            "reading the feed"
+        )
     per_version: list[DataFrame] = []
-    for v in range(start_version, end + 1):
-        with open(_commit_path(table_dir, v)) as f:
-            payload = json.load(f)
+    guards: list[DataFrame] = []
+    for payload in commits:
+        v = payload["version"]
         adds = [_action_path(a) for a in payload.get("add") or ()]
         removes = [_action_path(a) for a in payload.get("remove") or ()]
         op = payload.get("operation")
@@ -1489,6 +1530,18 @@ def table_changes(
             .withColumn("_a_present", F.lit(True))
             .alias("a")
         )
+        # diffed commits join on key: a duplicated non-NULL key on either
+        # side cross-products into a wrong feed — guard frames feed ONE
+        # aggregate over the whole range after the loop (fail-loud, the
+        # merge_into duplicate-source discipline)
+        for side, frame in (("pre", pre), ("post", post)):
+            guards.append(
+                frame.select(
+                    F.lit(v).alias("__v"),
+                    F.lit(side).alias("__side"),
+                    F.col(key).alias("__k"),
+                )
+            )
         cols = [f.name for f in pre.schema.fields if f.name != "_b_present"]
         data_cols = [c for c in cols if c != key]
         img_b = F.struct(*[F.col(f"b.{c}").alias(c) for c in cols])
@@ -1530,9 +1583,42 @@ def table_changes(
                 "e.img.*", F.col("e.t").alias("_change_type"), *meta
             )
         )
+    if guards:
+        dup = (
+            functools.reduce(lambda x, y: x.unionByName(y), guards)
+            .where(F.col("__k").isNotNull())
+            .groupBy("__v", "__side", "__k")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"table_changes key {key!r} is duplicated within commit "
+                f"{dup[0]['__v']} ({dup[0]['__side']} side, e.g. value "
+                f"{dup[0]['__k']!r}): the per-version diff would "
+                "cross-product into a wrong feed — diff on a key that "
+                "uniquely identifies rows the way the table's DML did"
+            )
     if not per_version:
-        raise ValueError(
-            f"table_changes range [{start_version}, {end}] contains only "
-            "metadata commits — no row changes to return"
+        # metadata-only range: an EMPTY feed in the end-version schema
+        # (Delta contract — "no changes" is a row count, not an error)
+        files = snapshot_files(table_dir, end) or snapshot_files(table_dir)
+        if files:
+            base = reader.parquet(files[0])
+        elif declared is not None:
+            base = spark.createDataFrame([], declared)
+        else:
+            raise ValueError(
+                f"table_changes range [{start_version}, {end}] of "
+                f"{table_dir} has no row changes, and the table has no "
+                "data files or declared schema to type an empty feed with"
+            )
+        return base.limit(0).select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).alias("_commit_version"),
+            F.lit("WRITE").alias("_operation"),
         )
     return functools.reduce(lambda x, y: x.unionByName(y), per_version)

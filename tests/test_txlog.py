@@ -1143,7 +1143,8 @@ def test_table_changes_classifies_per_commit(spark, tmp_path):
     changed rows only (unchanged copies carried by the whole-file
     rewrite are dropped, and a no-op SET emits nothing); a delete
     rewrite feeds delete pre-images; every row carries its commit
-    version and stamped operation; a metadata-only range raises."""
+    version and stamped operation; a metadata-only range is an EMPTY
+    feed (not an error)."""
     t = str(tmp_path / "t")
     # v0: two rows; id=2's value is ALREADY uppercase -> later no-op SET
     txlog.commit(
@@ -1186,9 +1187,12 @@ def test_table_changes_classifies_per_commit(spark, tmp_path):
         (2, "update_preimage", 3, "c", "UPDATE"),
         (3, "delete", 3, "C", "DELETE"),
     ]
-    # a metadata-only range has no row changes to return
-    with pytest.raises(ValueError, match="metadata commits"):
-        txlog.table_changes(spark, t, 4, 4)
+    # a metadata-only range is an empty feed (Delta contract), same shape
+    empty = txlog.table_changes(spark, t, 4, 4)
+    assert empty.count() == 0
+    assert set(empty.columns) == {
+        "id", "v", "_change_type", "_commit_version", "_operation",
+    }
     # a range outside the log fails loudly
     with pytest.raises(ValueError, match="outside the log"):
         txlog.table_changes(spark, t, 0, 99)
@@ -1467,3 +1471,126 @@ def test_constrained_dml_is_single_compute(spark, tmp_path, monkeypatch):
             {"price": "CAST(-5 AS DOUBLE)"},
         )
     assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
+
+
+def test_table_changes_refuses_duplicate_keys_in_diffed_commit(spark, tmp_path):
+    """A duplicated non-NULL key on either side of a diffed (rewrite)
+    commit would cross-product through the per-version full-outer join
+    into a silently wrong feed — the read fails loud naming the commit,
+    side, and an offending key value (merge_into's duplicate-source
+    discipline). Append-only commits never join, so duplicate keys in a
+    plain insert commit stay legal."""
+    t = str(tmp_path / "t")
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "id long, v string"
+    )
+    txlog.commit(
+        t,
+        add=txlog.write_files(dup, t),
+        expected_version=0,
+        operation="WRITE",
+        metadata={"schema": "id BIGINT, v STRING"},
+    )
+    # insert-only range: duplicates are plain multi-row inserts — legal
+    got = txlog.table_changes(spark, t, 0, 0).collect()
+    assert sorted(r["v"] for r in got) == ["a", "a2", "b"]
+    # v1 rewrites the whole table: the pre side now carries the dup key
+    txlog.commit(
+        t,
+        add=txlog.write_files(
+            spark.createDataFrame([(2, "B")], "id long, v string"), t
+        ),
+        remove=txlog.snapshot_files(t),
+        expected_version=1,
+        operation="UPDATE",
+    )
+    with pytest.raises(ValueError, match="duplicated within commit 1"):
+        txlog.table_changes(spark, t, 1, 1).collect()
+
+
+def test_table_changes_empty_feed_for_metadata_only_range(spark, tmp_path):
+    """A range containing only metadata commits returns an EMPTY feed in
+    the end-version schema (Delta's contract: 'no changes' is a row
+    count, not an error) — same columns as a data-bearing feed, so
+    pollers union ranges without special-casing."""
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(1, "a")]), t),
+        expected_version=0,
+        operation="WRITE",
+        metadata={"schema": "id BIGINT, v STRING"},
+    )
+    txlog.commit(
+        t,
+        add=[],
+        expected_version=1,
+        metadata={"schema": "id BIGINT, v STRING", "constraints": {}},
+    )
+    full = txlog.table_changes(spark, t, 0, 1)
+    empty = txlog.table_changes(spark, t, 1, 1)
+    assert empty.count() == 0
+    assert empty.columns == full.columns
+    # a table that never had data files but declares a schema also types
+    # its empty feed from the declaration
+    t2 = str(tmp_path / "t2")
+    txlog.commit(
+        t2, add=[], expected_version=0, metadata={"schema": "id BIGINT"}
+    )
+    e2 = txlog.table_changes(spark, t2, 0, 0)
+    assert e2.count() == 0 and "_change_type" in e2.columns
+    # the out-of-range call still raises — the error means BAD CALL now,
+    # never "no changes"
+    with pytest.raises(ValueError, match="outside the log"):
+        txlog.table_changes(spark, t, 0, 99)
+
+
+def test_table_changes_null_key_unchanged_copy_contract(spark, tmp_path):
+    """The documented NULL-key emission: NULL never equi-joins, so a
+    NULL-key row carried UNCHANGED through a rewrite cannot pair with
+    itself for the unchanged-copy drop — it emits a faithful-but-
+    unpaired delete + insert of the same image (net-equivalent to a
+    no-op for any downstream applier). The duplicate-key guard exempts
+    NULLs for the same reason: they never cross-product."""
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(None, "ghost"), (1, "a")]), t),
+        expected_version=0,
+        operation="WRITE",
+        metadata={"schema": "id BIGINT, v STRING"},
+    )
+    # rewrite carrying the NULL-key row along UNCHANGED, modifying id=1
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(None, "ghost"), (1, "A")]), t),
+        remove=txlog.snapshot_files(t),
+        expected_version=1,
+        operation="UPDATE",
+    )
+    rows = sorted(
+        (r["_change_type"], r["id"], r["v"])
+        for r in txlog.table_changes(spark, t, 1, 1).collect()
+    )
+    assert rows == [
+        ("delete", None, "ghost"),
+        ("insert", None, "ghost"),
+        ("update_postimage", 1, "A"),
+        ("update_preimage", 1, "a"),
+    ]
+
+
+def test_table_changes_probes_every_diffed_commit_for_clashes(spark, tmp_path):
+    """Without declared metadata the reserved-name probe must cover the
+    diffed commits' own files, not one tip file: a reserved-name column
+    entering the log in a LATER heterogeneous file (never visible from
+    the tip probe when another file sorts first) still refuses up
+    front."""
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t, add=txlog.write_files(_df(spark, [(1, "a")]), t), expected_version=0
+    )
+    bad = spark.createDataFrame([(2, "b", "x")], "id long, v string, _operation string")
+    txlog.commit(t, add=txlog.write_files(bad, t), expected_version=1)
+    with pytest.raises(ValueError, match="_operation"):
+        txlog.table_changes(spark, t, 1, 1)
