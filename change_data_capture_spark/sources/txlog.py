@@ -54,6 +54,16 @@ log of add/remove file actions, folded into a snapshot):
   ``predicate_range`` prunes non-overlapping files DRIVER-SIDE, before
   Spark ever lists them — the metadata-only pruning that turns a
   100 TB scan into a few-file read when the data is range-clustered.
+- **Deletion vectors (merge-on-read DML).** An ``add`` action may carry
+  a ``dv`` descriptor — a parquet sidecar of ``(file, row position)``
+  rows plus its cardinality (Delta's ``deletionVector`` field).
+  :func:`delete_where` writes one instead of rewriting when a touched
+  file's deleted fraction is small (``dv_fraction_threshold``), making
+  trickle deletes O(deleted rows) of sidecar instead of O(touched
+  files) of rewrite; every reader applies the vectors with one
+  broadcast anti-join at scan time (:func:`_scan_files_with_dvs`), any
+  rewrite (DML, compaction/OPTIMIZE) reconciles them into plain files,
+  and :func:`vacuum` reclaims unreferenced sidecars like data files.
 
 Scale: the log is metadata — KB-sized JSON per commit, folded
 driver-side in O(tail since checkpoint). The data path stays fully
@@ -358,8 +368,11 @@ def read_version(
     columns null-filled per file, with no ``mergeSchema`` footer sweep
     (which at 100 TB would read every footer; the log already knows the
     answer). Time travel to a pre-evolution version reads with THAT
-    version's schema — each snapshot is self-consistent."""
-    _, _, meta, v = _resolve(table_dir, version)
+    version's schema — each snapshot is self-consistent. Deletion
+    vectors are applied per snapshot too: a version reads under its OWN
+    DV state, so time travel before a merge-on-read DELETE still sees
+    the rows and a restore across one resurrects them."""
+    actions, _, meta, v = _resolve(table_dir, version)
     files = snapshot_files(table_dir, v, predicate_range)
     reader = spark.read
     declared = (meta or {}).get("schema")
@@ -379,7 +392,10 @@ def read_version(
             "declared schema; commit table metadata to make empty "
             "snapshots readable"
         )
-    return reader.parquet(*files)
+    # deletion vectors (merge-on-read): files whose action carries a dv
+    # descriptor drop their deleted rows via one broadcast anti-join at
+    # scan time; dv-less snapshots take the identical pre-DV plan
+    return _scan_files_with_dvs(spark, files, _dv_map(actions), reader)
 
 
 def _local_path(p: str) -> str:
@@ -486,18 +502,87 @@ def write_files(
     ]
 
 
-def _snapshot_reader(spark: SparkSession, table_dir: str, version: int):
-    """DataFrameReader for scanning a snapshot's data files under the
-    LOG-GOVERNED schema (same rule as :func:`read_version`): after a
-    schema evolution, files written under the old shape must read with
-    the declared schema (missing columns null-filled) — a raw
-    ``spark.read.parquet`` would fail on, or silently re-narrow, the
-    evolved columns. Used by every DML rewrite (MERGE/DELETE/UPDATE) for
-    both the touched-file discovery scan and the rewrite read, so DML on
-    an evolved table preserves the evolved shape."""
-    _, _, meta, _ = _resolve(table_dir, version)
+
+
+def _dv_map(actions) -> dict[str, dict]:
+    """``{abs data-file path: dv descriptor}`` for every action carrying
+    a deletion vector. A descriptor is ``{"path": <sidecar parquet dir>,
+    "cardinality": <deleted row count>}`` — Delta's ``deletionVector``
+    add-action field, expressed as a parquet sidecar of
+    ``(file, pos)`` rows (``file`` = the verbatim ``_metadata.file_path``
+    URI of the data file, ``pos`` = its 0-based parquet row index)."""
+    return {
+        os.path.abspath(a["path"]): a["dv"]
+        for a in actions
+        if isinstance(a, dict) and a.get("dv")
+    }
+
+
+def _scan_files_with_dvs(
+    spark: SparkSession,
+    files: list[str],
+    dv_by_path: dict[str, dict],
+    reader,
+    with_meta: bool = False,
+):
+    """DV-aware distributed scan of specific data files: rows listed in
+    a file's deletion vector are removed by ONE broadcast anti-join on
+    ``(_metadata.file_path, _metadata.row_index)`` against the union of
+    the referenced sidecars — merge-on-read, no data file rewritten.
+    Files without a DV and ``with_meta=False`` take the exact pre-DV
+    fast path (one plain parquet scan, plan unchanged). ``with_meta``
+    keeps ``__txlog_file``/``__txlog_pos`` provenance columns (reserved
+    scratch names — a table using them fails analysis loudly).
+
+    Scale: the DV relation is bounded by the deleted-row count of the
+    files being read — trickle-delete-sized by construction
+    (:func:`delete_where` only routes small per-file fractions to a DV;
+    OPTIMIZE/compaction reconciles accumulated DVs into rewrites, the
+    same escape Delta documents when DVs grow)."""
+    from pyspark.sql import functions as F
+
+    dv_files = [p for p in files if os.path.abspath(p) in dv_by_path]
+    if not dv_files and not with_meta:
+        return reader.parquet(*files)
+    base = reader.parquet(*files).select(
+        "*",
+        F.col("_metadata.file_path").alias("__txlog_file"),
+        F.col("_metadata.row_index").alias("__txlog_pos"),
+    )
+    if dv_files:
+        dirs = sorted(
+            {dv_by_path[os.path.abspath(p)]["path"] for p in dv_files}
+        )
+        dv_rel = spark.read.parquet(*dirs).select(
+            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        )
+        base = base.join(
+            F.broadcast(dv_rel),
+            (F.col("__txlog_file") == F.col("__dv_file"))
+            & (F.col("__txlog_pos") == F.col("__dv_pos")),
+            "left_anti",
+        )
+    return base if with_meta else base.drop("__txlog_file", "__txlog_pos")
+
+
+def _scan_files(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    files: list[str],
+    with_meta: bool = False,
+):
+    """Scan specific snapshot data files under the log-governed schema
+    with the snapshot's deletion vectors applied — the read primitive
+    every DML path (touched-file discovery, rewrite reads) shares with
+    :func:`read_version`, so no path can resurrect merge-on-read-deleted
+    rows by reading a data file raw."""
+    actions, _, meta, _ = _resolve(table_dir, version)
     declared = (meta or {}).get("schema")
-    return spark.read.schema(declared) if declared is not None else spark.read
+    reader = spark.read.schema(declared) if declared is not None else spark.read
+    return _scan_files_with_dvs(
+        spark, files, _dv_map(actions), reader, with_meta=with_meta
+    )
 
 
 def merge_into(
@@ -561,10 +646,11 @@ def merge_into(
     if cand:
         keys = src.select(key).distinct()
         hit = (
-            _snapshot_reader(spark, table_dir, tip).parquet(*cand)
-            # file name projected AT THE SCAN — post-join provenance is
-            # not guaranteed for input_file_name()
-            .select(F.col(key), F.input_file_name().alias("f"))
+            # DV-aware scan: a key whose only occurrence is a
+            # merge-on-read-deleted row must NOT touch the file (the key
+            # is absent from the table — it is a plain insert)
+            _scan_files(spark, table_dir, tip, cand, with_meta=True)
+            .select(F.col(key), F.col("__txlog_file").alias("f"))
             .join(F.broadcast(keys), key, "left_semi")
             .select("f")
             .distinct()
@@ -592,7 +678,7 @@ def merge_into(
         )
         if not dup_keys.isEmpty():
             clash = (
-                _snapshot_reader(spark, table_dir, tip).parquet(*touched)
+                _scan_files(spark, table_dir, tip, touched)
                 .join(F.broadcast(dup_keys), key, "left_semi")
                 .select(key)
                 .limit(1)
@@ -620,7 +706,9 @@ def merge_into(
         F.lit(True).alias("__src"),
     )
     if touched:
-        tgt = _snapshot_reader(spark, table_dir, tip).parquet(*touched)
+        # DV-aware rewrite read: raw file rows that a deletion vector
+        # already removed must not be carried along (resurrection)
+        tgt = _scan_files(spark, table_dir, tip, touched)
         joined = tgt.join(marked, key, "full_outer")
         merged = joined.select(
             F.col(key),
@@ -652,64 +740,169 @@ def delete_where(
     predicate: str,
     stats_cols: list[str] | None = None,
     prune_range: tuple[str, object, object] | None = None,
+    dv_fraction_threshold: float = 0.0,
 ) -> tuple[int, list[str]]:
     """Delta-style ``DELETE FROM table WHERE predicate`` as a file-pruned
-    copy-on-write rewrite. Returns ``(committed_version, touched_files)``
-    — ``touched_files`` empty (and NO commit made) when nothing matched.
+    rewrite — copy-on-write by default, MERGE-ON-READ (deletion vectors)
+    per touched file when the deleted fraction is small. Returns
+    ``(committed_version, touched_files)`` — ``touched_files`` empty
+    (and NO commit made) when nothing matched.
 
     Same two-pass shape as :func:`merge_into`:
 
     1. **Touched-file discovery.** ``prune_range=(col, lo, hi)`` first
        skips files whose committed stats cannot contain a matching row
-       (driver-side, metadata only); one distributed scan of the
-       survivors then collects the DISTINCT ``input_file_name()`` set of
-       files holding at least one row where the predicate is TRUE —
-       per-FILE metadata, bounded by file count. Files with no match
-       keep their add actions (and stats) untouched.
-    2. **Rewrite.** Touched files are rewritten WITHOUT the matching
-       rows (SQL DELETE semantics: a row is removed only when the
-       predicate is TRUE — NULL keeps it, hence the ``coalesce`` guard)
-       and committed as add(new) + remove(touched) under an
-       ``expected_version`` guard, so a concurrent writer's effect is
-       never silently clobbered.
+       (driver-side, metadata only); one distributed DV-AWARE scan of
+       the survivors then aggregates the per-file count of rows where
+       the predicate is TRUE (rows an earlier DV already deleted can
+       neither match nor keep a file touched) — per-FILE metadata,
+       bounded by file count. Files with no match keep their add
+       actions (and stats) untouched.
+    2. **Per-file routing + rewrite.** With ``dv_fraction_threshold=f``
+       (Delta's deletion-vector DML): a touched file whose matching
+       fraction of LIVE rows is ≤ ``f`` gets a DELETION VECTOR instead
+       of a rewrite — a parquet sidecar of ``(file, row position)``
+       rows, merged with the file's existing DV and attached to its
+       re-committed add action as ``{"dv": {"path", "cardinality"}}``;
+       the data file is NOT rewritten, and every reader anti-joins the
+       DV at scan time (:func:`_scan_files_with_dvs`). Files above the
+       threshold (or without a recorded ``num_rows`` to judge by, or
+       with ``f=0.0`` — the default, pure copy-on-write) are rewritten
+       WITHOUT the matching rows (SQL DELETE semantics: a row is
+       removed only when the predicate is TRUE — NULL keeps it, hence
+       the ``coalesce`` guard). Both classes commit together as
+       add(new/re-referenced) + remove(touched) under an
+       ``expected_version`` guard.
 
-    Scale: O(touched files), never O(table) — deleting one tenant/day
-    from a range-clustered 100 TB table rewrites only the files whose
-    stats envelope admits the predicate AND that actually contain a
-    matching row. The pre-images stay on disk for time travel until
-    :func:`vacuum` reclaims them."""
+    Scale: copy-on-write is O(touched files) DATA per commit; a
+    deletion vector is O(deleted rows) — at 100 TB with trickle deletes
+    (the GDPR erasure pattern: a few rows per file, daily) that is the
+    difference between KB of sidecar and GB of rewrite per commit.
+    Accumulated DVs are reconciled by compaction/OPTIMIZE (any rewrite
+    through :func:`read_version` materializes the net rows and drops
+    the DV with the replaced action) and their pre-images by
+    :func:`vacuum`, which reclaims unreferenced sidecars like data
+    files. Time travel and :func:`table_changes` see DV commits
+    exactly: each version reads under its own DV state."""
     from pyspark.sql import functions as F
 
     tip = latest_version(table_dir)
     cand = snapshot_files(table_dir, tip, predicate_range=prune_range)
-    touched: list[str] = []
-    if cand:
-        hit = (
-            _snapshot_reader(spark, table_dir, tip).parquet(*cand)
-            # file name projected AT THE SCAN — post-filter provenance
-            # IS the scan row's provenance, same discipline as merge_into
-            .select(
-                F.input_file_name().alias("f"),
-                F.coalesce(F.expr(predicate), F.lit(False)).alias("__del"),
-            )
-            .where(F.col("__del"))
-            .select("f")
-            .distinct()
-            .collect()
+    if not cand:
+        return tip, []
+    actions, _, _, _ = _resolve(table_dir, tip)
+    by_path = {os.path.abspath(_action_path(a)): a for a in actions}
+    # file name projected AT THE SCAN — post-filter provenance IS the
+    # scan row's provenance, same discipline as merge_into; the per-file
+    # match COUNT feeds the DV-vs-rewrite routing below
+    hit = (
+        _scan_files(spark, table_dir, tip, cand, with_meta=True)
+        .select(
+            F.col("__txlog_file").alias("f"),
+            F.coalesce(F.expr(predicate), F.lit(False)).alias("__del"),
         )
-        hit_paths = {_local_path(r["f"]) for r in hit}
-        touched = [p for p in cand if os.path.abspath(p) in hit_paths]
+        .where(F.col("__del"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    matches = {_local_path(r["f"]): r["n"] for r in hit}
+    uri_by_path = {_local_path(r["f"]): r["f"] for r in hit}
+    touched = [p for p in cand if os.path.abspath(p) in matches]
     if not touched:
         return tip, []  # no matching row anywhere: metadata-only no-op
-    kept = _snapshot_reader(spark, table_dir, tip).parquet(*touched).where(
-        ~F.coalesce(F.expr(predicate), F.lit(False))
-    )
-    new_actions = write_files(kept, table_dir, stats_cols=stats_cols)
+    dv_class: list[str] = []
+    rw_class: list[str] = []
+    for p in touched:
+        ap = os.path.abspath(p)
+        a = by_path[ap]
+        num_rows = a.get("num_rows") if isinstance(a, dict) else None
+        if dv_fraction_threshold > 0 and num_rows:
+            old_card = ((a.get("dv") or {}).get("cardinality")) or 0
+            live = int(num_rows) - int(old_card)
+            if live > 0 and matches[ap] / live <= dv_fraction_threshold:
+                dv_class.append(p)
+                continue
+        rw_class.append(p)
+    new_actions: list = []
+    if rw_class:
+        kept = _scan_files(spark, table_dir, tip, rw_class).where(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        )
+        new_actions.extend(write_files(kept, table_dir, stats_cols=stats_cols))
+    if dv_class:
+        new_actions.extend(
+            _write_deletion_vectors(
+                spark, table_dir, tip, dv_class, predicate, by_path, uri_by_path
+            )
+        )
     version = commit(
         table_dir, add=new_actions, remove=touched, expected_version=tip + 1,
         operation="DELETE",
     )
     return version, touched
+
+
+def _write_deletion_vectors(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    files: list[str],
+    predicate: str,
+    by_path: dict,
+    uri_by_path: dict[str, str],
+) -> list[dict]:
+    """Materialize ONE deletion-vector sidecar (parquet dir of
+    ``(file, pos)`` rows) for a DELETE's dv-routed files and return
+    their re-referenced add actions. The newly matching positions come
+    from a DV-aware scan (so they are disjoint from the files' existing
+    DVs by construction) and are UNIONED with the existing DV rows OF
+    THESE FILES — Delta semantics: a file's new DV wholly replaces its
+    old one, carrying all deletions to date. Rows the old sidecars hold
+    for OTHER files are not copied (a shared sidecar stays referenced by
+    those files' own actions; copying would leak stale positions across
+    a later RESTORE). Per-file cardinality is read back from the written
+    sidecar — bounded by deleted rows, the same read-back pattern as
+    :func:`write_files`' stats."""
+    from pyspark.sql import functions as F
+
+    scan = _scan_files(spark, table_dir, version, files, with_meta=True)
+    newly = scan.where(
+        F.coalesce(F.expr(predicate), F.lit(False))
+    ).select(
+        F.col("__txlog_file").alias("file"),
+        F.col("__txlog_pos").alias("pos"),
+    )
+    uris = [uri_by_path[os.path.abspath(p)] for p in files]
+    old_dirs = sorted(
+        {
+            dv["path"]
+            for p in files
+            for dv in ((by_path[os.path.abspath(p)].get("dv"),) if isinstance(by_path[os.path.abspath(p)], dict) else ())
+            if dv
+        }
+    )
+    if old_dirs:
+        newly = newly.unionByName(
+            spark.read.parquet(*old_dirs).where(F.col("file").isin(uris))
+        )
+    out = os.path.join(table_dir, "dv", uuid.uuid4().hex)
+    newly.write.parquet(out)
+    counts = {
+        r["file"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    acts = []
+    for p in files:
+        a = by_path[os.path.abspath(p)]
+        new_a = dict(a) if isinstance(a, dict) else {"path": a}
+        card = int(counts.get(uri_by_path[os.path.abspath(p)], 0))
+        new_a["dv"] = {"path": out, "cardinality": card}
+        acts.append(new_a)
+    return acts
 
 
 def _nullability_norm(dt):
@@ -839,11 +1032,13 @@ def update_where(
     touched: list[str] = []
     if cand:
         hit = (
-            _snapshot_reader(spark, table_dir, tip).parquet(*cand)
+            # DV-aware scan: a predicate matching only merge-on-read-
+            # deleted rows must not touch (or resurrect through) a file
+            _scan_files(spark, table_dir, tip, cand, with_meta=True)
             # file name projected AT THE SCAN — post-filter provenance
             # IS the scan row's provenance, same discipline as merge_into
             .select(
-                F.input_file_name().alias("f"),
+                F.col("__txlog_file").alias("f"),
                 F.coalesce(F.expr(predicate), F.lit(False)).alias("__upd"),
             )
             .where(F.col("__upd"))
@@ -856,7 +1051,7 @@ def update_where(
     if not touched:
         return tip, []  # no matching row anywhere: metadata-only no-op
     cond = F.coalesce(F.expr(predicate), F.lit(False))
-    tgt = _snapshot_reader(spark, table_dir, tip).parquet(*touched)
+    tgt = _scan_files(spark, table_dir, tip, touched)
     # one select over the old row image: all SET expressions (and the
     # predicate) see pre-update values, and each output keeps the
     # column's original type (UPDATE never changes the schema). The
@@ -972,10 +1167,22 @@ def restore(table_dir: str, version: int) -> int:
     tip = latest_version(table_dir)
     cur_actions, _, cur_meta, _ = _resolve(table_dir, tip)
     old_actions, _, old_meta, _ = _resolve(table_dir, version)
-    cur = {_action_path(a) for a in cur_actions}
-    old = {_action_path(a) for a in old_actions}
+    # compare whole ACTIONS, not just paths: a path present in both
+    # versions under a DIFFERENT action (a deletion vector attached, a
+    # stats change) must be removed and re-added with the target
+    # version's action, or the restore silently keeps the current
+    # descriptor (e.g. rows a later DV DELETE removed stay dead)
+    cur = {_action_path(a): a for a in cur_actions}
+    old = {_action_path(a): a for a in old_actions}
+    # existence must cover deletion-vector sidecars too: restoring a
+    # version whose actions reference a vacuumed DV would commit a tip
+    # whose every read throws at the anti-join load
+    cur_dvs = {d["path"] for d in _dv_map(cur_actions).values()}
+    old_dvs = {d["path"] for d in _dv_map(old_actions).values()}
     missing = sorted(
         p for p in old if p not in cur and not os.path.exists(p)
+    ) + sorted(
+        p for p in old_dvs if p not in cur_dvs and not os.path.exists(p)
     )
     if missing:
         raise FileNotFoundError(
@@ -985,8 +1192,8 @@ def restore(table_dir: str, version: int) -> int:
         )
     return commit(
         table_dir,
-        add=[a for a in old_actions if _action_path(a) not in cur],
-        remove=[p for p in cur if p not in old],
+        add=[a for p, a in old.items() if cur.get(p) != a],
+        remove=[p for p, a in cur.items() if old.get(p) != a],
         expected_version=tip + 1,
         metadata=old_meta if old_meta is not None and old_meta != cur_meta else None,
         operation="RESTORE",
@@ -1185,7 +1392,12 @@ def count_rows(table_dir: str, version: int | None = None) -> int | None:
     for a in actions:
         if not isinstance(a, dict) or "num_rows" not in a:
             return None
-        total += int(a["num_rows"])
+        dv = a.get("dv") or {}
+        if dv and dv.get("cardinality") is None:
+            return None  # a DV of unknown size makes the count unknowable
+        # merge-on-read: the file's live count is rows minus its
+        # deletion vector's cardinality (Delta nets numRecords the same)
+        total += int(a["num_rows"]) - int(dv.get("cardinality") or 0)
     return total
 
 
@@ -1298,26 +1510,42 @@ def vacuum(
     sweeping safe against live writers. Swept tmp files are NOT part of
     the return value — the returned list means reclaimed DATA files
     only, so reclaim accounting stays byte-meaningful.
+
+    Deletion-vector sidecars are governed identically (they are row
+    data: deleted positions): a sidecar DIR referenced by a retained
+    action stays, one referenced only by reclaimed versions is swept
+    with them (its part files appear in the returned list), and a
+    never-referenced young sidecar gets the same in-flight grace —
+    :func:`delete_where` writes the sidecar before its commit lands.
     """
     import time as _time
 
     now = _time.time()
     tip = latest_version(table_dir)
     live: set[str] = set()
+    live_dv: set[str] = set()
     for v in range(max(0, tip - max(0, retention_versions)), tip + 1):
-        live.update(
-            os.path.abspath(_action_path(a)) for a in _resolve(table_dir, v)[0]
+        acts = _resolve(table_dir, v)[0]
+        live.update(os.path.abspath(_action_path(a)) for a in acts)
+        live_dv.update(
+            os.path.abspath(d["path"]) for d in _dv_map(acts).values()
         )
     # every path ANY commit ever added: a data file absent from this set
     # was never committed — either garbage from a crashed writer (old)
-    # or an IN-FLIGHT writer's pending output (young, protected below)
+    # or an IN-FLIGHT writer's pending output (young, protected below).
+    # Deletion-vector sidecar DIRS are tracked the same way: a sidecar is
+    # row data (deleted positions) whose lifecycle follows its actions.
     ever_referenced: set[str] = set()
+    ever_dv: set[str] = set()
     for v in range(tip + 1):
         with open(_commit_path(table_dir, v)) as f:
-            ever_referenced.update(
-                os.path.abspath(_action_path(a))
-                for a in json.load(f).get("add") or ()
-            )
+            adds = json.load(f).get("add") or ()
+        ever_referenced.update(
+            os.path.abspath(_action_path(a)) for a in adds
+        )
+        ever_dv.update(
+            os.path.abspath(d["path"]) for d in _dv_map(adds).values()
+        )
     victims = []
     for dirpath, _, files in os.walk(os.path.join(table_dir, "data")):
         for f in files:
@@ -1346,6 +1574,39 @@ def vacuum(
                     data_grace_seconds,
                 )
             victims.append(p)
+    # deletion-vector sidecars: the retention unit is the sidecar DIR
+    # (one descriptor path = one spark write: part files + _SUCCESS
+    # markers), removed WHOLE so a later restore's existence probe sees
+    # the truth — its parquet part files join the returned victims
+    dv_rm_dirs: list[str] = []
+    dv_root = os.path.join(table_dir, "dv")
+    if os.path.isdir(dv_root):
+        for entry in sorted(os.listdir(dv_root)):
+            d = os.path.abspath(os.path.join(dv_root, entry))
+            if not os.path.isdir(d) or d in live_dv:
+                continue
+            if d not in ever_dv:
+                try:
+                    age = now - os.stat(d).st_mtime
+                except FileNotFoundError:
+                    continue
+                if age <= data_grace_seconds:
+                    continue  # an in-flight DELETE's pending sidecar
+                logging.getLogger(__name__).warning(
+                    "vacuum %s never-committed deletion-vector sidecar %s "
+                    "(age %.0fs > data_grace_seconds=%.0fs)",
+                    "would reclaim (dry run)" if dry_run else "reclaiming",
+                    d,
+                    age,
+                    data_grace_seconds,
+                )
+            dv_rm_dirs.append(d)
+            for dp, _, fs in os.walk(d):
+                victims.extend(
+                    os.path.abspath(os.path.join(dp, f))
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
     ldir = _log_dir(table_dir)
     tmp_sweeps: list[str] = []
     if os.path.isdir(ldir):
@@ -1357,9 +1618,13 @@ def vacuum(
                 if now - os.stat(p).st_mtime > _tmp_grace_seconds:
                     tmp_sweeps.append(p)
     if not dry_run:
+        import shutil
+
         for p in victims + tmp_sweeps:
-            with contextlib.suppress(FileNotFoundError):
+            with contextlib.suppress(FileNotFoundError, IsADirectoryError):
                 os.remove(p)
+        for d in dv_rm_dirs:
+            shutil.rmtree(d, ignore_errors=True)
     return sorted(victims)
 
 
@@ -1410,7 +1675,10 @@ def table_changes(
     ``delta.enableChangeDataFeed`` write-side tracking; here the
     copy-on-write remove/add pairs carry enough structure to rebuild
     the same rows AFTER the fact, because rewrites are file-bounded
-    (only touched files move through a commit). Cost per version is
+    (only touched files move through a commit). Deletion-vector commits
+    diff the same way — each side reads under ITS version's DV state
+    (one incremental action fold across the range), so a DV DELETE
+    feeds exactly the newly-deleted rows. Cost per version is
     O(churned files), never O(table): at 100 TB, reading a day of
     changes off a range-clustered table scans only the files its
     commits actually rewrote, and each per-version diff shuffles only
@@ -1499,11 +1767,32 @@ def table_changes(
         )
     per_version: list[DataFrame] = []
     guards: list[DataFrame] = []
+    # deletion-vector awareness: each side reads under ITS version's DV
+    # state (pre = before the commit, post = after), maintained by ONE
+    # incremental action fold across the range — a DV commit (same file
+    # re-referenced with a bigger vector) therefore feeds exactly the
+    # newly-deleted rows as `delete`s, and a rewrite of a DV'd file
+    # diffs only its LIVE pre-image rows
+    state: dict[str, dict | str] = {
+        os.path.abspath(_action_path(a)): a
+        for a in (
+            _resolve(table_dir, start_version - 1)[0]
+            if start_version > 0
+            else ()
+        )
+    }
     for payload in commits:
         v = payload["version"]
-        adds = [_action_path(a) for a in payload.get("add") or ()]
+        add_actions = payload.get("add") or ()
+        adds = [_action_path(a) for a in add_actions]
         removes = [_action_path(a) for a in payload.get("remove") or ()]
         op = payload.get("operation")
+        pre_dv = _dv_map(state.values())
+        for p in removes:
+            state.pop(os.path.abspath(p), None)
+        for a in add_actions:
+            state[os.path.abspath(_action_path(a))] = a
+        post_dv = _dv_map(state.values())
         meta = (
             F.lit(v).alias("_commit_version"),
             F.lit(op).alias("_operation"),
@@ -1512,7 +1801,7 @@ def table_changes(
             if not adds:
                 continue  # metadata-only commit: no row changes
             per_version.append(
-                reader.parquet(*adds).select(
+                _scan_files_with_dvs(spark, adds, post_dv, reader).select(
                     "*", F.lit("insert").alias("_change_type"), *meta
                 )
             )
@@ -1521,12 +1810,18 @@ def table_changes(
         # equi-joins (NULL != NULL), and inferring its side from b.key /
         # a.key would misread its delete as an all-null insert
         pre = (
-            reader.parquet(*removes)
+            _scan_files_with_dvs(spark, removes, pre_dv, reader)
             .withColumn("_b_present", F.lit(True))
             .alias("b")
         )
         post = (
-            (reader.parquet(*adds) if adds else reader.parquet(*removes).limit(0))
+            (
+                _scan_files_with_dvs(spark, adds, post_dv, reader)
+                if adds
+                else _scan_files_with_dvs(
+                    spark, removes, pre_dv, reader
+                ).limit(0)
+            )
             .withColumn("_a_present", F.lit(True))
             .alias("a")
         )
