@@ -980,3 +980,83 @@ def txlog_cdf_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 txlog_cdf_ops.__doc__ = txlog_cdf_ops.__doc__.format(
     ulo=_CDF_UPD_LO, uhi=_CDF_UPD_HI, dlo=_CDF_DEL_LO, dhi=_CDF_DEL_HI
 )
+
+
+_DV_BULK_LO, _DV_BULK_HI = 100, 299
+
+_DELETE_DV_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+{_STATE_CTE.format(m=4)}
+SELECT id, name, description, price FROM state4
+WHERE NOT (id % 40 = 7) AND id NOT BETWEEN {_DV_BULK_LO} AND {_DV_BULK_HI}
+"""
+
+
+@query("txlog_delete_dv", oracle=_DELETE_DV_ORACLE)
+def txlog_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE via DELETION VECTORS (merge-on-read — Delta's
+    ``deletionVectors`` table feature) against the products table: a
+    TRICKLE delete (``id % 40 = 7`` — a few rows in every file, the
+    GDPR-erasure shape) runs with ``dv_fraction_threshold=0.25`` and
+    lands as parquet ``(file, row position)`` sidecars attached to the
+    touched files' re-committed add actions — NO data file is
+    rewritten; a BULK delete (id {lo}–{hi}) then runs with the default
+    threshold 0 and rewrites its touched files copy-on-write. The tip
+    read nets both transports through the same scan: files with vectors
+    drop their dead rows via one broadcast anti-join on
+    ``(_metadata.file_path, _metadata.row_index)``
+    (:func:`txlog._scan_files_with_dvs`); rewritten and untouched files
+    scan plain. The gate verifies a vector actually landed (RuntimeError
+    otherwise) and returns the tip state; the oracle recomputes it
+    relationally from the raw change events.
+
+    Why this matters at 100 TB: copy-on-write makes a 3-row DELETE cost
+    O(touched files) of DATA rewrite — with daily trickle deletes over a
+    range-clustered lake table, GB of churn per commit for KB of intent.
+    A deletion vector is O(deleted rows) of sidecar: the 3-row DELETE
+    commits KB, readers pay one tiny broadcast anti-join, and
+    compaction/OPTIMIZE later reconciles vectors into plain files (any
+    rewrite through :func:`txlog.read_version` materializes the net
+    rows — pinned in ``tests/test_txlog.py`` along with transport
+    parity: threshold 0 / 1 / mixed produce bit-identical states,
+    time-travel/CDF/restore/vacuum interactions included).
+
+    Reference parity: the reference deletes flow through Debezium 'd'
+    events into its sink (``/root/reference/README.md:86-125``); this is
+    the table-format half — how a lake table absorbs those deletes
+    without rewriting itself."""
+    tdir = tempfile.mkdtemp(prefix="cdc_txdv_")
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base).repartitionByRange(8, "id")
+    txlog.commit(
+        tdir,
+        add=txlog.write_files(state, tdir, stats_cols=["id"]),
+        expected_version=0,
+        operation="WRITE",
+    )
+    txlog.delete_where(
+        spark,
+        tdir,
+        "id % 40 = 7",
+        stats_cols=["id"],
+        dv_fraction_threshold=0.25,
+    )
+    acts, _, _, _ = txlog._resolve(tdir, None)
+    if not txlog._dv_map(acts):
+        raise RuntimeError(
+            "trickle delete did not produce a deletion vector — the "
+            "merge-on-read path was not exercised"
+        )
+    txlog.delete_where(
+        spark,
+        tdir,
+        f"id BETWEEN {_DV_BULK_LO} AND {_DV_BULK_HI}",
+        stats_cols=["id"],
+        prune_range=("id", _DV_BULK_LO, _DV_BULK_HI),
+    )
+    return txlog.read_version(spark, tdir)
+
+
+txlog_delete_dv.__doc__ = txlog_delete_dv.__doc__.format(
+    lo=_DV_BULK_LO, hi=_DV_BULK_HI
+)
