@@ -23,6 +23,31 @@ immutability:
   "true")`` opts into Delta's documented escape hatch — data-changing
   commits are skipped WHOLE (their adds carry re-images of
   already-emitted rows) and the stream continues over later appends.
+- ``.option("readChangeFeed", "true")`` is the third stance (Delta's
+  streaming CDF): data-changing commits are FORWARDED as change rows —
+  each consumed version feeds its :func:`txlog.table_changes`-shaped
+  ``insert`` / ``delete`` / ``update_preimage`` / ``update_postimage``
+  rows with ``_commit_version`` / ``_operation`` meta columns, appends
+  included (pure inserts). ``.option("startingVersion", N)`` starts a
+  FRESH checkpoint at commit ``N`` (both modes); ``.option("cdfKey",
+  col)`` names the diff key (default ``id``), with the same
+  fail-loud duplicate-key guard as the batch reader. Deletion-vector
+  commits feed exactly their newly-deleted rows — each side of the
+  per-commit diff applies ITS version's DV state.
+- ``.option("maxFilesPerTrigger", N)`` is admission control (Delta's
+  backpressure knob of the same name): ``latestOffset`` stops
+  advancing at the version boundary where the cumulative added-file
+  count of the pending commits reaches ``N``, so a stream that falls
+  behind catches up in bounded micro-batches instead of one huge one.
+  Offsets stay VERSION-aligned (a single commit larger than the cap
+  still feeds whole — the at-least-one-unit progress guarantee).
+  BEST-EFFORT like Delta's own knob: the Python DataSource API passes
+  no start offset to ``latestOffset``, so the cap engages once the run
+  has planned its first micro-batch — the first trigger of a fresh run
+  or clean restart is uncapped (a restart that replays an uncommitted
+  batch re-binds immediately; Delta likewise ignores the cap under
+  Trigger.Once/AvailableNow, where the engine captures the end offset
+  before the source sees a batch).
 
 Scale: the reader is the PARTITION-BASED ``DataSourceStreamReader`` —
 ``partitions(start, end)`` plans one ``InputPartition`` per file added in
@@ -33,6 +58,11 @@ routes every row driver-side — measured 55 s at 100× on the same gate
 query vs 35 s partitioned, and the residual is the gate's own 3× slice
 writes, not the read). The whole micro-batch therefore scales like
 any distributed parquet scan, while the offset stays one integer.
+In CDF mode an append version still plans one partition per added file;
+a data-changing version plans ONE partition carrying its remove/add
+sides — the diff needs that commit's churn co-located, and a
+copy-on-write/DV commit's churn is delta-sized by construction (the
+same O(churned files) unit as the batch ``table_changes``).
 """
 
 from __future__ import annotations
@@ -45,9 +75,22 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import IntegerType, StringType, StructType
 
 from change_data_capture_spark.sources import txlog
+
+#: CDF meta columns appended to the table schema in readChangeFeed mode
+#: (same names/types the batch ``txlog.table_changes`` emits)
+_CDF_META_FIELDS = (
+    ("_change_type", StringType()),
+    ("_commit_version", IntegerType()),
+    ("_operation", StringType()),
+)
+
+
+def _commit_payload(table_dir: str, v: int) -> dict:
+    with open(os.path.join(table_dir, "_txlog", f"{v:020d}.json")) as f:
+        return json.load(f)
 
 
 def _added_files(
@@ -67,8 +110,7 @@ def _added_files(
     their changed rows is the CDF reader's job, not this one's)."""
     out: list[str] = []
     for v in range(from_v + 1, to_v + 1):
-        with open(os.path.join(table_dir, "_txlog", f"{v:020d}.json")) as f:
-            c = json.load(f)
+        c = _commit_payload(table_dir, v)
         if c["remove"]:
             if skip_change_commits:
                 continue
@@ -76,8 +118,9 @@ def _added_files(
                 f"txlog stream source: commit {v} rewrites data "
                 "(remove actions present); the streaming source is "
                 "append-only — compact/merge on a downstream copy, "
-                "restart the stream from the rewritten snapshot, or opt "
-                "into .option('skipChangeCommits', 'true')"
+                "restart the stream from the rewritten snapshot, opt "
+                "into .option('skipChangeCommits', 'true'), or read "
+                "the change rows with .option('readChangeFeed', 'true')"
             )
         out.extend(txlog._action_path(a) for a in c["add"])
     return out
@@ -91,37 +134,326 @@ class _AddedFile(InputPartition):
         self.path = path
 
 
+class _CdfInsert(InputPartition):
+    """CDF mode: one file added by an append commit — feeds pure
+    ``insert`` rows (``dv_dir`` set when the action carries a deletion
+    vector, e.g. a restored DV action re-entering as an add)."""
+
+    def __init__(self, path: str, version: int, op: str | None, dv_dir: str | None):
+        self.path = path
+        self.version = version
+        self.op = op
+        self.dv_dir = dv_dir
+
+
+class _CdfDiff(InputPartition):
+    """CDF mode: one data-changing commit — ``pre``/``post`` are
+    ``(path, dv_dir | None)`` pairs (the remove side under the PREVIOUS
+    version's DV state, the add side under this version's), diffed on
+    ``key`` executor-side."""
+
+    def __init__(
+        self,
+        version: int,
+        op: str | None,
+        key: str,
+        pre: list[tuple[str, str | None]],
+        post: list[tuple[str, str | None]],
+    ):
+        self.version = version
+        self.op = op
+        self.key = key
+        self.pre = pre
+        self.post = post
+
+
+def _opt(options: dict, name: str, default=None):
+    """Spark SQL option keys are case-insensitive and may arrive
+    lowercased through the DataSource API — accept either spelling."""
+    return options.get(name.lower(), options.get(name, default))
+
+
+def _file_uri(path: str) -> str:
+    """The ``_metadata.file_path`` URI spark records for a local file —
+    the sidecar's ``file`` key (paths here are uuid-hex segments, no
+    URL-escaping applies)."""
+    return "file:" + os.path.abspath(path)
+
+
+def _read_data_file(path: str, fields) -> "pyarrow.Table":  # noqa: F821
+    """One columnar read of a data file projected to the declared
+    ``(name, arrow type)`` fields — columns a pre-evolution file lacks
+    are null-filled (the log-governed schema rule, arrow-side)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    avail = set(pq.read_schema(path).names)
+    present = [n for n, _ in fields if n in avail]
+    tbl = pq.read_table(path, columns=present)
+    cols = []
+    for n, t in fields:
+        if n in avail:
+            cols.append(tbl.column(n).cast(t))
+        else:
+            cols.append(pa.nulls(len(tbl), t))
+    return pa.table(dict(zip([n for n, _ in fields], cols)))
+
+
+def _apply_dv(tbl, path: str, dv_dir: str | None):
+    """Drop a data file's deletion-vector positions from its arrow
+    table — the executor-side twin of the broadcast anti-join in
+    :func:`txlog._scan_files_with_dvs` (row index IS arrow row order:
+    ``_read_data_file`` reads the whole file in file order)."""
+    if not dv_dir:
+        return tbl
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dv = pq.read_table(dv_dir, columns=["file", "pos"])
+    pos = dv.filter(pc.equal(dv.column("file"), _file_uri(path)))
+    positions = pos.column("pos").to_pylist()
+    if not positions:
+        return tbl
+    mask = np.ones(len(tbl), dtype=bool)
+    mask[positions] = False
+    return tbl.filter(pa.array(mask))
+
+
+def _read_side(parts, fields):
+    """Concatenate the DV-applied reads of one diff side."""
+    import pyarrow as pa
+
+    tables = [_apply_dv(_read_data_file(p, fields), p, dv) for p, dv in parts]
+    if not tables:
+        return pa.table(
+            {n: pa.nulls(0, t) for n, t in fields}
+        )
+    return pa.concat_tables(tables)
+
+
+def _guard_keys(tbl, key: str, version: int, side: str) -> None:
+    """The batch reader's duplicate-key discipline, arrow-side: a
+    duplicated non-NULL key on either side of a diffed commit would
+    cross-product into a wrong feed — fail loud. NULL keys are exempt
+    (they never join; handled as unpaired delete/insert)."""
+    import pyarrow.compute as pc
+
+    k = tbl.column(key).drop_null()
+    if len(k) != len(pc.unique(k)):
+        raise ValueError(
+            f"readChangeFeed: key {key!r} is duplicated within commit "
+            f"{version} ({side} side) — the per-version diff would "
+            "cross-product into a wrong feed; set .option('cdfKey', ...) "
+            "to a column that uniquely identifies rows"
+        )
+
+
+def _with_meta(tbl, fields, change_type: str, version: int, op: str | None):
+    """Append the CDF meta columns to a data table."""
+    import pyarrow as pa
+
+    n = len(tbl)
+    out = {name: tbl.column(name) for name, _ in fields}
+    out["_change_type"] = pa.array([change_type] * n, pa.string())
+    out["_commit_version"] = pa.array([version] * n, pa.int32())
+    out["_operation"] = pa.array([op] * n, pa.string())
+    return pa.table(out)
+
+
+def _diff_commit(part: _CdfDiff, fields):
+    """Executor-side per-commit CDF diff — the arrow twin of the batch
+    ``txlog.table_changes`` per-version join: full-outer on the key,
+    presence flags (not key nullness) classify sides, unchanged copies
+    carried by whole-file rewrites are dropped by null-safe image
+    equality, NULL-key rows bypass the join as unpaired delete/insert
+    (arrow join null-match semantics never get a vote)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    key = part.key
+    pre = _read_side(part.pre, fields)
+    post = _read_side(part.post, fields)
+    _guard_keys(pre, key, part.version, "pre")
+    _guard_keys(post, key, part.version, "post")
+    out = []
+    # NULL-key rows: never equi-join — faithful unpaired emission
+    null_pre = pre.filter(pc.is_null(pre.column(key)))
+    null_post = post.filter(pc.is_null(post.column(key)))
+    if len(null_pre):
+        out.append(_with_meta(null_pre, fields, "delete", part.version, part.op))
+    if len(null_post):
+        out.append(_with_meta(null_post, fields, "insert", part.version, part.op))
+    pre_nn = pre.filter(pc.is_valid(pre.column(key)))
+    pre_nn = pre_nn.append_column(
+        "_b_present", pa.array([True] * len(pre_nn), pa.bool_())
+    )
+    post_nn = post.filter(pc.is_valid(post.column(key)))
+    post_nn = post_nn.append_column(
+        "_a_present", pa.array([True] * len(post_nn), pa.bool_())
+    )
+    joined = pre_nn.join(
+        post_nn,
+        keys=[key],
+        join_type="full outer",
+        left_suffix="_b",
+        right_suffix="_a",
+    )
+    data_cols = [n for n, _ in fields if n != key]
+    b_here = pc.is_valid(joined.column("_b_present"))
+    a_here = pc.is_valid(joined.column("_a_present"))
+    differ = pa.array([False] * len(joined), pa.bool_())
+    for c in data_cols:
+        a, b = joined.column(f"{c}_a"), joined.column(f"{c}_b")
+        eq = pc.if_else(
+            pc.and_(pc.is_null(a), pc.is_null(b)),
+            pa.scalar(True),
+            pc.coalesce(pc.equal(a, b), pa.scalar(False)),
+        )
+        differ = pc.or_(differ, pc.invert(eq))
+
+    def side(tbl, suffix):
+        return pa.table(
+            {
+                n: tbl.column(n if n == key else f"{n}{suffix}")
+                for n, _ in fields
+            }
+        )
+
+    deletes = joined.filter(pc.and_(b_here, pc.invert(a_here)))
+    inserts = joined.filter(pc.and_(a_here, pc.invert(b_here)))
+    changed = joined.filter(pc.and_(pc.and_(a_here, b_here), differ))
+    if len(deletes):
+        out.append(_with_meta(side(deletes, "_b"), fields, "delete", part.version, part.op))
+    if len(inserts):
+        out.append(_with_meta(side(inserts, "_a"), fields, "insert", part.version, part.op))
+    if len(changed):
+        out.append(_with_meta(side(changed, "_b"), fields, "update_preimage", part.version, part.op))
+        out.append(_with_meta(side(changed, "_a"), fields, "update_postimage", part.version, part.op))
+    if not out:
+        schema = pa.schema(
+            [(n, t) for n, t in fields]
+            + [("_change_type", pa.string()), ("_commit_version", pa.int32()), ("_operation", pa.string())]
+        )
+        return pa.table({f.name: pa.nulls(0, f.type) for f in schema})
+    return pa.concat_tables(out)
+
+
 class TxlogStreamReader(DataSourceStreamReader):
     """Offsets are log versions: ``{"version": N}`` means commits
     ``0..N`` are consumed. Planning (``latestOffset``/``partitions``) is
     driver-side metadata; ``read`` runs on executors, one file per
-    partition. See the module docstring for the contract."""
+    partition (one commit per partition for CDF diffs). See the module
+    docstring for the contract."""
 
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
         self.table_dir = _required_path(options)
-        # Spark SQL option keys are case-insensitive and may arrive
-        # lowercased through the DataSource API — accept either spelling
-        raw = options.get("skipchangecommits",
-                          options.get("skipChangeCommits", "false"))
-        self.skip_change_commits = str(raw).lower() == "true"
+        self.skip_change_commits = (
+            str(_opt(options, "skipChangeCommits", "false")).lower() == "true"
+        )
+        self.read_change_feed = (
+            str(_opt(options, "readChangeFeed", "false")).lower() == "true"
+        )
+        if self.read_change_feed and self.skip_change_commits:
+            raise ValueError(
+                "cdc_txlog source: readChangeFeed and skipChangeCommits "
+                "are mutually exclusive — the CDF reader FORWARDS change "
+                "commits, skipChangeCommits drops them"
+            )
+        self.cdf_key = _opt(options, "cdfKey", "id")
+        sv = _opt(options, "startingVersion")
+        self.starting_version = int(sv) if sv is not None else 0
+        mft = _opt(options, "maxFilesPerTrigger")
+        self.max_files = int(mft) if mft is not None else 0
+        if mft is not None and self.max_files < 1:
+            raise ValueError(
+                f"cdc_txlog source: maxFilesPerTrigger must be >= 1, got {mft}"
+            )
+        # highest version THIS RUN knows is consumed — the admission-
+        # control base. None until initialOffset/partitions/commit binds
+        # it; the engine asks for latestOffset BEFORE any of those on a
+        # fresh run or clean restart, so that first trigger is uncapped
+        # (documented best-effort — the module docstring has the full
+        # contract).
+        self._consumed: int | None = None
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        self._consumed = self.starting_version - 1
+        return {"version": self._consumed}
 
     def latestOffset(self) -> dict:
-        return {"version": txlog.latest_version(self.table_dir)}
+        tip = txlog.latest_version(self.table_dir)
+        if self.max_files <= 0 or self._consumed is None or tip <= self._consumed:
+            return {"version": tip}
+        # advance version by version until the cumulative added-file
+        # count would exceed the cap; always include >= 1 version so the
+        # stream makes progress past any single oversized commit
+        v, count = self._consumed, 0
+        while v < tip:
+            n = len(_commit_payload(self.table_dir, v + 1).get("add") or ())
+            if count and count + n > self.max_files:
+                break
+            count += n
+            v += 1
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
-        files = _added_files(
-            self.table_dir,
-            int(start["version"]),
-            int(end["version"]),
-            self.skip_change_commits,
+        start_v, end_v = int(start["version"]), int(end["version"])
+        # bind the admission-control base to the batch being planned:
+        # the next latestOffset caps relative to this batch's end
+        self._consumed = end_v
+        if not self.read_change_feed:
+            files = _added_files(
+                self.table_dir, start_v, end_v, self.skip_change_commits
+            )
+            return [_AddedFile(p) for p in files]
+        # CDF planning: per-version dv-state fold from the batch start
+        state: dict[str, dict | str] = (
+            {
+                os.path.abspath(txlog._action_path(a)): a
+                for a in txlog._resolve(self.table_dir, start_v)[0]
+            }
+            if start_v >= 0
+            else {}
         )
-        return [_AddedFile(p) for p in files]
 
-    def read(self, partition: _AddedFile):
+        def dv_of(p: str, actions: dict) -> str | None:
+            a = actions.get(os.path.abspath(p))
+            dv = a.get("dv") if isinstance(a, dict) else None
+            return dv["path"] if dv else None
+
+        parts: list[InputPartition] = []
+        for v in range(start_v + 1, end_v + 1):
+            c = _commit_payload(self.table_dir, v)
+            adds = [txlog._action_path(a) for a in c.get("add") or ()]
+            removes = list(c.get("remove") or ())
+            op = c.get("operation")
+            pre = [(p, dv_of(p, state)) for p in removes]
+            for p in removes:
+                state.pop(os.path.abspath(p), None)
+            for a in c.get("add") or ():
+                state[os.path.abspath(txlog._action_path(a))] = a
+            if not removes:
+                parts.extend(
+                    _CdfInsert(p, v, op, dv_of(p, state)) for p in adds
+                )
+                continue
+            post = [(p, dv_of(p, state)) for p in adds]
+            parts.append(_CdfDiff(v, op, self.cdf_key, pre, post))
+        return parts
+
+    def _data_fields(self):
+        """Declared (name, arrow type) pairs of the DATA columns (CDF
+        meta columns excluded — the reader appends them itself)."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        meta = {n for n, _ in _CDF_META_FIELDS}
+        arrow = to_arrow_schema(self.schema_)
+        return [(f.name, f.type) for f in arrow if f.name not in meta]
+
+    def read(self, partition):
         # executor-side: one columnar parquet read per added file, handed
         # to Spark as Arrow RecordBatches — the DataSource API accepts
         # them directly, so the read stays columnar end to end (the
@@ -129,13 +461,28 @@ class TxlogStreamReader(DataSourceStreamReader):
         # tuples: ~3× the memory and per-row conversion cost for nothing)
         import pyarrow.parquet as pq
 
+        if isinstance(partition, _CdfDiff):
+            yield from _diff_commit(partition, self._data_fields()).to_batches()
+            return
+        if isinstance(partition, _CdfInsert):
+            fields = self._data_fields()
+            tbl = _apply_dv(
+                _read_data_file(partition.path, fields),
+                partition.path,
+                partition.dv_dir,
+            )
+            yield from _with_meta(
+                tbl, fields, "insert", partition.version, partition.op
+            ).to_batches()
+            return
         names = self.schema_.fieldNames()
         tbl = pq.read_table(partition.path, columns=names)
         yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:
-        # offsets are derived from the immutable log; nothing to release
-        pass
+        # offsets are derived from the immutable log; nothing to release,
+        # but the committed end re-binds the admission-control base
+        self._consumed = int(end["version"])
 
 
 class TxlogStreamDataSource(DataSource):
@@ -149,33 +496,84 @@ class TxlogStreamDataSource(DataSource):
     governs, same rule as :func:`txlog.read_version`), falling back to a
     committed file's parquet footer — so ``.load()`` works without an
     explicit ``.schema()`` call; a caller-supplied schema still
-    overrides (Spark only calls ``schema()`` when none was given)."""
+    overrides (Spark only calls ``schema()`` when none was given). In
+    ``readChangeFeed`` mode the resolved schema gains the CDF meta
+    columns (``_change_type``, ``_commit_version``, ``_operation``) —
+    and refuses a table whose data already uses one of those reserved
+    names, the batch reader's collision rule."""
 
     @classmethod
     def name(cls) -> str:
         return "cdc_txlog"
 
     def schema(self):
+        # NOTE: this runs in a session-less Python worker — DDL strings
+        # must stay strings (StructType.fromDDL needs an active session)
         table_dir = _required_path(self.options)
         meta = txlog.table_metadata(table_dir) or {}
         declared = meta.get("schema")
+        cdf = str(_opt(self.options, "readChangeFeed", "false")).lower() == "true"
+        reserved = {n for n, _ in _CDF_META_FIELDS}
         if declared is not None:
-            return declared  # DDL string, accepted by the DataSource API
+            if not cdf:
+                return declared  # DDL string, accepted by the DataSource API
+            clash = reserved & set(_ddl_top_level_fields(declared))
+            if clash:
+                raise ValueError(
+                    f"readChangeFeed reserves column names {sorted(clash)}; "
+                    "the table's data already uses them — rename before "
+                    "streaming the feed"
+                )
+            return (
+                f"{declared}, _change_type STRING, "
+                "_commit_version INT, _operation STRING"
+            )
         files = txlog.snapshot_files(table_dir)
-        if files:
-            import pyarrow.parquet as pq
+        if not files:
+            raise ValueError(
+                f"cdc_txlog source: table {table_dir} has no committed "
+                "metadata and no data files to infer a schema from; pass "
+                ".schema(...) explicitly or commit table metadata"
+            )
+        import pyarrow.parquet as pq
 
-            from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.pandas.types import from_arrow_schema
 
-            return from_arrow_schema(pq.read_schema(files[0]))
-        raise ValueError(
-            f"cdc_txlog source: table {table_dir} has no committed "
-            "metadata and no data files to infer a schema from; pass "
-            ".schema(...) explicitly or commit table metadata"
-        )
+        base = from_arrow_schema(pq.read_schema(files[0]))
+        if not cdf:
+            return base
+        clash = reserved & set(base.fieldNames())
+        if clash:
+            raise ValueError(
+                f"readChangeFeed reserves column names {sorted(clash)}; "
+                "the table's data already uses them — rename before "
+                "streaming the feed"
+            )
+        out = StructType(list(base.fields))
+        for n, t in _CDF_META_FIELDS:
+            out = out.add(n, t)
+        return out
 
     def streamReader(self, schema: StructType):
         return TxlogStreamReader(schema, self.options)
+
+
+def _ddl_top_level_fields(ddl: str) -> list[str]:
+    """Top-level field NAMES of a ``name TYPE, ...`` DDL string, parsed
+    without a Spark session (nesting in ``<>``/``()`` tracked so struct
+    element commas don't split fields)."""
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl + ","):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = ddl[start:i].strip()
+            if part:
+                fields.append(part.split()[0].strip("`"))
+            start = i + 1
+    return fields
 
 
 def _required_path(options: dict) -> str:

@@ -2425,3 +2425,210 @@ def streaming_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_orc(spark, sink)
+
+
+def _cdf_ops_oracle() -> str:
+    from change_data_capture_spark.operators.txlog_queries import _CDF_OPS_ORACLE
+
+    return _CDF_OPS_ORACLE
+
+
+@query("streaming_txlog_cdf_feed", oracle=_cdf_ops_oracle())
+def streaming_txlog_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txlog table as a STREAMING CHANGE DATA FEED (Delta's
+    ``readStream.option("readChangeFeed", "true")`` — the third reader
+    stance after append-only and ``skipChangeCommits``): the products
+    table runs the same DML script as the batch ``txlog_cdf_ops`` gate —
+    tip state at v0, a predicate UPDATE at v1, a predicate DELETE at
+    v2 — and a streaming query tails it with ``readChangeFeed`` +
+    ``startingVersion=1`` into a memory sink. Each consumed version
+    feeds its per-commit change rows (``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage`` with ``_commit_version``
+    and ``_operation``), computed EXECUTOR-SIDE as an arrow full-outer
+    key diff of the commit's remove/add sides — the streaming twin of
+    :func:`txlog.table_changes`, sharing ITS oracle: the streamed feed
+    must hash-match the same relational recomputation the batch gate
+    matches.
+
+    The DELETE deliberately runs MERGE-ON-READ (``dv_fraction_threshold
+    = 1.0``): the commit ships a deletion-vector sidecar instead of
+    rewritten files, and the streamed feed must still emit exactly the
+    deleted pre-images — each diff side applies ITS version's DV state,
+    so the feed is transport-independent (copy-on-write and DV deletes
+    stream identically; the duplicate-key and NULL-key disciplines of
+    the batch reader apply unchanged, pinned in ``tests/test_txlog.py``).
+
+    Scale: planning stays one-integer offsets + O(commits) driver
+    metadata; an append version plans one partition per added file, a
+    data-changing version ONE partition carrying its delta-sized churn
+    (the same O(churned files) unit as the batch feed) — rows never
+    route through the driver."""
+    from change_data_capture_spark.operators.txlog_queries import (
+        _CDF_DEL_HI,
+        _CDF_DEL_LO,
+        _CDF_UPD_HI,
+        _CDF_UPD_LO,
+        build_products_txlog,
+    )
+    from change_data_capture_spark.sources import txlog
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamDataSource,
+    )
+
+    ws = tempfile.mkdtemp(prefix="cdc_txcdfs_")
+    tdir = f"{ws}/table"
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base).repartitionByRange(8, "id")
+    # v0 carries the declared schema WITH the files (one commit), so the
+    # source is self-describing and the DML versions stay 1 and 2 —
+    # the exact commit numbering the shared oracle pins
+    txlog.commit(
+        tdir,
+        add=txlog.write_files(state, tdir, stats_cols=["id"]),
+        expected_version=0,
+        operation="WRITE",
+        metadata={
+            "schema": "id BIGINT, name STRING, description STRING, price DOUBLE"
+        },
+    )
+    txlog.update_where(
+        spark,
+        tdir,
+        f"id BETWEEN {_CDF_UPD_LO} AND {_CDF_UPD_HI}",
+        {
+            "price": "price * CAST(1.10 AS DOUBLE)",
+            "name": "upper(name)",
+        },
+        stats_cols=["id"],
+        prune_range=("id", _CDF_UPD_LO, _CDF_UPD_HI),
+    )
+    txlog.delete_where(
+        spark,
+        tdir,
+        f"id BETWEEN {_CDF_DEL_LO} AND {_CDF_DEL_HI}",
+        stats_cols=["id"],
+        prune_range=("id", _CDF_DEL_LO, _CDF_DEL_HI),
+        dv_fraction_threshold=1.0,  # merge-on-read: the feed must not care
+    )
+    acts, _, _, _ = txlog._resolve(tdir, None)
+    if not txlog._dv_map(acts):
+        raise RuntimeError(
+            "the DELETE did not take the deletion-vector path — the gate "
+            "would no longer prove transport-independence of the feed"
+        )
+    spark.dataSource.register(TxlogStreamDataSource)
+    q = (
+        spark.readStream.format("cdc_txlog")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("cdfKey", "id")
+        .load()
+        .writeStream.format("memory")
+        .queryName("txlog_cdf_feed")
+        .option("checkpointLocation", f"{ws}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT id, name, description, price, _change_type, "
+        "_commit_version, _operation FROM txlog_cdf_feed"
+    )
+
+
+_RATE_LIMIT_ORACLE = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+"""
+
+
+@query("streaming_txlog_rate_limit", oracle=_RATE_LIMIT_ORACLE)
+def streaming_txlog_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``maxFilesPerTrigger`` on the txlog streaming source (Delta's
+    production backpressure knob): the orders table lands as SIX append
+    commits of TWO files each, and the reader is driven through its own
+    offset protocol (``initialOffset`` → ``latestOffset`` →
+    ``partitions`` → ``read`` → ``commit`` — exactly the call sequence
+    Spark's microbatch engine issues) with ``maxFilesPerTrigger=4``.
+    ``latestOffset`` must advance the one-integer version offset in
+    VERSION-ALIGNED steps of at most 4 cumulative added files — the 12
+    pending files drain in exactly THREE micro-batches of two commits
+    each (RuntimeError otherwise: the gate self-checks the batch count
+    and per-batch file cap), and the union of the batches must equal
+    the full table exactly once — which is what the oracle checks
+    relationally. The driven loop is deterministic where a wall-clock
+    stream would race its own trigger cadence; the live-query path
+    (same reader, real writeStream) is exercised end-to-end by the
+    other txlog streaming gates and pinned in ``tests/test_txlog.py``,
+    including the documented best-effort edge: the engine asks for
+    ``latestOffset`` before ``initialOffset`` on a fresh run, so a
+    run's FIRST trigger is uncapped (Delta documents the same class of
+    exception for Trigger.Once/AvailableNow).
+
+    Scale: admission control is a driver-side metadata walk over the
+    pending commits' KB-sized JSON (O(versions admitted), zero data
+    read) — the knob that keeps a fallen-behind stream's catch-up
+    micro-batches executor-memory-sized at any table size."""
+    from change_data_capture_spark.sources import txlog
+    from change_data_capture_spark.sources.tables import load_table
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamReader,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="cdc_txrate_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    for i in range(6):
+        txlog.commit(
+            tdir,
+            add=txlog.write_files(
+                o.where(F.col("o_orderkey") % 6 == i).repartition(2), tdir
+            ),
+            expected_version=i,
+            operation="WRITE",
+            metadata=(
+                {
+                    "schema": "o_orderkey BIGINT, o_custkey BIGINT, "
+                    "o_totalprice DOUBLE"
+                }
+                if i == 0
+                else None
+            ),
+        )
+    schema = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_totalprice double"
+    ).schema
+    reader = TxlogStreamReader(
+        schema, {"path": tdir, "maxfilespertrigger": "4"}
+    )
+    off = reader.initialOffset()
+    batches: list[tuple[int, int]] = []  # (n_files, n_rows)
+    rows: list[tuple] = []
+    while True:
+        end = reader.latestOffset()
+        if end == off:
+            break
+        parts = reader.partitions(off, end)
+        n = 0
+        for p in parts:
+            for b in reader.read(p):
+                n += b.num_rows
+                rows.extend(
+                    (r["o_orderkey"], r["o_custkey"], r["o_totalprice"])
+                    for r in b.to_pylist()
+                )
+        reader.commit(end)
+        batches.append((len(parts), n))
+        off = end
+    if len(batches) != 3 or any(nf > 4 for nf, _ in batches):
+        raise RuntimeError(
+            f"maxFilesPerTrigger=4 over 6×2 files must drain in exactly "
+            f"3 capped micro-batches, got {batches}"
+        )
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
