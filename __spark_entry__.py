@@ -33,59 +33,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks this dict in order and caps the run at
 # 50 rows per round. Order therefore encodes check priority. Cumulative
-# record through round 10: 222/222 registered queries have a driver row,
-# all hash-matched, 0 failures. Round-11 rotation: the four r11 additions
-# lead (never checked), then the two gates whose r10 code change landed in
-# the end-of-round snapshot AFTER the r10 list was written (the breach the
-# r10 verdict flagged — their driver rows predate their code), then the
-# queries whose CODE changed in round 11 (MERGE's duplicate-source check
-# gained a collision-proof alias; vacuum gained the uncommitted-reclaim
-# audit log; count_rows' guard became a RuntimeError; history()'s citation
-# was corrected; the decontamination oracles now compose from a shared
-# named CTE constant instead of string surgery; the Bloom k-probe loop was
-# factored into _attach_bloom_probes shared with the new sharded
-# transport; CHECK-constraint enforcement moved into a helper shared with
-# the UPDATE/MERGE rewrite paths, which now refuse violating DML like
-# Delta — adding update_where/constrained_write/schema_evolution_read
-# here), then the 2 r4 names the r10 50-cap cut, then the r5-stale
-# block. 4+2+11+2 = 19 ahead of the 45 r5 names -> the 50-cap reaches 31 of
-# them; the last 14 r5 names are the documented round-12 carry. Names
-# absent from this tuple (latest row r7-r10) rank last in registration
+# record through round 11: 226/226 registered queries have a driver row,
+# all hash-matched, 0 failures. Round-12 rotation: the three r12 additions
+# lead (never checked: deletion-vector DELETE, the streaming CDF feed, the
+# maxFilesPerTrigger admission gate), then every gate whose CODE changed in
+# round 12 — a wide block this round because deletion vectors touch the
+# SHARED READ PATH (read_version and every DML discovery/rewrite scan now
+# apply DVs via _scan_files; restore compares whole actions; vacuum
+# governs sidecar dirs; count_rows nets cardinality), the CHECK-constraint
+# fusion rewrote the UPDATE/MERGE write pass, table_changes gained the
+# dup-key guard / empty-range feed / per-commit clash probe / DV-state
+# fold, and txlog_stream.py was restructured for the three new options —
+# so all 16 txlog_* gates plus the 4 txlog-backed streaming gates
+# re-verify. Then the 14 r5 names the r11 50-cap cut (the documented r12
+# carry — after this round NOTHING is older than r7), then the oldest r7
+# names. 3+20+14 = 37 -> the 50-cap reaches 13 of the 34 remaining
+# r7-stale names (4 of the original 38 re-verify in the code-changed
+# block); the other 21 r7 names are the documented round-13 carry. Names
+# absent from this tuple (latest row r7-r11) rank last in registration
 # order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # --- round-11 additions (never driver-checked) ---
-    "txlog_cdf_ops",
-    "corpus_decontamination_bloom_sharded",
-    "streaming_sink_orc_roundtrip",
-    "streaming_txlog_skip_change_commits",
-    # --- r10 snapshot-commit gates: code changed after the r10 list froze ---
-    "streaming_txlog_source_feed", "streaming_scd2_txlog",
-    # --- code changed in round 11 -> re-verify ---
-    "txlog_merge_upsert", "txlog_vacuum", "txlog_vacuum_retention",
+    # --- round-12 additions (never driver-checked) ---
+    "txlog_delete_dv",
+    "streaming_txlog_cdf_feed",
+    "streaming_txlog_rate_limit",
+    # --- code changed in round 12 -> re-verify (txlog read-path family) ---
+    "txlog_cdf_ops", "txlog_update_where", "txlog_merge_upsert",
+    "txlog_constrained_write", "txlog_schema_evolution_read",
+    "txlog_delete_where", "txlog_time_travel", "txlog_change_feed",
+    "txlog_compaction", "txlog_data_skipping", "txlog_vacuum",
+    "txlog_vacuum_retention", "txlog_zorder_skipping", "txlog_restore",
     "txlog_metadata_count", "txlog_history",
-    "txlog_update_where", "txlog_constrained_write",
-    "txlog_schema_evolution_read",
-    "corpus_decontamination", "corpus_decontamination_bloom",
-    "ngram_novelty_bloom",
-    # --- last checked r4 (the documented r10 50-cap carry) ---
-    "events_dau_wau_approx", "multimodal_video_nal_index",
-    # --- last checked r5 (the 50-cap reaches 31; the last 14 = round 12) ---
-    "q1_pricing_summary", "q3_shipping_priority", "count_distinct_approx",
-    "dedup_connected_components", "multimodal_features", "stats_corr_regr",
-    "grouping_sets_customer", "window_distribution_funcs", "lateral_topn_per_nation",
-    "text_quality_stats", "token_counting", "lang_id_heuristic",
-    "doc_fingerprint", "document_chunking", "corpus_lang_source_profile",
-    "corpus_train_eval_split", "simhash_signatures", "embedding_cosine_neardup",
-    "percentiles_exact", "salted_join_supplier_revenue",
-    "multimodal_image_decode", "multimodal_audio_decode", "events_funnel_conversion",
-    "events_retention_cohorts", "text_tfidf_top_terms", "text_bigram_counts",
-    "calendar_spine_monthly", "pii_redaction",
-    "text_repetition_quality", "url_domain_stats", "events_anomaly_zscore",
+    "streaming_txlog_source_feed", "streaming_txlog_skip_change_commits",
+    "streaming_scd2_txlog", "streaming_txlog_idempotent_replay",
+    # --- last checked r5 (the documented r12 carry; burns the r5 tier) ---
     "merge_scd1_customer", "histogram_price_buckets", "timeseries_gapfill_locf",
     "streaming_python_datasource_drain", "dedup_containment_dfcap", "dedup_containment_recall_sweep",
     "scan_csv_roundtrip", "scan_json_auto_roundtrip", "scan_text_roundtrip",
     "scan_orc_roundtrip", "corpus_split_neardup_safe", "scd2_schema_evolution",
     "multimodal_audio_energy_windows", "sink_dynamic_partition_overwrite",
+    # --- last checked r7 (13 of 34 fit; 21 remain = the round-13 carry) ---
+    "corpus_stratified_sample", "dedup_exact", "dedup_ngram_jaccard",
+    "embedding_quantize_int8", "profile_orders", "dq_audit",
+    "corpus_hash_weighted_sample", "null_semantics_audit",
+    "dedup_substring_spans", "dedup_containment_pairs",
+    "text_charclass_profile", "streaming_outer_join_unmatched",
+    "events_mad_robust_zscore",
 )
 
 

@@ -140,6 +140,11 @@ HEADLINE = [
     "corpus_decontamination_bloom_sharded",
     "streaming_sink_orc_roundtrip",
     "streaming_txlog_skip_change_commits",
+    # round-12 additions: deletion-vector DELETE, the streaming CDF feed,
+    # and maxFilesPerTrigger admission control
+    "txlog_delete_dv",
+    "streaming_txlog_cdf_feed",
+    "streaming_txlog_rate_limit",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

@@ -1455,13 +1455,16 @@ def test_constrained_dml_is_single_compute(spark, tmp_path, monkeypatch):
         assert len(captured) == 1
         return captured[0]
 
+    # other tests in the session-scoped spark may hold their own caches —
+    # the leak pin is RELATIVE: this DML must not grow the cached-RDD set
+    baseline = len(sc._jsc.sc().getRDDStorageInfo())
     # without constraints: no cache in the written plan (no persist cost)
     assert "InMemoryRelation" not in run("upd_plain", declare=False)
     # with constraints: the written frame reads the cache the constraint
     # aggregate materialized — the touched-file scan ran once
     assert "InMemoryRelation" in run("upd_checked", declare=True)
     # the persisted frame is unpersisted even on the success path
-    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == baseline
     # and on the REFUSAL path (violating DML): still no cache leak
     with pytest.raises(txlog.ConstraintViolation):
         txlog.update_where(
@@ -1470,7 +1473,7 @@ def test_constrained_dml_is_single_compute(spark, tmp_path, monkeypatch):
             "id = 1",
             {"price": "CAST(-5 AS DOUBLE)"},
         )
-    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == baseline
 
 
 def test_table_changes_refuses_duplicate_keys_in_diffed_commit(spark, tmp_path):

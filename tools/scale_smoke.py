@@ -86,6 +86,10 @@ QUERIES = [
     "txlog_history",
     "streaming_dedup_compact_midstream",
     "corpus_decontamination_bloom",
+    # round-12 additions
+    "txlog_delete_dv",
+    "streaming_txlog_cdf_feed",
+    "streaming_txlog_rate_limit",
 ]
 
 
