@@ -1734,10 +1734,12 @@ def table_changes(
     # underscore namespace; a table whose DATA already uses one would
     # silently corrupt classification (withColumn replaces) or duplicate an
     # output name — refuse up front. With a declared schema the column set
-    # IS the declaration (no file opened); without one, probe the FIRST
-    # file of each diffed commit's add and remove sides (footer-only
-    # pyarrow reads, bounded by 2×range) — one tip file is not enough when
-    # heterogeneous-schema files entered the log without metadata
+    # IS the declaration (no file opened); without one, probe EVERY file
+    # the range's commits add or remove (footer-only pyarrow reads,
+    # bounded by the range's churn — the same files the feed scans
+    # anyway). One tip file is not enough when heterogeneous-schema files
+    # entered the log without metadata, and neither is one file per side:
+    # a reserved name can hide in any file of a multi-file commit
     reserved = {
         "_change_type", "_commit_version", "_operation",
         "_b_present", "_a_present",
@@ -1751,10 +1753,10 @@ def table_changes(
 
         data_columns = set()
         probe_paths = {
-            _action_path(acts[0])
+            _action_path(a)
             for payload in commits
             for acts in (payload.get("add") or (), payload.get("remove") or ())
-            if acts
+            for a in acts
         }
         for p in sorted(probe_paths):
             data_columns.update(_pq.read_schema(p).names)

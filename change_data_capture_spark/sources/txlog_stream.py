@@ -89,7 +89,8 @@ _CDF_META_FIELDS = (
 
 
 def _commit_payload(table_dir: str, v: int) -> dict:
-    with open(os.path.join(table_dir, "_txlog", f"{v:020d}.json")) as f:
+    # txlog owns the commit-path format; never re-derive it here
+    with open(txlog._commit_path(table_dir, v)) as f:
         return json.load(f)
 
 
@@ -111,12 +112,21 @@ def _added_files(
     out: list[str] = []
     for v in range(from_v + 1, to_v + 1):
         c = _commit_payload(table_dir, v)
-        if c["remove"]:
+        # an add action CARRYING a deletion vector is not a pure append
+        # either: it re-references a file whose rows the stream already
+        # emitted (a RESTORE re-adding a DV'd action is the add-only
+        # case) — reading it raw would re-emit rows, reading it DV'd
+        # would still double-count the survivors
+        dv_adds = any(
+            isinstance(a, dict) and a.get("dv") for a in c["add"]
+        )
+        if c["remove"] or dv_adds:
             if skip_change_commits:
                 continue
             raise ValueError(
                 f"txlog stream source: commit {v} rewrites data "
-                "(remove actions present); the streaming source is "
+                "(remove actions or deletion-vector re-references "
+                "present); the streaming source is "
                 "append-only — compact/merge on a downstream copy, "
                 "restart the stream from the rewritten snapshot, opt "
                 "into .option('skipChangeCommits', 'true'), or read "
@@ -262,13 +272,59 @@ def _with_meta(tbl, fields, change_type: str, version: int, op: str | None):
     return pa.table(out)
 
 
+def _eq_null_safe(a, b):
+    """Column-wise equality matching Spark's ``eqNullSafe`` binary
+    comparison semantics, which the batch ``table_changes`` uses for the
+    unchanged-copy drop: NULL <=> NULL is TRUE, NaN <=> NaN is TRUE
+    (Spark's comparator, unlike IEEE), nested types compare
+    structurally. Arrow's ``pc.equal`` gives IEEE NaN semantics and has
+    no nested-type kernel, so floats get an explicit both-NaN term and
+    nested columns fall back to a per-row python structural compare
+    (bounded by the commit's churn — the unit this partition already
+    co-locates)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = a.type if hasattr(a, "type") else a.chunk(0).type
+    both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+    if pa.types.is_floating(t):
+        both_nan = pc.and_kleene(
+            pc.coalesce(pc.is_nan(a), pa.scalar(False)),
+            pc.coalesce(pc.is_nan(b), pa.scalar(False)),
+        )
+        return pc.or_(
+            pc.or_(both_null, both_nan),
+            pc.coalesce(pc.equal(a, b), pa.scalar(False)),
+        )
+    if pa.types.is_nested(t):
+        def deep_eq(x, y):
+            if isinstance(x, float) and isinstance(y, float):
+                return x == y or (x != x and y != y)  # NaN <=> NaN
+            if isinstance(x, dict) and isinstance(y, dict):
+                return x.keys() == y.keys() and all(
+                    deep_eq(x[k], y[k]) for k in x
+                )
+            if isinstance(x, (list, tuple)) and isinstance(y, (list, tuple)):
+                return len(x) == len(y) and all(
+                    deep_eq(i, j) for i, j in zip(x, y)
+                )
+            return x == y
+        return pa.array(
+            [deep_eq(x, y) for x, y in zip(a.to_pylist(), b.to_pylist())],
+            pa.bool_(),
+        )
+    return pc.or_(both_null, pc.coalesce(pc.equal(a, b), pa.scalar(False)))
+
+
 def _diff_commit(part: _CdfDiff, fields):
     """Executor-side per-commit CDF diff — the arrow twin of the batch
-    ``txlog.table_changes`` per-version join: full-outer on the key,
-    presence flags (not key nullness) classify sides, unchanged copies
-    carried by whole-file rewrites are dropped by null-safe image
-    equality, NULL-key rows bypass the join as unpaired delete/insert
-    (arrow join null-match semantics never get a vote)."""
+    ``txlog.table_changes`` per-version join: full-outer on the key
+    (index-only: side presence = index validity, so key nullness never
+    classifies and payload columns never ride the hash join), unchanged
+    copies carried by whole-file rewrites are dropped by Spark-semantics
+    null-safe image equality (:func:`_eq_null_safe` — NaN <=> NaN true,
+    nested structural), NULL-key rows bypass the join as unpaired
+    delete/insert (arrow join null-match semantics never get a vote)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -286,51 +342,42 @@ def _diff_commit(part: _CdfDiff, fields):
     if len(null_post):
         out.append(_with_meta(null_post, fields, "insert", part.version, part.op))
     pre_nn = pre.filter(pc.is_valid(pre.column(key)))
-    pre_nn = pre_nn.append_column(
-        "_b_present", pa.array([True] * len(pre_nn), pa.bool_())
-    )
     post_nn = post.filter(pc.is_valid(post.column(key)))
-    post_nn = post_nn.append_column(
-        "_a_present", pa.array([True] * len(post_nn), pa.bool_())
+    # join ONLY (key, row index): acero carries no payload (nested types
+    # are not joinable non-key fields, and wide images would be copied
+    # through the hash join for nothing); images materialize afterwards
+    # with take() from the original side tables
+    pre_k = pa.table(
+        {key: pre_nn.column(key), "_b_idx": pa.array(range(len(pre_nn)), pa.int64())}
     )
-    joined = pre_nn.join(
-        post_nn,
-        keys=[key],
-        join_type="full outer",
-        left_suffix="_b",
-        right_suffix="_a",
+    post_k = pa.table(
+        {key: post_nn.column(key), "_a_idx": pa.array(range(len(post_nn)), pa.int64())}
     )
+    joined = pre_k.join(post_k, keys=[key], join_type="full outer")
+    b_here = pc.is_valid(joined.column("_b_idx"))
+    a_here = pc.is_valid(joined.column("_a_idx"))
     data_cols = [n for n, _ in fields if n != key]
-    b_here = pc.is_valid(joined.column("_b_present"))
-    a_here = pc.is_valid(joined.column("_a_present"))
-    differ = pa.array([False] * len(joined), pa.bool_())
+    deletes = pre_nn.take(
+        joined.filter(pc.and_(b_here, pc.invert(a_here))).column("_b_idx")
+    )
+    inserts = post_nn.take(
+        joined.filter(pc.and_(a_here, pc.invert(b_here))).column("_a_idx")
+    )
+    matched = joined.filter(pc.and_(b_here, a_here))
+    mb = pre_nn.take(matched.column("_b_idx"))
+    ma = post_nn.take(matched.column("_a_idx"))
+    differ = pa.array([False] * len(matched), pa.bool_())
     for c in data_cols:
-        a, b = joined.column(f"{c}_a"), joined.column(f"{c}_b")
-        eq = pc.if_else(
-            pc.and_(pc.is_null(a), pc.is_null(b)),
-            pa.scalar(True),
-            pc.coalesce(pc.equal(a, b), pa.scalar(False)),
+        differ = pc.or_(
+            differ, pc.invert(_eq_null_safe(mb.column(c), ma.column(c)))
         )
-        differ = pc.or_(differ, pc.invert(eq))
-
-    def side(tbl, suffix):
-        return pa.table(
-            {
-                n: tbl.column(n if n == key else f"{n}{suffix}")
-                for n, _ in fields
-            }
-        )
-
-    deletes = joined.filter(pc.and_(b_here, pc.invert(a_here)))
-    inserts = joined.filter(pc.and_(a_here, pc.invert(b_here)))
-    changed = joined.filter(pc.and_(pc.and_(a_here, b_here), differ))
     if len(deletes):
-        out.append(_with_meta(side(deletes, "_b"), fields, "delete", part.version, part.op))
+        out.append(_with_meta(deletes, fields, "delete", part.version, part.op))
     if len(inserts):
-        out.append(_with_meta(side(inserts, "_a"), fields, "insert", part.version, part.op))
-    if len(changed):
-        out.append(_with_meta(side(changed, "_b"), fields, "update_preimage", part.version, part.op))
-        out.append(_with_meta(side(changed, "_a"), fields, "update_postimage", part.version, part.op))
+        out.append(_with_meta(inserts, fields, "insert", part.version, part.op))
+    if len(matched) and pc.any(differ).as_py():
+        out.append(_with_meta(mb.filter(differ), fields, "update_preimage", part.version, part.op))
+        out.append(_with_meta(ma.filter(differ), fields, "update_postimage", part.version, part.op))
     if not out:
         schema = pa.schema(
             [(n, t) for n, t in fields]

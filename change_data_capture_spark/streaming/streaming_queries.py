@@ -2605,30 +2605,34 @@ def streaming_txlog_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = TxlogStreamReader(
         schema, {"path": tdir, "maxfilespertrigger": "4"}
     )
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     off = reader.initialOffset()
     batches: list[tuple[int, int]] = []  # (n_files, n_rows)
-    rows: list[tuple] = []
+    sink = f"{tdir}/drained"
+    os.makedirs(sink, exist_ok=True)
     while True:
         end = reader.latestOffset()
         if end == off:
             break
         parts = reader.partitions(off, end)
-        n = 0
-        for p in parts:
-            for b in reader.read(p):
-                n += b.num_rows
-                rows.extend(
-                    (r["o_orderkey"], r["o_custkey"], r["o_totalprice"])
-                    for r in b.to_pylist()
-                )
+        # the harness holds at most ONE micro-batch at a time — bounded
+        # by the cap, which is the knob's own guarantee (in a live query
+        # read() lands executor-side and nothing routes through the
+        # driver; the driven loop trades that for determinism)
+        tbl = pa.concat_tables(
+            [pa.Table.from_batches([b]) for p in parts for b in reader.read(p)]
+        )
         reader.commit(end)
-        batches.append((len(parts), n))
+        pq.write_table(tbl, f"{sink}/batch_{len(batches):05d}.parquet")
+        batches.append((len(parts), tbl.num_rows))
         off = end
     if len(batches) != 3 or any(nf > 4 for nf, _ in batches):
         raise RuntimeError(
             f"maxFilesPerTrigger=4 over 6×2 files must drain in exactly "
             f"3 capped micro-batches, got {batches}"
         )
-    return spark.createDataFrame(
-        rows, "o_orderkey long, o_custkey long, o_totalprice double"
-    )
+    return spark.read.parquet(sink)

@@ -1813,23 +1813,31 @@ def test_dv_retention_vacuum_keeps_referenced_sidecars(spark, tmp_path):
 
 
 def _stream_table(spark, tmp_path):
-    """v0 write(3 rows)+schema, v1 append, v2 UPDATE, v3 DV delete."""
+    """v0 write(3 rows)+schema, v1 append, v2 UPDATE, v3 DV delete.
+    Stats-collecting writes throughout: the DV routing needs per-file
+    ``num_rows`` to judge fractions — without stats it (correctly)
+    falls back to copy-on-write, which would silently weaken every
+    test claiming DV coverage, so the helper ASSERTS the vector landed."""
     t = str(tmp_path / "t")
     txlog.commit(
         t,
-        add=txlog.write_files(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t),
+        add=txlog.write_files(
+            _df(spark, [(1, "a"), (2, "b"), (3, "c")]), t, stats_cols=["id"]
+        ),
         expected_version=0,
         operation="WRITE",
         metadata={"schema": "id BIGINT, v STRING"},
     )
     txlog.commit(
         t,
-        add=txlog.write_files(_df(spark, [(4, "d")]), t),
+        add=txlog.write_files(_df(spark, [(4, "d")]), t, stats_cols=["id"]),
         expected_version=1,
         operation="WRITE",
     )
-    txlog.update_where(spark, t, "id = 2", {"v": "upper(v)"})
+    txlog.update_where(spark, t, "id = 2", {"v": "upper(v)"}, stats_cols=["id"])
     txlog.delete_where(spark, t, "id = 1", dv_fraction_threshold=1.0)
+    acts, _, _, _ = txlog._resolve(t, None)
+    assert txlog._dv_map(acts), "the v3 DELETE must take the DV path"
     return t
 
 
@@ -2055,3 +2063,124 @@ def test_stream_rate_limit_caps_and_replays_exactly(spark, tmp_path):
     replay = reader.partitions({"version": -1}, {"version": 4})
     n = sum(b.num_rows for p in replay for b in reader.read(p))
     assert n == 13
+
+
+def test_stream_append_only_refuses_dv_rereference_adds(spark, tmp_path):
+    """An add action CARRYING a deletion vector is not a pure append
+    (it re-references a file whose rows the stream already emitted — a
+    RESTORE re-adding a DV'd action onto an emptied table is the
+    add-only case): the plain source must raise, skipChangeCommits must
+    skip it whole, and the CDF reader remains the forwarding path."""
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamReader,
+        _added_files,
+    )
+
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t,
+        add=txlog.write_files(
+            _df(spark, [(1, "a"), (2, "b"), (3, "c")]).repartition(1),
+            t,
+            stats_cols=["id"],
+        ),
+        expected_version=0,
+        operation="WRITE",
+        metadata={"schema": "id BIGINT, v STRING"},
+    )
+    txlog.delete_where(spark, t, "id = 1", dv_fraction_threshold=1.0)  # v1
+    acts, _, _, _ = txlog._resolve(t, None)
+    assert txlog._dv_map(acts), "the DELETE must take the DV path"
+    # v2: drop the file entirely (manual protocol-level commit)
+    txlog.commit(
+        t, add=[], remove=txlog.snapshot_files(t), expected_version=2,
+        operation="DELETE",
+    )
+    v = txlog.restore(t, 1)  # v3: add-only commit re-adding the DV'd action
+    with open(txlog._commit_path(t, v)) as f:
+        import json as _json
+
+        payload = _json.load(f)
+    assert payload["remove"] == [] and payload["add"]  # the add-only shape
+    with pytest.raises(ValueError, match="deletion-vector re-references"):
+        _added_files(t, 2, 3)
+    assert _added_files(t, 2, 3, skip_change_commits=True) == []
+    # and the restored tip still batch-reads correctly (2 live rows)
+    assert txlog.read_version(spark, t).count() == 2
+    # option parsing path: the reader object enforces the same contract
+    schema = spark.createDataFrame([], "id long, v string").schema
+    strict = TxlogStreamReader(schema, {"path": t})
+    with pytest.raises(ValueError, match="append-only"):
+        strict.partitions({"version": 2}, {"version": 3})
+
+
+def test_stream_cdf_nan_and_nested_match_batch_semantics(spark, tmp_path):
+    """The arrow diff's image equality mirrors Spark's eqNullSafe: a
+    NaN double carried UNCHANGED through a rewrite is dropped as an
+    unchanged copy (Spark's comparator treats NaN <=> NaN as TRUE,
+    IEEE arrow semantics do not), and nested (array) columns compare
+    structurally instead of crashing pc.equal."""
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamReader,
+        _diff_commit,
+    )
+
+    t = str(tmp_path / "t")
+    ddl = "id BIGINT, x DOUBLE, tags ARRAY<STRING>"
+    rows = [
+        (1, float("nan"), ["a", "b"]),
+        (2, 2.0, ["c"]),
+        (3, float("nan"), None),
+    ]
+    txlog.commit(
+        t,
+        add=txlog.write_files(spark.createDataFrame(rows, ddl), t),
+        expected_version=0,
+        operation="WRITE",
+        metadata={"schema": ddl},
+    )
+    # rewrite: id=2 changes its nested column; NaN rows carried unchanged
+    rows2 = [
+        (1, float("nan"), ["a", "b"]),
+        (2, 2.0, ["c", "d"]),
+        (3, float("nan"), None),
+    ]
+    txlog.commit(
+        t,
+        add=txlog.write_files(spark.createDataFrame(rows2, ddl), t),
+        remove=txlog.snapshot_files(t),
+        expected_version=1,
+        operation="UPDATE",
+    )
+    want = sorted(
+        map(str, txlog.table_changes(spark, t, 1, 1, key="id").collect())
+    )
+    schema = spark.createDataFrame([], ddl).schema
+    reader = TxlogStreamReader(schema, {"path": t, "readchangefeed": "true"})
+    (part,) = reader.partitions({"version": 0}, {"version": 1})
+    tbl = _diff_commit(part, reader._data_fields())
+    got = sorted(
+        str(r)
+        for r in spark.createDataFrame(
+            tbl.to_pandas(),
+            ddl + ", _change_type STRING, _commit_version INT, _operation STRING",
+        ).collect()
+    )
+    # only id=2's pre/post pair feeds; both NaN rows drop as unchanged
+    assert len(got) == 2 == len(want)
+    assert got == want
+
+
+def test_table_changes_probes_all_files_within_one_commit(spark, tmp_path):
+    """The reserved-name probe covers EVERY file of a diffed commit —
+    a reserved column hiding in the second file of a two-file commit
+    (heterogeneous writers, no declared metadata) still refuses."""
+    t = str(tmp_path / "t")
+    clean = txlog.write_files(_df(spark, [(1, "a")]), t)
+    poisoned = txlog.write_files(
+        spark.createDataFrame([(2, "b", True)], "id long, v string, _a_present boolean"),
+        t,
+    )
+    txlog.commit(t, add=clean + poisoned, expected_version=0, operation="WRITE")
+    with pytest.raises(ValueError, match="_a_present"):
+        txlog.table_changes(spark, t, 0, 0)
