@@ -45,18 +45,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # dup-key guard / empty-range feed / per-commit clash probe / DV-state
 # fold, and txlog_stream.py was restructured for the three new options —
 # so all 16 txlog_* gates plus the 4 txlog-backed streaming gates
-# re-verify. Then the 14 r5 names the r11 50-cap cut (the documented r12
-# carry — after this round NOTHING is older than r7), then the oldest r7
-# names. 3+20+14 = 37 -> the 50-cap reaches 13 of the 34 remaining
-# r7-stale names (4 of the original 38 re-verify in the code-changed
-# block); the other 21 r7 names are the documented round-13 carry. Names
-# absent from this tuple (latest row r7-r11) rank last in registration
-# order.
+# re-verify (plus the sharded Bloom gate, whose plan builder gained the
+# shared-grams parameter for the sweep). Then the 14 r5 names the r11
+# 50-cap cut (the documented r12 carry — after this round NOTHING is
+# older than r7), then the oldest r7 names. 4+21+14 = 39 -> the 50-cap
+# reaches 11 of the 34 remaining r7-stale names (4 of the original 38
+# re-verify in the code-changed block); the other 23 r7 names are the
+# documented round-13 carry. Names absent from this tuple (latest row
+# r7-r11) rank last in registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # --- round-12 additions (never driver-checked) ---
     "txlog_delete_dv",
     "streaming_txlog_cdf_feed",
     "streaming_txlog_rate_limit",
+    "corpus_decontamination_sharding_sweep",
     # --- code changed in round 12 -> re-verify (txlog read-path family) ---
     "txlog_cdf_ops", "txlog_update_where", "txlog_merge_upsert",
     "txlog_constrained_write", "txlog_schema_evolution_read",
@@ -66,19 +68,19 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "txlog_metadata_count", "txlog_history",
     "streaming_txlog_source_feed", "streaming_txlog_skip_change_commits",
     "streaming_scd2_txlog", "streaming_txlog_idempotent_replay",
+    "corpus_decontamination_bloom_sharded",
     # --- last checked r5 (the documented r12 carry; burns the r5 tier) ---
     "merge_scd1_customer", "histogram_price_buckets", "timeseries_gapfill_locf",
     "streaming_python_datasource_drain", "dedup_containment_dfcap", "dedup_containment_recall_sweep",
     "scan_csv_roundtrip", "scan_json_auto_roundtrip", "scan_text_roundtrip",
     "scan_orc_roundtrip", "corpus_split_neardup_safe", "scd2_schema_evolution",
     "multimodal_audio_energy_windows", "sink_dynamic_partition_overwrite",
-    # --- last checked r7 (13 of 34 fit; 21 remain = the round-13 carry) ---
+    # --- last checked r7 (11 of 34 fit; 23 remain = the round-13 carry) ---
     "corpus_stratified_sample", "dedup_exact", "dedup_ngram_jaccard",
     "embedding_quantize_int8", "profile_orders", "dq_audit",
     "corpus_hash_weighted_sample", "null_semantics_audit",
     "dedup_substring_spans", "dedup_containment_pairs",
-    "text_charclass_profile", "streaming_outer_join_unmatched",
-    "events_mad_robust_zscore",
+    "text_charclass_profile",
 )
 
 

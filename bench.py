@@ -145,6 +145,7 @@ HEADLINE = [
     "txlog_delete_dv",
     "streaming_txlog_cdf_feed",
     "streaming_txlog_rate_limit",
+    "corpus_decontamination_sharding_sweep",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

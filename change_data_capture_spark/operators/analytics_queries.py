@@ -1345,18 +1345,22 @@ def _decontam_bloom_sharded_plan(
     m: int = _BLOOM_M,
     k: int = _BLOOM_K,
     hash_family: str = "md5",
+    grams: DataFrame | None = None,
 ):
     """Build the sharded Bloom decontamination plan; returns
     ``(result_df, grams_handle)``. The filter is ``shards`` independent
     m-bit bitsets, one per contiguous gram-hash range (top bits of the
     60-bit gh), shipped as a ``shards``-row broadcast relation
     ``(shard, _bm)``; train grams route to their shard with one equi-join
-    and probe ONLY that shard's bits."""
+    and probe ONLY that shard's bits. ``grams`` lets a caller share ONE
+    persisted gram relation across several plans (the sharding sweep
+    builds five) instead of five separate persists of identical data."""
     if shards <= 0 or shards & (shards - 1):
         raise ValueError(f"shards must be a positive power of two, got {shards}")
     _validate_bloom_params(m, k, "broadcast", hash_family)
     shift = 60 - (shards.bit_length() - 1)
-    grams = _decontam_grams(spark, sf_dir)
+    if grams is None:
+        grams = _decontam_grams(spark, sf_dir)
     ev = grams.where(~F.col("is_train")).select("gh").distinct()
     seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
     pos_rows = (
@@ -1442,6 +1446,125 @@ def corpus_decontamination_bloom_sharded(
 corpus_decontamination_bloom_sharded.__doc__ = (
     corpus_decontamination_bloom_sharded.__doc__.replace(
         "{shards}", str(_DECONTAM_SHARDS)
+    )
+)
+
+
+_SWEEP_SHARD_COUNTS = (1, 2, 4, 8, 16)
+
+
+def _decontam_sharding_sweep_oracle(m: int, k: int, shard_counts) -> str:
+    """DuckDB oracle for the shard-count sweep: ONE branch per shard
+    count, each the corpus-level aggregation of the per-doc sharded
+    oracle (:func:`_decontam_bloom_sharded_oracle` — identical seeded
+    bit arithmetic), cross-joined with the shared EXACT baseline so
+    every row carries recall/FPR inputs. ``fpr`` is one bigint-to-double
+    division on both engines (bit-identical per the verify notes)."""
+    from change_data_capture_spark.operators.text_queries import (
+        _DECONTAM_GRAMS_CTE,
+    )
+
+    exact_cte = f"""
+WITH {_DECONTAM_GRAMS_CTE},
+exact AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_exact
+    FROM (SELECT doc_id, gh FROM grams WHERE bucket < 90) t
+    WHERE t.gh IN (SELECT DISTINCT gh FROM grams WHERE bucket >= 90)
+)
+"""
+    branches = []
+    for s in shard_counts:
+        branches.append(f"""
+SELECT {s} AS shards,
+       CAST(SUM(n_grams) AS BIGINT) AS n_probes,
+       (SELECT n_exact FROM exact) AS n_exact,
+       CAST(SUM(n_flagged) AS BIGINT) AS n_flagged,
+       CAST(SUM(contaminated) AS BIGINT) AS n_docs_flagged,
+       CAST(SUM(n_flagged) AS BIGINT) - (SELECT n_exact FROM exact)
+           AS n_false_pos,
+       CAST(CAST(SUM(n_flagged) AS BIGINT)
+                - (SELECT n_exact FROM exact) AS DOUBLE)
+           / CAST(CAST(SUM(n_grams) AS BIGINT)
+                - (SELECT n_exact FROM exact) AS DOUBLE) AS fpr
+FROM ({_decontam_bloom_sharded_oracle(m, k, s)})
+""")
+    return exact_cte + "\nUNION ALL\n".join(branches)
+
+
+_DECONTAM_SWEEP_ORACLE = _decontam_sharding_sweep_oracle(
+    _BLOOM_M, _BLOOM_K, _SWEEP_SHARD_COUNTS
+)
+
+
+@query("corpus_decontamination_sharding_sweep", oracle=_DECONTAM_SWEEP_ORACLE)
+def corpus_decontamination_sharding_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FPR/recall SWEEP of the sharded Bloom decontamination transport
+    across shard counts {counts} at fixed (m, k) — the measurement that
+    justifies picking a shard count at fleet scale, extending the r10
+    (m, k) sweep to the r11 sharded form. One persisted gram relation
+    feeds all five plans (the ``grams=`` share — five persists of the
+    same corpus would be waste); each plan is the production sharded
+    path verbatim: shards-row broadcast relation, one equi-join route,
+    k-probe codegen projection. Per shard count the gate reports the
+    probe volume, the EXACT contamination baseline, the Bloom-flagged
+    count, doc-level flags, and the realized false-positive count/rate.
+
+    What the numbers mean at 100 TB: recall is ALWAYS 1.0 (a Bloom
+    filter has no false negatives — flagged ⊇ exact, pytest-pinned per
+    shard count), so the sweep is really an FPR-vs-transport curve:
+    the same m bits hold ~1/shards of the eval grams per shard, so the
+    per-shard load factor drops and the deterministic false-positive
+    count falls (or holds) as shards grow — while per-shard bitmaps
+    shrink below the broadcast budget. shards=1 is the anchor: it must
+    (and does, pytest-pinned) equal the unsharded filter bit-for-bit,
+    because routing through one shard is the identity. The oracle
+    reproduces every branch's bit pattern exactly — the sweep is
+    hash-matched, not report-style.
+
+    Scale: five plans over one cached gram relation; every bitset fold
+    collect stays bounded by shards×m, the probes stay whole-stage
+    codegen, and the output is five rows."""
+    grams = _decontam_grams(spark, sf_dir)
+    ev = grams.where(~F.col("is_train")).select("gh").distinct()
+    train = grams.where("is_train")
+    # the shared EXACT baseline: train gram instances whose gh appears in
+    # the eval suite (one broadcast semi join over the cached relation)
+    n_exact = train.join(F.broadcast(ev), "gh", "left_semi").count()
+    rows = []
+    for s in _SWEEP_SHARD_COUNTS:
+        res, _ = _decontam_bloom_sharded_plan(
+            spark, sf_dir, shards=s, grams=grams
+        )
+        agg = res.agg(
+            F.sum("n_grams").alias("n_probes"),
+            F.sum("n_flagged").alias("n_flagged"),
+            F.sum("contaminated").alias("n_docs"),
+        ).collect()[0]
+        n_flagged = int(agg["n_flagged"])
+        rows.append(
+            (
+                s,
+                int(agg["n_probes"]),
+                int(n_exact),
+                n_flagged,
+                int(agg["n_docs"]),
+                n_flagged - int(n_exact),
+                float(n_flagged - n_exact) / float(int(agg["n_probes"]) - n_exact),
+            )
+        )
+    grams.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "shards INT, n_probes BIGINT, n_exact BIGINT, n_flagged BIGINT, "
+        "n_docs_flagged BIGINT, n_false_pos BIGINT, fpr DOUBLE",
+    )
+
+
+corpus_decontamination_sharding_sweep.__doc__ = (
+    corpus_decontamination_sharding_sweep.__doc__.replace(
+        "{counts}", str(_SWEEP_SHARD_COUNTS)
     )
 )
 

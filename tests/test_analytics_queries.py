@@ -26,6 +26,7 @@ NEW_QUERIES = [
     "null_semantics_audit",
     "corpus_decontamination_bloom",
     "corpus_decontamination_bloom_sharded",
+    "corpus_decontamination_sharding_sweep",
 ]
 
 
@@ -481,3 +482,43 @@ def test_decontam_bloom_sharded_validates_shard_count(spark, sf_dir):
     for bad in (0, 3, -4):
         with pytest.raises(ValueError, match="power of two"):
             _decontam_bloom_sharded_plan(spark, sf_dir, shards=bad)
+
+
+def test_sharding_sweep_monotone_and_anchored(spark, sf_dir):
+    """Structural guarantees of the shard-count sweep: (1) recall is
+    1.0 everywhere (Bloom has no false negatives: n_false_pos >= 0 with
+    n_flagged >= n_exact); (2) flags are NON-INCREASING as shards grow —
+    probe positions are shard-independent, so a finer shard's set bits
+    are a SUBSET of its coarser parent's and a k-hit at 2s implies one
+    at s; (3) the shards=1 row is bit-identical to the UNSHARDED filter
+    at the same (m, k) — routing through one shard is the identity."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.operators.analytics_queries import (
+        corpus_decontamination_sharding_sweep,
+    )
+
+    rows = {
+        r["shards"]: r
+        for r in corpus_decontamination_sharding_sweep(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8, 16]
+    for s, r in rows.items():
+        assert r["n_false_pos"] >= 0, s
+        assert r["n_flagged"] == r["n_exact"] + r["n_false_pos"]
+        assert r["n_probes"] == rows[1]["n_probes"]  # same probe volume
+    for s in (1, 2, 4, 8):
+        assert rows[2 * s]["n_flagged"] <= rows[s]["n_flagged"]
+    # anchor: shards=1 == the unsharded production filter's totals
+    unsharded = (
+        entrymod.queries()["corpus_decontamination_bloom"](spark, sf_dir)
+        .agg(
+            F.sum("n_grams").alias("p"),
+            F.sum("n_flagged").alias("f"),
+            F.sum("contaminated").alias("d"),
+        )
+        .collect()[0]
+    )
+    assert (rows[1]["n_probes"], rows[1]["n_flagged"], rows[1]["n_docs_flagged"]) == (
+        unsharded["p"], unsharded["f"], unsharded["d"],
+    )

@@ -90,6 +90,7 @@ QUERIES = [
     "txlog_delete_dv",
     "streaming_txlog_cdf_feed",
     "streaming_txlog_rate_limit",
+    "corpus_decontamination_sharding_sweep",
 ]
 
 
