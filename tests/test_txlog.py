@@ -2184,3 +2184,68 @@ def test_table_changes_probes_all_files_within_one_commit(spark, tmp_path):
     txlog.commit(t, add=clean + poisoned, expected_version=0, operation="WRITE")
     with pytest.raises(ValueError, match="_a_present"):
         txlog.table_changes(spark, t, 0, 0)
+
+
+def test_stream_cdf_checkpoint_restart_continues(spark, tmp_path):
+    """readChangeFeed across RESTARTS: a CDF stream drained with
+    availableNow, resumed from its checkpoint after new commits (an
+    append and a DV DELETE), feeds exactly the new versions' change
+    rows — offsets are log versions in CDF mode too, replanning a
+    committed range is deterministic, and the resumed run's DV-state
+    fold starts from the checkpointed version, not from 0."""
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamDataSource,
+    )
+
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t,
+        add=txlog.write_files(
+            _df(spark, [(1, "a"), (2, "b")]).repartition(1), t,
+            stats_cols=["id"],
+        ),
+        expected_version=0,
+        operation="WRITE",
+        metadata={"schema": "id BIGINT, v STRING"},
+    )
+    spark.dataSource.register(TxlogStreamDataSource)
+
+    def drain(qname):
+        got: list[tuple] = []
+
+        def fb(batch_df, batch_id):
+            got.extend(
+                (r["_commit_version"], r["_change_type"], r["id"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            spark.readStream.format("cdc_txlog")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(got)
+
+    assert drain("cdf_run1") == [(0, "insert", 1), (0, "insert", 2)]
+    # between runs: one append, one merge-on-read DELETE
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(3, "c")]), t, stats_cols=["id"]),
+        expected_version=1,
+        operation="WRITE",
+    )
+    txlog.delete_where(spark, t, "id = 1", dv_fraction_threshold=1.0)
+    acts, _, _, _ = txlog._resolve(t, None)
+    assert txlog._dv_map(acts), "the DELETE must take the DV path"
+    # the resumed run (same checkpoint, fresh memory sink) feeds ONLY the
+    # new versions — nothing from v0 is re-emitted
+    assert drain("cdf_run2") == [
+        (1, "insert", 3),
+        (2, "delete", 1),
+    ]
