@@ -440,3 +440,36 @@ def test_simhash_pairing_verifies_inline_no_sig_joins(spark, sf_dir):
     assert s.shuffle_exchanges <= 3, s.text
     assert "bit_count" in s.text, "verify must be the inline popcount"
     assert not s.has_bnlj and not s.has_cartesian
+
+
+def test_dv_read_is_one_broadcast_anti_join_clean_path_unchanged(spark, tmp_path):
+    """Deletion-vector reads have exactly the plan they claim: (1) a
+    snapshot WITHOUT vectors scans plain — zero joins, zero exchanges,
+    the byte-identical pre-DV plan; (2) after a DV DELETE the same read
+    adds ONE BroadcastExchange (the sidecar relation) feeding a
+    BroadcastHashJoin LeftAnti on (_metadata.file_path, row_index) — no
+    shuffle exchange, no BNLJ/cartesian, because the DV side is bounded
+    by deleted rows, never the table."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.plans import plan_stats
+    from change_data_capture_spark.sources import txlog
+
+    t = str(tmp_path / "t")
+    df = (
+        spark.range(200)
+        .select(F.col("id"), (F.col("id") * 1.0).alias("price"))
+        .repartitionByRange(4, "id")
+    )
+    txlog.commit(
+        t, add=txlog.write_files(df, t, stats_cols=["id"]), expected_version=0
+    )
+    clean = plan_stats(txlog.read_version(spark, t))
+    assert clean.shuffle_exchanges == 0 and clean.broadcast_exchanges == 0
+    assert "Join" not in clean.text
+    txlog.delete_where(spark, t, "id IN (3, 5)", dv_fraction_threshold=0.5)
+    dv = plan_stats(txlog.read_version(spark, t))
+    assert dv.shuffle_exchanges == 0, dv.text
+    assert dv.broadcast_exchanges == 1, dv.text
+    assert "BroadcastHashJoin" in dv.text and "LeftAnti" in dv.text, dv.text
+    assert not dv.has_bnlj and not dv.has_cartesian
