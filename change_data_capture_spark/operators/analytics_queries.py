@@ -1482,10 +1482,14 @@ SELECT {s} AS shards,
        CAST(SUM(contaminated) AS BIGINT) AS n_docs_flagged,
        CAST(SUM(n_flagged) AS BIGINT) - (SELECT n_exact FROM exact)
            AS n_false_pos,
-       CAST(CAST(SUM(n_flagged) AS BIGINT)
-                - (SELECT n_exact FROM exact) AS DOUBLE)
-           / CAST(CAST(SUM(n_grams) AS BIGINT)
-                - (SELECT n_exact FROM exact) AS DOUBLE) AS fpr
+       CASE WHEN CAST(SUM(n_grams) AS BIGINT)
+                     - (SELECT n_exact FROM exact) = 0
+            THEN NULL
+            ELSE CAST(CAST(SUM(n_flagged) AS BIGINT)
+                     - (SELECT n_exact FROM exact) AS DOUBLE)
+               / CAST(CAST(SUM(n_grams) AS BIGINT)
+                     - (SELECT n_exact FROM exact) AS DOUBLE)
+       END AS fpr
 FROM ({_decontam_bloom_sharded_oracle(m, k, s)})
 """)
     return exact_cte + "\nUNION ALL\n".join(branches)
@@ -1543,6 +1547,10 @@ def corpus_decontamination_sharding_sweep(
             F.sum("contaminated").alias("n_docs"),
         ).collect()[0]
         n_flagged = int(agg["n_flagged"])
+        # degenerate corpus (every train probe an exact hit): the FPR has
+        # no denominator — emit NULL, mirrored by the oracle's CASE guard,
+        # instead of a driver-side ZeroDivisionError
+        denom = int(agg["n_probes"]) - int(n_exact)
         rows.append(
             (
                 s,
@@ -1551,7 +1559,7 @@ def corpus_decontamination_sharding_sweep(
                 n_flagged,
                 int(agg["n_docs"]),
                 n_flagged - int(n_exact),
-                float(n_flagged - n_exact) / float(int(agg["n_probes"]) - n_exact),
+                float(n_flagged - n_exact) / float(denom) if denom else None,
             )
         )
     grams.unpersist()

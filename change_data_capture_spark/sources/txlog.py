@@ -1248,9 +1248,16 @@ def validated_write(
 
     Returns the add actions exactly like :func:`write_files`; the
     caller still commits them (validation is write-side, atomicity is
-    the commit's)."""
-    from pyspark.sql import functions as F
+    the commit's).
 
+    With declared constraints the frame is PERSISTED across the check
+    and the write (the same fusion as the DML path's
+    :func:`_write_files_checked`), so a constrained append evaluates its
+    source plan once and the rows checked are the rows written — a
+    non-deterministic or expensive source is not computed twice. Same
+    caveat as the DML fusion: ``persist`` is a cache, not a barrier (see
+    :func:`_write_files_checked`). Without constraints the write is
+    exactly :func:`write_files` — no persist, no extra job."""
     meta = table_metadata(table_dir) or {}
     declared = meta.get("schema")
     if declared is not None and not evolve:
@@ -1262,8 +1269,14 @@ def validated_write(
                 f"schema {want}; pass evolve=True (and commit new "
                 "metadata) to change the table's schema deliberately"
             )
-    _enforce_constraints(df, meta)
-    return write_files(df, table_dir, stats_cols=stats_cols)
+    if not (meta.get("constraints") or {}):
+        return write_files(df, table_dir, stats_cols=stats_cols)
+    df = df.persist()
+    try:
+        _enforce_constraints(df, meta)
+        return write_files(df, table_dir, stats_cols=stats_cols)
+    finally:
+        df.unpersist()
 
 
 def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
@@ -1319,7 +1332,18 @@ def _write_files_checked(
     were not necessarily the rows written — the persisted frame is both
     the checked and the written data). Without declared constraints the
     write is exactly :func:`write_files` of the unflagged frame: no
-    persist, no extra job, the r11 plan unchanged."""
+    persist, no extra job, the r11 plan unchanged.
+
+    CAVEAT — ``persist`` is a cache, not a barrier: a lost or evicted
+    cached partition is RECOMPUTED from the source plan, so under
+    executor loss a non-deterministic MERGE source could still produce
+    written rows that differ from the rows the aggregate validated.
+    Spark's reliable barriers (``localCheckpoint(eager=True)`` /
+    ``checkpoint``) close that window at the cost of always
+    materializing; callers with genuinely non-deterministic sources
+    should checkpoint the source themselves before the DML — the common
+    case (sources that are reads of immutable data) is exact under
+    plain persist, which is why the default stays the cheap one."""
     constraints = (meta or {}).get("constraints") or {}
     if not constraints:
         return write_files(
@@ -1691,9 +1715,19 @@ def table_changes(
     :func:`merge_into` places on its ``key``); a duplicated non-NULL key
     on either side of a diffed commit would cross-product through the
     full-outer join into a silently wrong feed, so the read FAILS LOUD
-    instead — one key-column aggregate over the range's churned files
-    (column-pruned, O(churned rows)) guards every diffed version before
-    the feed plan is returned. NULL keys are exempt from the guard
+    instead — the guard is FUSED INTO THE RETURNED PLAN: each diff side
+    carries a per-key window count (the window's hash partitioning on
+    ``key`` is exactly the full-outer join's requirement, so the
+    exchange is shared — no extra scan, no extra shuffle), and an
+    ``assert_true`` filter over the joined rows raises on first
+    evaluation of a duplicated key. Building the feed therefore runs NO
+    job (the plan stays lazy); the guard fires when the feed is
+    EVALUATED — which is exact for any evaluation that touches the
+    offending version's rows (a duplicated side is non-empty by
+    definition, and the filter sits before the unchanged-copy drop); a
+    deliberately partial evaluation (``limit(1)`` satisfied by another
+    version) can finish without reaching it, the inherent trade of any
+    lazy validation. NULL keys are exempt from the guard
     because NULL never equi-joins: a NULL-key row's pre and post images
     can never pair, so a rewrite that carries one along (even UNCHANGED)
     emits a faithful-but-unpaired ``delete`` + ``insert`` instead of an
@@ -1742,7 +1776,7 @@ def table_changes(
     # a reserved name can hide in any file of a multi-file commit
     reserved = {
         "_change_type", "_commit_version", "_operation",
-        "_b_present", "_a_present",
+        "_b_present", "_a_present", "_b_dupn", "_a_dupn",
     }
     if declared is not None:
         from pyspark.sql.types import StructType
@@ -1767,8 +1801,9 @@ def table_changes(
             "the table's data already uses them — rename before "
             "reading the feed"
         )
+    from pyspark.sql.window import Window
+
     per_version: list[DataFrame] = []
-    guards: list[DataFrame] = []
     # deletion-vector awareness: each side reads under ITS version's DV
     # state (pre = before the commit, post = after), maintained by ONE
     # incremental action fold across the range — a DV commit (same file
@@ -1810,10 +1845,16 @@ def table_changes(
             continue
         # side-presence flags, NOT key nullness: a NULL-key row never
         # equi-joins (NULL != NULL), and inferring its side from b.key /
-        # a.key would misread its delete as an all-null insert
+        # a.key would misread its delete as an all-null insert. Each
+        # side also carries its per-key window COUNT — the lazy, in-plan
+        # duplicate-key guard (see docstring): the window hash-partitions
+        # on exactly the join key, so the full-outer join reuses its
+        # exchange and the guard costs no extra scan or shuffle.
+        dup_w = Window.partitionBy(key)
         pre = (
             _scan_files_with_dvs(spark, removes, pre_dv, reader)
             .withColumn("_b_present", F.lit(True))
+            .withColumn("_b_dupn", F.count(F.lit(1)).over(dup_w))
             .alias("b")
         )
         post = (
@@ -1825,21 +1866,11 @@ def table_changes(
                 ).limit(0)
             )
             .withColumn("_a_present", F.lit(True))
+            .withColumn("_a_dupn", F.count(F.lit(1)).over(dup_w))
             .alias("a")
         )
-        # diffed commits join on key: a duplicated non-NULL key on either
-        # side cross-products into a wrong feed — guard frames feed ONE
-        # aggregate over the whole range after the loop (fail-loud, the
-        # merge_into duplicate-source discipline)
-        for side, frame in (("pre", pre), ("post", post)):
-            guards.append(
-                frame.select(
-                    F.lit(v).alias("__v"),
-                    F.lit(side).alias("__side"),
-                    F.col(key).alias("__k"),
-                )
-            )
-        cols = [f.name for f in pre.schema.fields if f.name != "_b_present"]
+        scratch = {"_b_present", "_b_dupn"}
+        cols = [f.name for f in pre.schema.fields if f.name not in scratch]
         data_cols = [c for c in cols if c != key]
         img_b = F.struct(*[F.col(f"b.{c}").alias(c) for c in cols])
         img_a = F.struct(*[F.col(f"a.{c}").alias(c) for c in cols])
@@ -1872,32 +1903,41 @@ def table_changes(
             )
             .otherwise(F.array())  # unchanged copy in a rewritten file
         )
+        # the fail-loud duplicate-key guard, fused into the plan: a
+        # duplicated non-NULL key on either side raises on FIRST
+        # EVALUATION of its joined rows (the filter sits BEFORE the
+        # unchanged-copy drop, so even a dup whose change rows would all
+        # be dropped still trips it). NULL keys and absent sides are
+        # exempt (their bad-flags resolve False through 3-valued AND).
+        bad_b = F.col(f"b.{key}").isNotNull() & (F.col("_b_dupn") > 1)
+        bad_a = F.col(f"a.{key}").isNotNull() & (F.col("_a_dupn") > 1)
+        dup_msg = F.concat(
+            F.lit(
+                f"table_changes key {key!r} is duplicated within commit "
+                f"{v} ("
+            ),
+            F.when(F.coalesce(bad_b, F.lit(False)), F.lit("pre"))
+            .otherwise(F.lit("post")),
+            F.lit(" side, e.g. value "),
+            F.coalesce(
+                F.col(f"b.{key}").cast("string"),
+                F.col(f"a.{key}").cast("string"),
+            ),
+            F.lit(
+                "): the per-version diff would cross-product into a "
+                "wrong feed — diff on a key that uniquely identifies "
+                "rows the way the table's DML did"
+            ),
+        )
+        dup_ok = ~F.coalesce(bad_b | bad_a, F.lit(False))
         joined = pre.join(
             post, F.col(f"b.{key}") == F.col(f"a.{key}"), "full_outer"
-        )
+        ).where(F.assert_true(dup_ok, dup_msg).isNull())
         per_version.append(
             joined.select(F.explode(entries).alias("e")).select(
                 "e.img.*", F.col("e.t").alias("_change_type"), *meta
             )
         )
-    if guards:
-        dup = (
-            functools.reduce(lambda x, y: x.unionByName(y), guards)
-            .where(F.col("__k").isNotNull())
-            .groupBy("__v", "__side", "__k")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"table_changes key {key!r} is duplicated within commit "
-                f"{dup[0]['__v']} ({dup[0]['__side']} side, e.g. value "
-                f"{dup[0]['__k']!r}): the per-version diff would "
-                "cross-product into a wrong feed — diff on a key that "
-                "uniquely identifies rows the way the table's DML did"
-            )
     if not per_version:
         # metadata-only range: an EMPTY feed in the end-version schema
         # (Delta contract — "no changes" is a row count, not an error)

@@ -185,8 +185,11 @@ def _opt(options: dict, name: str, default=None):
 
 def _file_uri(path: str) -> str:
     """The ``_metadata.file_path`` URI spark records for a local file —
-    the sidecar's ``file`` key (paths here are uuid-hex segments, no
-    URL-escaping applies)."""
+    the sidecar's ``file`` key. Spark URL-encodes special characters in
+    ``_metadata.file_path``; this reconstruction does not, so a table
+    path needing encoding would diverge — :func:`_apply_dv` detects that
+    (an attached vector with zero positions for its file) and fails loud
+    rather than silently re-emitting deleted rows."""
     return "file:" + os.path.abspath(path)
 
 
@@ -225,7 +228,20 @@ def _apply_dv(tbl, path: str, dv_dir: str | None):
     pos = dv.filter(pc.equal(dv.column("file"), _file_uri(path)))
     positions = pos.column("pos").to_pylist()
     if not positions:
-        return tbl
+        # a dv descriptor is only ever attached to a file the sidecar
+        # holds >= 1 position for (delete_where routes a file to the DV
+        # class only when it has matching rows, and every kept action
+        # unions its own prior positions) — zero hits therefore means
+        # _file_uri's reconstruction diverged from the URI Spark recorded
+        # at DELETE time (e.g. a table path with characters
+        # _metadata.file_path URL-encodes). Silently returning the table
+        # would RE-EMIT deleted rows into the stream; fail loud instead.
+        raise ValueError(
+            f"deletion-vector sidecar {dv_dir} holds no positions for "
+            f"{_file_uri(path)!r}: the reconstructed file URI does not "
+            "match what Spark recorded (URL-encoded table path?) — "
+            "refusing to stream rows a deletion vector may have removed"
+        )
     mask = np.ones(len(tbl), dtype=bool)
     mask[positions] = False
     return tbl.filter(pa.array(mask))

@@ -1481,7 +1481,10 @@ def test_table_changes_refuses_duplicate_keys_in_diffed_commit(spark, tmp_path):
     commit would cross-product through the per-version full-outer join
     into a silently wrong feed — the read fails loud naming the commit,
     side, and an offending key value (merge_into's duplicate-source
-    discipline). Append-only commits never join, so duplicate keys in a
+    discipline). The guard is FUSED into the plan (a per-key window
+    count + assert_true filter — no extra scan, no eager job), so
+    building the feed stays lazy and the raise fires at evaluation.
+    Append-only commits never join, so duplicate keys in a
     plain insert commit stay legal."""
     t = str(tmp_path / "t")
     dup = spark.createDataFrame(
@@ -1507,8 +1510,11 @@ def test_table_changes_refuses_duplicate_keys_in_diffed_commit(spark, tmp_path):
         expected_version=1,
         operation="UPDATE",
     )
-    with pytest.raises(ValueError, match="duplicated within commit 1"):
-        txlog.table_changes(spark, t, 1, 1).collect()
+    # building the feed is lazy (no job, no raise) ...
+    feed = txlog.table_changes(spark, t, 1, 1)
+    # ... the fused guard fires on evaluation, naming commit and key
+    with pytest.raises(Exception, match="duplicated within commit 1"):
+        feed.collect()
 
 
 def test_table_changes_empty_feed_for_metadata_only_range(spark, tmp_path):
@@ -2249,3 +2255,80 @@ def test_stream_cdf_checkpoint_restart_continues(spark, tmp_path):
         (1, "insert", 3),
         (2, "delete", 1),
     ]
+
+
+def test_constrained_append_is_single_compute(spark, tmp_path, monkeypatch):
+    """validated_write shares the DML write pass's fusion: with declared
+    constraints the append frame is persisted across the check and the
+    write, so the source plan is evaluated ONCE and the written plan
+    reads the cache the constraint aggregate materialized
+    (InMemoryRelation); without constraints no persist appears; the
+    cache never leaks — including the refusal path, where nothing is
+    written at all."""
+    sc = spark.sparkContext
+    captured: list[str] = []
+    real_write_files = txlog.write_files
+
+    def spy(df, table_dir, stats_cols=None):
+        captured.append(df._jdf.queryExecution().optimizedPlan().toString())
+        return real_write_files(df, table_dir, stats_cols=stats_cols)
+
+    monkeypatch.setattr(txlog, "write_files", spy)
+    baseline = len(sc._jsc.sc().getRDDStorageInfo())
+
+    def run(tag, declare):
+        t = str(tmp_path / tag)
+        meta = {"schema": "id BIGINT, price DOUBLE"}
+        if declare:
+            meta["constraints"] = {"price_pos": "price > 0"}
+        txlog.commit(t, add=[], expected_version=0, metadata=meta)
+        captured.clear()
+        df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, price double")
+        acts = txlog.validated_write(df, t)
+        txlog.commit(t, add=acts, expected_version=1)
+        assert len(captured) == 1
+        return captured[0]
+
+    assert "InMemoryRelation" not in run("app_plain", declare=False)
+    assert "InMemoryRelation" in run("app_checked", declare=True)
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == baseline
+    # refusal path: the violating batch is checked against the cache,
+    # refused whole, and the cache is released — no files, no leak
+    with pytest.raises(txlog.ConstraintViolation, match="price_pos"):
+        txlog.validated_write(
+            spark.createDataFrame([(3, -1.0)], "id long, price double"),
+            str(tmp_path / "app_checked"),
+        )
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == baseline
+
+
+def test_stream_apply_dv_fails_loud_on_uri_mismatch(tmp_path):
+    """An attached deletion vector whose sidecar holds no positions for
+    the reconstructed file URI means _file_uri diverged from the URI
+    Spark recorded at DELETE time (e.g. a URL-encoded table path) —
+    silently returning the table would RE-EMIT deleted rows into the
+    stream, so _apply_dv raises instead (pure arrow, no session)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from change_data_capture_spark.sources.txlog_stream import _apply_dv
+
+    data = pa.table({"id": pa.array([1, 2], pa.int64())})
+    dpath = str(tmp_path / "data.parquet")
+    pq.write_table(data, dpath)
+    dv_dir = tmp_path / "dv"
+    dv_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "file": pa.array(["file:/somewhere%20else"], pa.string()),
+                "pos": pa.array([0], pa.int64()),
+            }
+        ),
+        str(dv_dir / "part-0.parquet"),
+    )
+    # no dv attached: pass-through, no probe
+    assert _apply_dv(data, dpath, None) is data
+    # attached dv with zero positions for this file's URI: refuse
+    with pytest.raises(ValueError, match="no positions"):
+        _apply_dv(data, dpath, str(dv_dir))
