@@ -33,54 +33,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks this dict in order and caps the run at
 # 50 rows per round. Order therefore encodes check priority. Cumulative
-# record through round 11: 226/226 registered queries have a driver row,
-# all hash-matched, 0 failures. Round-12 rotation: the three r12 additions
-# lead (never checked: deletion-vector DELETE, the streaming CDF feed, the
-# maxFilesPerTrigger admission gate), then every gate whose CODE changed in
-# round 12 — a wide block this round because deletion vectors touch the
-# SHARED READ PATH (read_version and every DML discovery/rewrite scan now
-# apply DVs via _scan_files; restore compares whole actions; vacuum
-# governs sidecar dirs; count_rows nets cardinality), the CHECK-constraint
-# fusion rewrote the UPDATE/MERGE write pass, table_changes gained the
-# dup-key guard / empty-range feed / per-commit clash probe / DV-state
-# fold, and txlog_stream.py was restructured for the three new options —
-# so all 16 txlog_* gates plus the 4 txlog-backed streaming gates
-# re-verify (plus the sharded Bloom gate, whose plan builder gained the
-# shared-grams parameter for the sweep). Then the 14 r5 names the r11
-# 50-cap cut (the documented r12 carry — after this round NOTHING is
-# older than r7), then the oldest r7 names. 4+21+14 = 39 -> the 50-cap
-# reaches 11 of the 34 remaining r7-stale names (4 of the original 38
-# re-verify in the code-changed block); the other 23 r7 names are the
-# documented round-13 carry. Names absent from this tuple (latest row
-# r7-r11) rank last in registration order.
+# record through round 12: 230/230 registered queries have a driver row,
+# all hash-matched, 0 failures; the staleness ledger entering round 13 is
+# 23@r7 / 42@r8 / 39@r9 / 39@r10 / 37@r11 / 50@r12. Round-13 rotation:
+# the two r13 additions lead (never checked: timestamp-based time travel,
+# column-mapping RENAME/DROP), then the gates whose EXECUTED code changed
+# in round 13 — table_changes was rewritten (lazy in-plan dup-key guard,
+# column-mapping projection, timestamp range args), validated_write gained
+# the persist fusion + logical->physical write translation (constrained
+# write + schema evolution), the DML write/rewrite paths route through
+# _to_physical (update/merge via _write_files_checked, delete's rewrite
+# class), read_version/restore gained the timestamp axis and the mapping
+# projection, snapshot_files translates predicate columns, the sharding
+# sweep gained the zero-denominator FPR guard, and txlog_stream gained
+# startingTimestamp / startingVersion validation / the vacuumed-horizon
+# planning check / the DV-URI fail-loud (all six txlog-backed streaming
+# gates construct that reader or run DML). txlog_compaction / vacuum /
+# vacuum_retention / metadata_count / history are NOT in the block:
+# their own operators (compaction, vacuum, count_rows, history) are
+# untouched this round and the shared-read-path guards they'd re-verify
+# are covered by the five read-path gates that ARE in it. Then the whole
+# 23-name r7 tier (the documented r12 carry — after this round NOTHING
+# is older than r8), then the 6 oldest-priority r8 names led by the
+# flagship SCD2 family. 2+19+23+6 = 50 exactly; the remaining 36 r8
+# names are the documented round-14 carry. Names absent from this tuple
+# (latest row r8-r12) rank last in registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # --- round-12 additions (never driver-checked) ---
-    "txlog_delete_dv",
-    "streaming_txlog_cdf_feed",
-    "streaming_txlog_rate_limit",
+    # --- round-13 additions (never driver-checked) ---
+    "txlog_time_travel_ts",
+    "txlog_rename_column",
+    # --- code changed in round 13 -> re-verify ---
+    "txlog_cdf_ops", "txlog_constrained_write", "txlog_schema_evolution_read",
+    "txlog_delete_where", "txlog_delete_dv", "txlog_update_where",
+    "txlog_merge_upsert", "txlog_time_travel", "txlog_restore",
+    "txlog_data_skipping", "txlog_zorder_skipping", "txlog_change_feed",
     "corpus_decontamination_sharding_sweep",
-    # --- code changed in round 12 -> re-verify (txlog read-path family) ---
-    "txlog_cdf_ops", "txlog_update_where", "txlog_merge_upsert",
-    "txlog_constrained_write", "txlog_schema_evolution_read",
-    "txlog_delete_where", "txlog_time_travel", "txlog_change_feed",
-    "txlog_compaction", "txlog_data_skipping", "txlog_vacuum",
-    "txlog_vacuum_retention", "txlog_zorder_skipping", "txlog_restore",
-    "txlog_metadata_count", "txlog_history",
     "streaming_txlog_source_feed", "streaming_txlog_skip_change_commits",
+    "streaming_txlog_cdf_feed", "streaming_txlog_rate_limit",
     "streaming_scd2_txlog", "streaming_txlog_idempotent_replay",
-    "corpus_decontamination_bloom_sharded",
-    # --- last checked r5 (the documented r12 carry; burns the r5 tier) ---
-    "merge_scd1_customer", "histogram_price_buckets", "timeseries_gapfill_locf",
-    "streaming_python_datasource_drain", "dedup_containment_dfcap", "dedup_containment_recall_sweep",
-    "scan_csv_roundtrip", "scan_json_auto_roundtrip", "scan_text_roundtrip",
-    "scan_orc_roundtrip", "corpus_split_neardup_safe", "scd2_schema_evolution",
-    "multimodal_audio_energy_windows", "sink_dynamic_partition_overwrite",
-    # --- last checked r7 (11 of 34 fit; 23 remain = the round-13 carry) ---
-    "corpus_stratified_sample", "dedup_exact", "dedup_ngram_jaccard",
-    "embedding_quantize_int8", "profile_orders", "dq_audit",
-    "corpus_hash_weighted_sample", "null_semantics_audit",
-    "dedup_substring_spans", "dedup_containment_pairs",
-    "text_charclass_profile",
+    # --- last checked r7 (the full tier burns; nothing older than r8 after) ---
+    "ab_test_welch", "asof_join_next_order", "cdc_wire_schema_introspection",
+    "corpus_exact_k_sample", "corpus_pipeline_end_to_end",
+    "corpus_temperature_weights", "customer_rfm_scores",
+    "dedup_minhash_incremental", "dedup_threshold_sweep",
+    "embedding_random_projection", "events_mad_robust_zscore",
+    "events_markov_transitions", "events_ohlc_bars", "events_time_to_convert",
+    "events_time_weighted_avg", "events_top_paths",
+    "late_arriving_dim_inferred", "simhash_hamming_neardup",
+    "streaming_complete_mode_topk", "streaming_outer_join_unmatched",
+    "streaming_update_mode_counts", "text_commonness_score",
+    "text_feature_hashing",
+    # --- oldest r8 names (6 of 42 fit; 36 remain = the round-14 carry) ---
+    "scd2_products", "scd2_users", "scd2_products_sql",
+    "cdc_change_log", "dim_current_products", "cdc_dedup_op_counts",
 )
 
 

@@ -132,13 +132,21 @@ def _latest_image(events: DataFrame) -> DataFrame:
     )
 
 
-def build_products_txlog(spark: SparkSession, sf_dir: str) -> str:
+def build_products_txlog(
+    spark: SparkSession,
+    sf_dir: str,
+    timestamps: tuple = (None, None, None),
+) -> str:
     """Materialize the products dimension as a 3-version txlog table and
     return its directory. v1/v2 are computed incrementally: the previous
     snapshot is read back THROUGH the log and merged with only the delta
     events — base data files are never re-read from the source, and each
     rewrite commits with ``expected_version`` so a concurrent writer
-    would surface :class:`txlog.ConcurrentCommitError`, not corruption."""
+    would surface :class:`txlog.ConcurrentCommitError`, not corruption.
+    ``timestamps`` optionally stamps the three commits with IN-COMMIT
+    timestamps (unix seconds) for deterministic ``TIMESTAMP AS OF``
+    gates; the default ``None``s keep the commit payloads byte-identical
+    to the pre-timestamp format (mtime-governed)."""
     tdir = tempfile.mkdtemp(prefix="cdc_txlog_")
     ev = _decoded(spark, sf_dir).where(F.col("lsn").isNotNull())
     phase = F.col("lsn") % 10
@@ -146,7 +154,7 @@ def build_products_txlog(spark: SparkSession, sf_dir: str) -> str:
     # v0: creates/snapshot reads
     state0 = _latest_image(ev.where(phase == 1))
     f0 = txlog.write_files(state0, tdir)
-    txlog.commit(tdir, add=f0, expected_version=0)
+    txlog.commit(tdir, add=f0, expected_version=0, timestamp=timestamps[0])
 
     # v1: merge the update delta into the v0 snapshot (copy-on-write)
     upd = _latest_image(ev.where(phase.isin(2, 3)))
@@ -161,7 +169,9 @@ def build_products_txlog(spark: SparkSession, sf_dir: str) -> str:
         F.coalesce(F.col("u.price"), F.col("b.price")).alias("price"),
     )
     f1 = txlog.write_files(state1, tdir)
-    txlog.commit(tdir, add=f1, remove=f0, expected_version=1)
+    txlog.commit(
+        tdir, add=f1, remove=f0, expected_version=1, timestamp=timestamps[1]
+    )
 
     # v2: apply deletes (anti-join rewrite of the v1 snapshot)
     dels = ev.where(F.col("op") == "d").select("id").distinct()
@@ -169,7 +179,9 @@ def build_products_txlog(spark: SparkSession, sf_dir: str) -> str:
         F.broadcast(dels), "id", "left_anti"
     )
     f2 = txlog.write_files(state2, tdir)
-    txlog.commit(tdir, add=f2, remove=f1, expected_version=2)
+    txlog.commit(
+        tdir, add=f2, remove=f1, expected_version=2, timestamp=timestamps[2]
+    )
     return tdir
 
 
@@ -186,6 +198,40 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the same state relationally from the raw change events."""
     tdir = build_products_txlog(spark, sf_dir)
     return txlog.read_version(spark, tdir, 1)
+
+
+#: deterministic in-commit timestamps for the TIMESTAMP AS OF gate:
+#: 2024-01-01 / 2024-01-02 / 2024-01-03 00:00 UTC (unix seconds)
+_TT_TS = (1704067200.0, 1704153600.0, 1704240000.0)
+
+
+@query("txlog_time_travel_ts", oracle=_TIME_TRAVEL_ORACLE)
+def txlog_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-based time travel — ``TIMESTAMP AS OF '2024-01-02
+    12:00'`` over the products txlog: Delta pairs every version-travel
+    surface with a timestamp form, because "the table as of yesterday
+    09:00" is what users actually reach for. The three commits carry
+    deterministic IN-COMMIT timestamps (Delta's in-commit-timestamps
+    feature — :func:`txlog.commit`'s ``timestamp=``, immune to
+    file-copy/mtime drift); the read resolves a mid-day timestamp
+    between v1 and v2 DOWN to v1 (:func:`txlog.version_at_timestamp`:
+    the LAST version committed at or before the instant) and is then
+    the identical one-scan distributed snapshot read as
+    ``txlog_time_travel`` — same oracle, reached through the timestamp
+    axis. Boundary semantics are pinned in ``tests/test_txlog.py``: a
+    timestamp before the first commit raises (no table existed), one at
+    or past the tip's resolves to the tip, ties resolve to the stamped
+    version, and non-monotone raw timestamps are served through the
+    running-max fold (Delta's monotonicity rule).
+
+    Scale: resolution is an O(commits) driver-side fold of KB-sized
+    JSON (one ``stat`` per mtime-governed commit) — the data path is
+    untouched; at 100 TB the timestamp read plans the same pruned file
+    list as the version read."""
+    tdir = build_products_txlog(spark, sf_dir, timestamps=_TT_TS)
+    return txlog.read_version(
+        spark, tdir, timestamp="2024-01-02T12:00:00+00:00"
+    )
 
 
 @query("txlog_change_feed", oracle=_CHANGE_FEED_ORACLE)
@@ -980,6 +1026,87 @@ def txlog_cdf_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 txlog_cdf_ops.__doc__ = txlog_cdf_ops.__doc__.format(
     ulo=_CDF_UPD_LO, uhi=_CDF_UPD_HI, dlo=_CDF_DEL_LO, dhi=_CDF_DEL_HI
 )
+
+
+_RENAME_ORACLE = f"""
+WITH {CDC_EVENTS_SQL},
+{_STATE_CTE.format(m=4)}
+SELECT id, name AS product_name, price FROM state4
+UNION ALL
+SELECT id, 'ren-' || CAST(id AS VARCHAR) AS product_name,
+       CAST(id AS DOUBLE) / 1000 AS price
+FROM range(900001, 900041) t(id)
+"""
+
+
+@query("txlog_rename_column", oracle=_RENAME_ORACLE)
+def txlog_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING (Delta's name mode — ``ALTER TABLE ... RENAME /
+    DROP COLUMN`` without rewriting a byte of data): the products tip
+    state commits under a declared 4-column schema, then ``name`` is
+    RENAMED to ``product_name`` and ``description`` is DROPPED — both
+    METADATA-ONLY commits (:func:`txlog.rename_column` /
+    :func:`txlog.drop_column`; ``history`` records them with zero
+    add/remove actions, pinned in ``tests/test_txlog.py``). Physical
+    (on-disk) names freeze at mapping-enable time, so the PRE-rename
+    files keep reading correctly: every reader plans the scan with the
+    physical schema and projects to the snapshot's logical names
+    through the one shared scan primitive. A post-rename append then
+    goes through :func:`txlog.validated_write` under the NEW logical
+    schema (the write translates logical→physical, so old and new files
+    stay uniform on disk), and the tip read returns
+    ``(id, product_name, price)`` spanning both vintages — the oracle
+    recomputes it relationally with the rename applied in SQL. Time
+    travel to pre-rename versions reads under THAT version's own names,
+    DML/CDF/data-skipping all operate on logical names across the
+    rename, and a dropped column's physical name is TOMBSTONED so a
+    re-add can never silently resurrect its bytes (all pinned).
+
+    Why this matters at 100 TB: without mapping, renaming a column
+    means rewriting every file (or refusing forever) — the
+    second-most-hit ALTER TABLE after ADD COLUMN becomes an O(KB)
+    metadata commit instead of an O(table) rewrite.
+
+    Cite: Delta Lake PROTOCOL.md "Column Mapping" (public docs: "Rename
+    and drop columns with Delta Lake column mapping"); the reference's
+    production sink names Delta as its table format
+    (repo:BASELINE.json)."""
+    tdir = tempfile.mkdtemp(prefix="cdc_txmap_")
+    txlog.commit(
+        tdir,
+        add=[],
+        expected_version=0,
+        metadata={
+            "schema": "id BIGINT, name STRING, description STRING, price DOUBLE"
+        },
+    )
+    base = build_products_txlog(spark, sf_dir)
+    state = txlog.read_version(spark, base).select(
+        F.col("id").cast("bigint"),
+        "name",
+        "description",
+        F.col("price").cast("double"),
+    )
+    txlog.commit(
+        tdir,
+        add=txlog.validated_write(state, tdir, stats_cols=["id"]),
+        expected_version=1,
+    )
+    txlog.rename_column(tdir, "name", "product_name")
+    txlog.drop_column(tdir, "description")
+    extra = spark.range(900001, 900041).select(
+        F.col("id"),
+        F.concat(F.lit("ren-"), F.col("id").cast("string")).alias(
+            "product_name"
+        ),
+        (F.col("id").cast("double") / F.lit(1000)).alias("price"),
+    )
+    txlog.commit(
+        tdir,
+        add=txlog.validated_write(extra, tdir, stats_cols=["id"]),
+        expected_version=4,
+    )
+    return txlog.read_version(spark, tdir)
 
 
 _DV_BULK_LO, _DV_BULK_HI = 100, 299

@@ -124,6 +124,7 @@ def commit(
     expected_version: int | None = None,
     metadata: dict | None = None,
     operation: str | None = None,
+    timestamp: float | None = None,
 ) -> int:
     """Atomically commit the next log version.
 
@@ -146,6 +147,15 @@ def commit(
     other writer's effect; blind appends (no ``expected_version``)
     retry on top of the new tip, which is always safe for add-only
     commits.
+
+    ``timestamp`` (unix seconds) is the optional IN-COMMIT timestamp —
+    Delta's in-commit-timestamps table feature: when provided it is
+    recorded in the payload and governs timestamp-based time travel
+    (:func:`version_at_timestamp`) for this version, making
+    ``TIMESTAMP AS OF`` deterministic and immune to file-copy/mtime
+    drift; without it the commit FILE's modification time serves
+    (Delta's classic behavior), and the payload stays byte-identical to
+    the pre-timestamp format.
     """
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     while True:
@@ -163,6 +173,8 @@ def commit(
             "metadata": metadata,
             "operation": operation,
         }
+        if timestamp is not None:
+            payload["timestamp"] = float(timestamp)
         # Serialize BEFORE touching the log: a json TypeError here leaves
         # no trace on disk, and the published entry always carries its
         # full content (readers can never observe an empty/partial file).
@@ -312,6 +324,119 @@ def write_checkpoint(table_dir: str, version: int | None = None) -> int:
     return version
 
 
+def _ts_seconds(ts) -> float:
+    """Normalize a caller-supplied timestamp to unix SECONDS (float).
+    Accepts a number, a ``datetime`` (naive = UTC — the repo-wide
+    timestamp discipline; an aware one converts exactly), or a string
+    (ISO-8601, same naive-is-UTC rule; plain numeric strings pass
+    through — the form stream options arrive in)."""
+    import datetime
+
+    if isinstance(ts, (int, float)) and not isinstance(ts, bool):
+        return float(ts)
+    if isinstance(ts, str):
+        try:
+            return float(ts)
+        except ValueError:
+            ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return ts.timestamp()
+    if isinstance(ts, datetime.date):
+        return datetime.datetime(
+            ts.year, ts.month, ts.day, tzinfo=datetime.timezone.utc
+        ).timestamp()
+    raise TypeError(f"unsupported timestamp value {ts!r}")
+
+
+def commit_timestamps(table_dir: str) -> list[float]:
+    """Effective commit timestamp (unix seconds) per version ``0..tip``,
+    made MONOTONE NON-DECREASING by a running max — Delta's rule: a
+    commit whose raw timestamp regresses (mtime drift after a file copy,
+    writer clock skew) is served AT its predecessor's timestamp, so
+    timestamp travel always resolves a contiguous history. The raw value
+    per version is the in-commit ``timestamp`` when the writer recorded
+    one (:func:`commit`), else the commit FILE's modification time —
+    Delta's classic source. O(commits) driver-side, KB JSON + one stat
+    each."""
+    out: list[float] = []
+    running = float("-inf")
+    for v in range(latest_version(table_dir) + 1):
+        path = _commit_path(table_dir, v)
+        with open(path) as f:
+            raw = json.load(f).get("timestamp")
+        eff = float(raw) if raw is not None else os.stat(path).st_mtime
+        running = max(running, eff)
+        out.append(running)
+    return out
+
+
+def version_at_timestamp(
+    table_dir: str, ts, mode: str = "at_or_before"
+) -> int:
+    """Resolve a timestamp to a log version — the fold behind every
+    timestamp-based travel surface (``TIMESTAMP AS OF`` reads,
+    timestamp RESTORE, CDF ``startingTimestamp``/``endingTimestamp``,
+    the streaming source's ``startingTimestamp``).
+
+    - ``mode="at_or_before"`` (snapshot semantics — ``TIMESTAMP AS
+      OF``): the LAST version whose effective commit timestamp is
+      ``<= ts``. A ``ts`` before the first commit raises (there was no
+      table then); a ``ts`` at or past the tip's timestamp resolves to
+      the tip (the table as of tomorrow IS today's tip — note Delta
+      refuses future timestamps instead, guarding cross-host clock
+      skew; this engine's in-commit timestamps make the resolution
+      deterministic, so the friendlier clamp is safe).
+    - ``mode="at_or_after"`` (change-feed START semantics — Delta's
+      ``startingTimestamp``): the FIRST version whose effective
+      timestamp is ``>= ts``. A ``ts`` before the first commit resolves
+      to version 0; a ``ts`` past the tip's timestamp raises (there are
+      no changes at or after it — Delta's own refusal).
+
+    Effective timestamps come from :func:`commit_timestamps` (in-commit
+    value when recorded, else commit-file mtime, monotone-folded)."""
+    ts = _ts_seconds(ts)
+    stamps = commit_timestamps(table_dir)
+    if not stamps:
+        raise ValueError(f"{table_dir} has no commits to resolve {ts} against")
+    if mode == "at_or_before":
+        if ts < stamps[0]:
+            raise ValueError(
+                f"timestamp {ts} is before {table_dir}'s first commit "
+                f"({stamps[0]}); the table did not exist yet"
+            )
+        # last version with eff <= ts (ties: later version wins — the
+        # state AT that instant includes every commit stamped with it)
+        v = max(i for i, s in enumerate(stamps) if s <= ts)
+        return v
+    if mode == "at_or_after":
+        for i, s in enumerate(stamps):
+            if s >= ts:
+                return i
+        raise ValueError(
+            f"timestamp {ts} is after {table_dir}'s latest commit "
+            f"({stamps[-1]}); no changes exist at or after it"
+        )
+    raise ValueError(f"unknown resolution mode {mode!r}")
+
+
+def _resolve_travel(
+    table_dir: str, version: int | None, timestamp, what: str
+) -> int | None:
+    """Shared version/timestamp argument arbitration for the travel
+    surfaces: exactly one axis may be given; a timestamp resolves
+    through :func:`version_at_timestamp` snapshot semantics."""
+    if timestamp is None:
+        return version
+    if version is not None:
+        raise ValueError(
+            f"{what}: pass version= or timestamp=, not both — they are "
+            "two spellings of the same travel axis"
+        )
+    return version_at_timestamp(table_dir, timestamp)
+
+
 def snapshot_files(
     table_dir: str,
     version: int | None = None,
@@ -325,11 +450,17 @@ def snapshot_files(
     ``[lo, hi]`` are pruned HERE, driver-side, from metadata alone —
     Spark never lists or opens them. Files committed without stats for
     ``col`` are conservatively kept (skipping is an optimization, never
-    a filter — callers still apply the row-level predicate)."""
-    actions, _, _, _ = _resolve(table_dir, version)
+    a filter — callers still apply the row-level predicate). ``col`` is
+    a LOGICAL name; under column mapping it is translated to the
+    physical name the per-file stats are keyed by (stats are collected
+    over the written, physical-named frame), so skipping keeps working
+    across renames."""
+    actions, _, meta, _ = _resolve(table_dir, version)
     if predicate_range is None:
         return [_action_path(a) for a in actions]
     col, lo, hi = predicate_range
+    if _mapping_of(meta):
+        col = _physical_name(meta, col)
     # normalize the caller's bounds the same way the stats were encoded
     # (dates→ISO strings, decimals→outward-widened floats) so the
     # comparison is type-consistent and conservatively widened
@@ -350,9 +481,13 @@ def read_version(
     table_dir: str,
     version: int | None = None,
     predicate_range: tuple[str, object, object] | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Snapshot read: one distributed parquet scan of the resolved file
-    list (time travel via ``version=``, file-level data skipping via
+    list (time travel via ``version=`` — Delta ``VERSION AS OF`` — or
+    ``timestamp=`` — Delta ``TIMESTAMP AS OF``, resolved to the last
+    version committed at or before it by :func:`version_at_timestamp`;
+    the two are mutually exclusive — and file-level data skipping via
     ``predicate_range`` — see :func:`snapshot_files`). The resolution is
     immune to commits that land after it — copy-on-write never deletes
     data files. A predicate that prunes EVERY file returns a typed empty
@@ -372,12 +507,20 @@ def read_version(
     vectors are applied per snapshot too: a version reads under its OWN
     DV state, so time travel before a merge-on-read DELETE still sees
     the rows and a restore across one resurrects them."""
+    version = _resolve_travel(table_dir, version, timestamp, "read_version")
     actions, _, meta, v = _resolve(table_dir, version)
     files = snapshot_files(table_dir, v, predicate_range)
     reader = spark.read
     declared = (meta or {}).get("schema")
+    mapping = _mapping_of(meta)
     if declared is not None:
-        reader = reader.schema(declared)
+        # under column mapping (RENAME/DROP COLUMN without rewrite) the
+        # files carry PHYSICAL names: plan the scan physical, project to
+        # the snapshot's logical names after; unmapped tables keep the
+        # byte-identical pre-mapping plan
+        reader = reader.schema(
+            _physical_ddl(declared, meta) if mapping else declared
+        )
     if not files:
         if declared is not None:
             return spark.createDataFrame([], declared)
@@ -395,7 +538,8 @@ def read_version(
     # deletion vectors (merge-on-read): files whose action carries a dv
     # descriptor drop their deleted rows via one broadcast anti-join at
     # scan time; dv-less snapshots take the identical pre-DV plan
-    return _scan_files_with_dvs(spark, files, _dv_map(actions), reader)
+    scan = _scan_files_with_dvs(spark, files, _dv_map(actions), reader)
+    return _project_logical(scan, meta) if mapping else scan
 
 
 def _local_path(p: str) -> str:
@@ -576,13 +720,27 @@ def _scan_files(
     with the snapshot's deletion vectors applied — the read primitive
     every DML path (touched-file discovery, rewrite reads) shares with
     :func:`read_version`, so no path can resurrect merge-on-read-deleted
-    rows by reading a data file raw."""
+    rows by reading a data file raw. Under column mapping the scan is
+    planned physical and projected to logical names (scan-meta scratch
+    columns pass through), so DML predicates — written over logical
+    names — resolve against any file vintage."""
     actions, _, meta, _ = _resolve(table_dir, version)
     declared = (meta or {}).get("schema")
-    reader = spark.read.schema(declared) if declared is not None else spark.read
-    return _scan_files_with_dvs(
+    mapping = _mapping_of(meta)
+    if declared is not None:
+        reader = spark.read.schema(
+            _physical_ddl(declared, meta) if mapping else declared
+        )
+    else:
+        reader = spark.read
+    scan = _scan_files_with_dvs(
         spark, files, _dv_map(actions), reader, with_meta=with_meta
     )
+    if mapping:
+        scan = _project_logical(
+            scan, meta, keep=("__txlog_file", "__txlog_pos") if with_meta else ()
+        )
+    return scan
 
 
 def merge_into(
@@ -790,7 +948,7 @@ def delete_where(
     cand = snapshot_files(table_dir, tip, predicate_range=prune_range)
     if not cand:
         return tip, []
-    actions, _, _, _ = _resolve(table_dir, tip)
+    actions, _, meta, _ = _resolve(table_dir, tip)
     by_path = {os.path.abspath(_action_path(a)): a for a in actions}
     # file name projected AT THE SCAN — post-filter provenance IS the
     # scan row's provenance, same discipline as merge_into; the per-file
@@ -829,7 +987,13 @@ def delete_where(
         kept = _scan_files(spark, table_dir, tip, rw_class).where(
             ~F.coalesce(F.expr(predicate), F.lit(False))
         )
-        new_actions.extend(write_files(kept, table_dir, stats_cols=stats_cols))
+        new_actions.extend(
+            write_files(
+                _to_physical(kept, meta),
+                table_dir,
+                stats_cols=_physical_stats_cols(stats_cols, meta),
+            )
+        )
     if dv_class:
         new_actions.extend(
             _write_deletion_vectors(
@@ -1137,9 +1301,11 @@ def rewrite_with_retry(
     raise last
 
 
-def restore(table_dir: str, version: int) -> int:
-    """Delta ``RESTORE TABLE ... VERSION AS OF``: rewind the TIP to an
-    earlier version's snapshot — where time travel READS the past,
+def restore(table_dir: str, version: int | None = None, timestamp=None) -> int:
+    """Delta ``RESTORE TABLE ... VERSION AS OF`` (or ``TIMESTAMP AS
+    OF`` via ``timestamp=`` — resolved to the last version committed at
+    or before it, mutually exclusive with ``version=``): rewind the TIP
+    to an earlier version's snapshot — where time travel READS the past,
     restore makes it the present for every future reader. Implemented as
     one ordinary guarded commit that re-adds the old version's file
     actions (stats included) and removes the current ones; METADATA-ONLY
@@ -1164,6 +1330,9 @@ def restore(table_dir: str, version: int) -> int:
       metadata after ``version`` and restores to a version that never
       had any keeps the current metadata: the log's fold cannot unset
       a metaData action, same as Delta where metadata always exists.)"""
+    version = _resolve_travel(table_dir, version, timestamp, "restore")
+    if version is None:
+        raise ValueError("restore: pass version= or timestamp=")
     tip = latest_version(table_dir)
     cur_actions, _, cur_meta, _ = _resolve(table_dir, tip)
     old_actions, _, old_meta, _ = _resolve(table_dir, version)
@@ -1212,6 +1381,216 @@ def table_metadata(table_dir: str, version: int | None = None) -> dict | None:
         return None
     _, _, meta, _ = _resolve(table_dir, version)
     return meta
+
+
+def _ddl_fields(ddl: str) -> list[tuple[str, str]]:
+    """Top-level ``(name, type_rest)`` pairs of a ``name TYPE, ...`` DDL
+    string, parsed without a Spark session (``<>``/``()`` nesting
+    tracked so struct element commas don't split fields; backtick quotes
+    stripped from names)."""
+    fields: list[tuple[str, str]] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(ddl + ","):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = ddl[start:i].strip()
+            if part:
+                name, _, rest = part.partition(" ")
+                fields.append((name.strip("`"), rest.strip()))
+            start = i + 1
+    return fields
+
+
+def _mapping_of(meta: dict | None) -> dict[str, str] | None:
+    """The table's logical→physical column mapping, or None when the
+    table never enabled one (the byte-identical pre-mapping path)."""
+    return (meta or {}).get("column_mapping")
+
+
+def _physical_name(meta: dict, logical: str) -> str:
+    """Physical (on-disk parquet) name of a logical column under the
+    metadata's mapping. A field absent from the mapping (added by a
+    post-mapping schema evolution that didn't extend it) defaults to
+    identity — UNLESS its identity name is tombstoned in
+    ``dropped_physical``, where reading it would silently resurrect a
+    DROPPED column's bytes: that raises instead (re-adding a dropped
+    name needs a fresh physical name in the mapping)."""
+    mapping = meta.get("column_mapping") or {}
+    if logical in mapping:
+        return mapping[logical]
+    if logical in (meta.get("dropped_physical") or ()):
+        raise ValueError(
+            f"column {logical!r} was previously DROPPED and its physical "
+            f"name is tombstoned; re-adding it requires a fresh physical "
+            "name in column_mapping (old files still hold the dropped "
+            "bytes under that name)"
+        )
+    return logical
+
+
+def _physical_ddl(declared: str, meta: dict) -> str:
+    """The declared (logical) schema DDL re-keyed to physical names —
+    what the parquet scan is planned with under column mapping; the
+    logical projection happens after the scan."""
+    return ", ".join(
+        f"{_physical_name(meta, n)} {t}" for n, t in _ddl_fields(declared)
+    )
+
+
+def _project_logical(df, meta: dict, keep: tuple[str, ...] = ()):
+    """Rename a physical-named frame to its logical column names
+    (``keep`` names pass through untouched — scan-meta scratch
+    columns). The inverse of :func:`_to_physical`."""
+    from pyspark.sql import functions as F
+
+    declared = meta["schema"]
+    sel = [
+        F.col(_physical_name(meta, n)).alias(n)
+        for n, _ in _ddl_fields(declared)
+    ]
+    sel += [F.col(k) for k in keep]
+    return df.select(*sel)
+
+
+def _to_physical(df, meta: dict | None):
+    """Rename a logical-named frame to physical column names for the
+    parquet write — identity (the frame itself, no projection node)
+    when the table has no mapping."""
+    if not _mapping_of(meta):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(_physical_name(meta, c)) for c in df.columns]
+    )
+
+
+def _physical_stats_cols(
+    stats_cols: list[str] | None, meta: dict | None
+) -> list[str] | None:
+    """Translate logical stats column names to the physical names the
+    written files (and so the committed per-file stats) carry."""
+    if not stats_cols or not _mapping_of(meta):
+        return stats_cols
+    return [_physical_name(meta, c) for c in stats_cols]
+
+
+def rename_column(table_dir: str, old: str, new: str) -> int:
+    """Delta ``ALTER TABLE ... RENAME COLUMN`` under column mapping
+    (name mode): a METADATA-ONLY commit — no data file is read, written,
+    or copied, which is what makes renaming a column of a 100 TB table
+    an O(KB) operation. The first rename/drop on a table initializes the
+    mapping as identity over the declared schema (existing files'
+    physical names ARE their logical names at that instant — Delta's
+    upgrade rule); physical names are frozen forever after, so every
+    file ever written stays readable through the mapping, and time
+    travel to pre-rename versions reads under THAT version's own names
+    (each snapshot's metadata is self-consistent).
+
+    Refuses: tables without a declared schema (the mapping is keyed by
+    it), unknown/colliding names, and columns referenced by a CHECK
+    constraint (the predicate text would silently stop matching —
+    Delta's own DEPENDENT_COLUMN refusal).
+
+    Cite: Delta Lake column mapping (PROTOCOL.md "Column Mapping",
+    public docs "Rename and drop columns with Delta Lake column
+    mapping"); the reference's production sink names Delta as its table
+    format (repo:BASELINE.json)."""
+    tip = latest_version(table_dir)
+    meta = dict(table_metadata(table_dir) or {})
+    declared = meta.get("schema")
+    if declared is None:
+        raise ValueError(
+            "rename_column requires a declared table schema (commit "
+            "metadata first) — the column mapping is keyed by it"
+        )
+    fields = _ddl_fields(declared)
+    names = [n for n, _ in fields]
+    if old not in names:
+        raise ValueError(f"cannot rename {old!r}: not a table column ({names})")
+    if new in names:
+        raise ValueError(f"cannot rename {old!r} to {new!r}: name already exists")
+    _check_constraint_dependency(meta, old, "rename")
+    mapping = dict(
+        meta.get("column_mapping") or {n: n for n in names}
+    )
+    mapping[new] = mapping.pop(old)
+    meta["column_mapping"] = mapping
+    meta["schema"] = ", ".join(
+        f"{new if n == old else n} {t}" for n, t in fields
+    )
+    return commit(
+        table_dir,
+        add=[],
+        metadata=meta,
+        expected_version=tip + 1,
+        operation="RENAME COLUMN",
+    )
+
+
+def drop_column(table_dir: str, col: str) -> int:
+    """Delta ``ALTER TABLE ... DROP COLUMN`` under column mapping: a
+    METADATA-ONLY commit that removes the column from the declared
+    schema and TOMBSTONES its physical name (``dropped_physical``) — no
+    file is rewritten; the bytes stay on disk, invisible to every
+    reader, and time travel before the drop still sees them. The
+    tombstone is what keeps a later re-add of the same logical name
+    from silently resurrecting the dropped bytes
+    (:func:`_physical_name` raises unless the re-add maps to a fresh
+    physical name). Same refusals as :func:`rename_column`, plus the
+    last remaining column (a table must keep a schema)."""
+    tip = latest_version(table_dir)
+    meta = dict(table_metadata(table_dir) or {})
+    declared = meta.get("schema")
+    if declared is None:
+        raise ValueError(
+            "drop_column requires a declared table schema (commit "
+            "metadata first) — the column mapping is keyed by it"
+        )
+    fields = _ddl_fields(declared)
+    names = [n for n, _ in fields]
+    if col not in names:
+        raise ValueError(f"cannot drop {col!r}: not a table column ({names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the table's only column")
+    _check_constraint_dependency(meta, col, "drop")
+    mapping = dict(
+        meta.get("column_mapping") or {n: n for n in names}
+    )
+    phys = mapping.pop(col)
+    meta["column_mapping"] = mapping
+    meta["dropped_physical"] = sorted(
+        set(meta.get("dropped_physical") or ()) | {phys}
+    )
+    meta["schema"] = ", ".join(f"{n} {t}" for n, t in fields if n != col)
+    return commit(
+        table_dir,
+        add=[],
+        metadata=meta,
+        expected_version=tip + 1,
+        operation="DROP COLUMN",
+    )
+
+
+def _check_constraint_dependency(meta: dict, col: str, verb: str) -> None:
+    """Refuse renaming/dropping a column a CHECK constraint references —
+    the predicate text would silently stop matching rows (Delta fails
+    the ALTER the same way). Word-boundary textual match: conservative
+    (a same-named identifier inside a string literal also refuses),
+    which errs loud, never silent."""
+    import re
+
+    pat = re.compile(rf"\b{re.escape(col)}\b")
+    for name, pred in (meta.get("constraints") or {}).items():
+        if pat.search(pred):
+            raise ValueError(
+                f"cannot {verb} column {col!r}: CHECK constraint "
+                f"{name!r} ({pred}) references it — drop the constraint "
+                "first"
+            )
 
 
 class ConstraintViolation(ValueError):
@@ -1270,11 +1649,21 @@ def validated_write(
                 "metadata) to change the table's schema deliberately"
             )
     if not (meta.get("constraints") or {}):
-        return write_files(df, table_dir, stats_cols=stats_cols)
+        return write_files(
+            _to_physical(df, meta),
+            table_dir,
+            stats_cols=_physical_stats_cols(stats_cols, meta),
+        )
     df = df.persist()
     try:
         _enforce_constraints(df, meta)
-        return write_files(df, table_dir, stats_cols=stats_cols)
+        # under column mapping the write renames logical→physical ON TOP
+        # of the cache — the written plan still reads the persisted frame
+        return write_files(
+            _to_physical(df, meta),
+            table_dir,
+            stats_cols=_physical_stats_cols(stats_cols, meta),
+        )
     finally:
         df.unpersist()
 
@@ -1347,7 +1736,9 @@ def _write_files_checked(
     constraints = (meta or {}).get("constraints") or {}
     if not constraints:
         return write_files(
-            flagged.drop("__txlog_modified"), table_dir, stats_cols=stats_cols
+            _to_physical(flagged.drop("__txlog_modified"), meta),
+            table_dir,
+            stats_cols=_physical_stats_cols(stats_cols, meta),
         )
     from pyspark.sql import functions as F
 
@@ -1357,7 +1748,9 @@ def _write_files_checked(
             flagged.where(F.col("__txlog_modified")), meta
         )
         return write_files(
-            flagged.drop("__txlog_modified"), table_dir, stats_cols=stats_cols
+            _to_physical(flagged.drop("__txlog_modified"), meta),
+            table_dir,
+            stats_cols=_physical_stats_cols(stats_cols, meta),
         )
     finally:
         flagged.unpersist()
@@ -1665,9 +2058,11 @@ def last_txn(table_dir: str, app_id: str) -> int | None:
 def table_changes(
     spark: SparkSession,
     table_dir: str,
-    start_version: int,
+    start_version: int | None = None,
     end_version: int | None = None,
     key: str = "id",
+    starting_timestamp=None,
+    ending_timestamp=None,
 ) -> DataFrame:
     """Per-commit change-data rows for versions ``start..end`` — the
     Delta ``table_changes`` (Change Data Feed) read, reconstructed from
@@ -1739,12 +2134,41 @@ def table_changes(
     distinguish "no changes" from a bad call by row count, not by
     catching errors); only a range outside the log raises.
 
+    The range can be given on the TIMESTAMP axis instead (Delta pairs
+    every CDF version argument with a timestamp form):
+    ``starting_timestamp`` resolves to the FIRST version committed at
+    or after it (raising when it lies past the tip — no changes exist
+    there) and ``ending_timestamp`` to the LAST version committed at or
+    before it, both through :func:`version_at_timestamp`; each axis is
+    mutually exclusive with its version twin.
+
     Reference parity: the reference's downstream consumers
     read per-operation change rows off the wire log
     (``/root/reference/README.md:86-125``); this is the same feed
     recovered from the TABLE's own history, no wire log needed."""
     from pyspark.sql import functions as F
 
+    if starting_timestamp is not None:
+        if start_version is not None:
+            raise ValueError(
+                "table_changes: pass start_version= or "
+                "starting_timestamp=, not both"
+            )
+        start_version = version_at_timestamp(
+            table_dir, starting_timestamp, mode="at_or_after"
+        )
+    if start_version is None:
+        raise ValueError(
+            "table_changes: a range start is required — start_version= "
+            "or starting_timestamp="
+        )
+    if ending_timestamp is not None:
+        if end_version is not None:
+            raise ValueError(
+                "table_changes: pass end_version= or ending_timestamp=, "
+                "not both"
+            )
+        end_version = version_at_timestamp(table_dir, ending_timestamp)
     tip = latest_version(table_dir)
     end = tip if end_version is None else end_version
     if start_version < 0 or end > tip or start_version > end:
@@ -1759,7 +2183,24 @@ def table_changes(
     # and the driver-side log fold stays O(range), not O(range × prefix)
     _, _, end_meta, _ = _resolve(table_dir, end)
     declared = (end_meta or {}).get("schema")
-    reader = spark.read.schema(declared) if declared is not None else spark.read
+    end_mapping = _mapping_of(end_meta)
+    reader = (
+        spark.read.schema(
+            _physical_ddl(declared, end_meta) if end_mapping else declared
+        )
+        if declared is not None
+        else spark.read
+    )
+
+    def _cdf_scan(files_, dv_):
+        """One side's DV-aware scan, projected to the END version's
+        LOGICAL names under column mapping (the same rule as the
+        schema: the feed is served in the reading snapshot's shape —
+        physical names are frozen, so files from every vintage in the
+        range read uniformly)."""
+        s = _scan_files_with_dvs(spark, files_, dv_, reader)
+        return _project_logical(s, end_meta) if end_mapping else s
+
     commits: list[dict] = []
     for v in range(start_version, end + 1):
         with open(_commit_path(table_dir, v)) as f:
@@ -1838,7 +2279,7 @@ def table_changes(
             if not adds:
                 continue  # metadata-only commit: no row changes
             per_version.append(
-                _scan_files_with_dvs(spark, adds, post_dv, reader).select(
+                _cdf_scan(adds, post_dv).select(
                     "*", F.lit("insert").alias("_change_type"), *meta
                 )
             )
@@ -1852,18 +2293,16 @@ def table_changes(
         # exchange and the guard costs no extra scan or shuffle.
         dup_w = Window.partitionBy(key)
         pre = (
-            _scan_files_with_dvs(spark, removes, pre_dv, reader)
+            _cdf_scan(removes, pre_dv)
             .withColumn("_b_present", F.lit(True))
             .withColumn("_b_dupn", F.count(F.lit(1)).over(dup_w))
             .alias("b")
         )
         post = (
             (
-                _scan_files_with_dvs(spark, adds, post_dv, reader)
+                _cdf_scan(adds, post_dv)
                 if adds
-                else _scan_files_with_dvs(
-                    spark, removes, pre_dv, reader
-                ).limit(0)
+                else _cdf_scan(removes, pre_dv).limit(0)
             )
             .withColumn("_a_present", F.lit(True))
             .withColumn("_a_dupn", F.count(F.lit(1)).over(dup_w))
@@ -1943,7 +2382,7 @@ def table_changes(
         # (Delta contract — "no changes" is a row count, not an error)
         files = snapshot_files(table_dir, end) or snapshot_files(table_dir)
         if files:
-            base = reader.parquet(files[0])
+            base = _cdf_scan([files[0]], {})
         elif declared is not None:
             base = spark.createDataFrame([], declared)
         else:

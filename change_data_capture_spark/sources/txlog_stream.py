@@ -29,7 +29,12 @@ immutability:
   ``insert`` / ``delete`` / ``update_preimage`` / ``update_postimage``
   rows with ``_commit_version`` / ``_operation`` meta columns, appends
   included (pure inserts). ``.option("startingVersion", N)`` starts a
-  FRESH checkpoint at commit ``N`` (both modes); ``.option("cdfKey",
+  FRESH checkpoint at commit ``N`` (both modes);
+  ``.option("startingTimestamp", ts)`` is its timestamp twin — the
+  first version committed at or after ``ts``
+  (:func:`txlog.version_at_timestamp`; a ``ts`` past the tip starts
+  AFTER it, waiting for future commits — Delta's streaming behavior),
+  mutually exclusive with ``startingVersion``. ``.option("cdfKey",
   col)`` names the diff key (default ``id``), with the same
   fail-loud duplicate-key guard as the batch reader. Deletion-vector
   commits feed exactly their newly-deleted rows — each side of the
@@ -175,6 +180,26 @@ class _CdfDiff(InputPartition):
         self.key = key
         self.pre = pre
         self.post = post
+
+
+def _check_not_vacuumed(paths, start_v: int, end_v: int) -> None:
+    """Pinned boundary contract: a micro-batch whose commits reference
+    data files (or DV sidecars) that :func:`txlog.vacuum` has already
+    reclaimed fails AT PLANNING with a guided error, not as an executor
+    FileNotFound stack trace — the stream's start (or its lag) is behind
+    the table's retention horizon, and the fix is a retained start or a
+    longer retention, which the message says. Driver-side, one ``stat``
+    per planned file — bounded by the batch's churn, metadata-scale at
+    any table size."""
+    missing = sorted({p for p in paths if not os.path.exists(p)})
+    if missing:
+        raise ValueError(
+            f"cdc_txlog source: {len(missing)} file(s) referenced by "
+            f"commits ({start_v}, {end_v}] no longer exist (vacuumed "
+            f"past this stream's position), e.g. {missing[0]} — restart "
+            "from a retained version (startingVersion) or raise vacuum "
+            "retention_versions"
+        )
 
 
 def _opt(options: dict, name: str, default=None):
@@ -413,6 +438,25 @@ class TxlogStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
         self.table_dir = _required_path(options)
+        # column mapping: a table whose columns were RENAMED or DROPPED
+        # reads through a logical→physical projection the streaming
+        # reader does not perform (its per-file arrow reads are keyed by
+        # the declared names) — refuse up front, Delta's own restriction
+        # ("streaming reads from a table with column mapping changes are
+        # unsupported"). An identity mapping (enabled, nothing renamed
+        # yet) is harmless and allowed.
+        meta = txlog.table_metadata(self.table_dir) or {}
+        mapping = meta.get("column_mapping") or {}
+        if any(l != p for l, p in mapping.items()) or meta.get(
+            "dropped_physical"
+        ):
+            raise ValueError(
+                "cdc_txlog source: streaming over a column-mapped table "
+                "whose columns were renamed or dropped is unsupported "
+                "(Delta's own streaming restriction) — consume a "
+                "snapshot read instead, or restart the pipeline on a "
+                "rewritten copy"
+            )
         self.skip_change_commits = (
             str(_opt(options, "skipChangeCommits", "false")).lower() == "true"
         )
@@ -427,7 +471,42 @@ class TxlogStreamReader(DataSourceStreamReader):
             )
         self.cdf_key = _opt(options, "cdfKey", "id")
         sv = _opt(options, "startingVersion")
-        self.starting_version = int(sv) if sv is not None else 0
+        st = _opt(options, "startingTimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "cdc_txlog source: startingVersion and startingTimestamp "
+                "are mutually exclusive — two spellings of the same start"
+            )
+        if st is not None:
+            # Delta's startingTimestamp: first version committed at or
+            # after the timestamp. Parse FIRST (a garbage option must
+            # raise, not silently start at the tip), then resolve; a
+            # timestamp past the tip starts AFTER it — a stream waits
+            # for future commits instead of refusing (Delta's streaming
+            # behavior, unlike the batch reader's raise).
+            ts = txlog._ts_seconds(st)
+            stamps = txlog.commit_timestamps(self.table_dir)
+            if stamps and ts <= stamps[-1]:
+                self.starting_version = txlog.version_at_timestamp(
+                    self.table_dir, ts, mode="at_or_after"
+                )
+            else:
+                self.starting_version = len(stamps)
+        else:
+            self.starting_version = int(sv) if sv is not None else 0
+        # pinned boundary contract (both modes): startingVersion may be
+        # any committed version, or tip+1 (a future-only stream — the
+        # same stance as a past-tip startingTimestamp); anything beyond
+        # is a typo'd version, refused at construction like Delta's
+        # "provided version is greater than the latest" error.
+        tip = txlog.latest_version(self.table_dir)
+        if self.starting_version > tip + 1:
+            raise ValueError(
+                f"cdc_txlog source: startingVersion "
+                f"{self.starting_version} is past the log tip ({tip}); "
+                f"use a committed version, or {tip + 1} to stream only "
+                "future commits"
+            )
         mft = _opt(options, "maxFilesPerTrigger")
         self.max_files = int(mft) if mft is not None else 0
         if mft is not None and self.max_files < 1:
@@ -471,6 +550,7 @@ class TxlogStreamReader(DataSourceStreamReader):
             files = _added_files(
                 self.table_dir, start_v, end_v, self.skip_change_commits
             )
+            _check_not_vacuumed(files, start_v, end_v)
             return [_AddedFile(p) for p in files]
         # CDF planning: per-version dv-state fold from the batch start
         state: dict[str, dict | str] = (
@@ -505,6 +585,18 @@ class TxlogStreamReader(DataSourceStreamReader):
                 continue
             post = [(p, dv_of(p, state)) for p in adds]
             parts.append(_CdfDiff(v, op, self.cdf_key, pre, post))
+        refs: list[str] = []
+        for part in parts:
+            if isinstance(part, _CdfInsert):
+                refs.append(part.path)
+                if part.dv_dir:
+                    refs.append(part.dv_dir)
+            else:
+                for p, dv in part.pre + part.post:
+                    refs.append(p)
+                    if dv:
+                        refs.append(dv)
+        _check_not_vacuumed(refs, start_v, end_v)
         return parts
 
     def _data_fields(self):

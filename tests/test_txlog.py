@@ -2332,3 +2332,381 @@ def test_stream_apply_dv_fails_loud_on_uri_mismatch(tmp_path):
     # attached dv with zero positions for this file's URI: refuse
     with pytest.raises(ValueError, match="no positions"):
         _apply_dv(data, dpath, str(dv_dir))
+
+
+def test_version_at_timestamp_boundaries(spark, tmp_path):
+    """The timestamp→version fold behind every TIMESTAMP AS OF surface:
+    a ts before the first commit raises; between commits resolves DOWN
+    (last version at or before); a tie resolves to the stamped version;
+    at or past the tip resolves to the tip; at_or_after gives the CDF
+    start semantics (first version at or after, raising past the tip);
+    non-monotone raw timestamps are served through the running-max fold
+    (Delta's monotonicity rule); an un-stamped commit falls back to its
+    commit file's mtime."""
+    t = str(tmp_path / "t")
+    for v, ts in enumerate((100.0, 200.0, 300.0)):
+        txlog.commit(
+            t,
+            add=txlog.write_files(_df(spark, [(v, "x")]), t),
+            expected_version=v,
+            timestamp=ts,
+        )
+    vat = txlog.version_at_timestamp
+    with pytest.raises(ValueError, match="before"):
+        vat(t, 50.0)
+    assert vat(t, 100.0) == 0
+    assert vat(t, 150.0) == 0
+    assert vat(t, 200.0) == 1  # tie: the stamped version itself
+    assert vat(t, 250.0) == 1
+    assert vat(t, 300.0) == 2
+    assert vat(t, 1e12) == 2  # past the tip = the tip
+    # CDF start semantics
+    assert vat(t, 50.0, mode="at_or_after") == 0
+    assert vat(t, 150.0, mode="at_or_after") == 1
+    assert vat(t, 300.0, mode="at_or_after") == 2
+    with pytest.raises(ValueError, match="after"):
+        vat(t, 301.0, mode="at_or_after")
+    # ISO string / datetime forms normalize to the same answer
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        250.0, datetime.timezone.utc
+    ).isoformat()
+    assert vat(t, iso) == 1
+    # REGRESSED raw timestamp (250 after 300): served at the running max
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(3, "y")]), t),
+        expected_version=3,
+        timestamp=250.0,
+    )
+    assert txlog.commit_timestamps(t) == [100.0, 200.0, 300.0, 300.0]
+    assert vat(t, 300.0) == 3  # the tie now includes the folded commit
+    # un-stamped commit: mtime fallback (now >> 300) keeps the fold sane
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(4, "z")]), t),
+        expected_version=4,
+    )
+    stamps = txlog.commit_timestamps(t)
+    assert stamps[4] > 300.0 and stamps == sorted(stamps)
+
+
+def test_timestamp_travel_read_restore_and_cdf(spark, tmp_path):
+    """TIMESTAMP AS OF across the read surface: read_version(timestamp=)
+    reads the resolved snapshot, restore(timestamp=) rewinds to it, and
+    table_changes' starting/ending_timestamp bound the same range as
+    their version twins; each axis is mutually exclusive with the
+    other."""
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(1, "a"), (2, "b")]), t),
+        expected_version=0,
+        operation="WRITE",
+        timestamp=100.0,
+        metadata={"schema": "id BIGINT, v STRING"},
+    )
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(1, "A"), (2, "b")]), t),
+        remove=txlog.snapshot_files(t),
+        expected_version=1,
+        operation="UPDATE",
+        timestamp=200.0,
+    )
+    # snapshot at ts=150 = v0's image
+    got = sorted(
+        tuple(r) for r in txlog.read_version(spark, t, timestamp=150.0).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="not both"):
+        txlog.read_version(spark, t, 0, timestamp=150.0)
+    # CDF timestamp range == version range
+    by_ts = txlog.table_changes(
+        spark, t, starting_timestamp=150.0, ending_timestamp=250.0
+    )
+    by_v = txlog.table_changes(spark, t, 1, 1)
+    assert sorted(map(tuple, by_ts.collect())) == sorted(
+        map(tuple, by_v.collect())
+    )
+    with pytest.raises(ValueError, match="not both"):
+        txlog.table_changes(spark, t, 1, starting_timestamp=150.0)
+    with pytest.raises(ValueError, match="range start is required"):
+        txlog.table_changes(spark, t)
+    # restore by timestamp: the tip becomes v0's snapshot again
+    txlog.restore(t, timestamp=150.0)
+    got = sorted(tuple(r) for r in txlog.read_version(spark, t).collect())
+    assert got == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="version= or timestamp="):
+        txlog.restore(t)
+
+
+def test_stream_starting_timestamp_and_version_boundaries(spark, tmp_path):
+    """The streaming source's start contract, pinned in BOTH modes:
+    startingTimestamp resolves to the first version at or after the
+    instant; a past-tip timestamp starts AFTER the tip (future-only
+    stream, no error); startingVersion beyond tip+1 is refused at
+    construction; the two options are mutually exclusive; a garbage
+    timestamp raises instead of silently starting at the tip."""
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    for v, ts in enumerate((100.0, 200.0)):
+        txlog.commit(
+            t,
+            add=txlog.write_files(_df(spark, [(v, "x")]), t),
+            expected_version=v,
+            operation="WRITE",
+            timestamp=ts,
+            metadata={"schema": "id BIGINT, v STRING"} if v == 0 else None,
+        )
+    schema = spark.createDataFrame([], "id long, v string").schema
+    for extra in ({}, {"readchangefeed": "true"}):
+        mk = lambda **o: TxlogStreamReader(schema, {"path": t, **extra, **o})
+        # ts between commits -> first version at or after (v1)
+        assert mk(startingtimestamp="150.0").starting_version == 1
+        # past the tip -> future-only (tip+1), a stream waits
+        assert mk(startingtimestamp="9e9").starting_version == 2
+        assert mk(startingversion="2").starting_version == 2  # tip+1 ok
+        with pytest.raises(ValueError, match="past the log tip"):
+            mk(startingversion="3")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            mk(startingversion="1", startingtimestamp="150.0")
+        with pytest.raises(ValueError):
+            mk(startingtimestamp="not-a-time")
+
+
+def test_stream_vacuumed_horizon_fails_at_planning(spark, tmp_path):
+    """A micro-batch whose commits reference vacuumed files fails AT
+    PLANNING with a guided error naming the fix (retained start /
+    longer retention), in BOTH modes — not as an executor FileNotFound
+    stack trace."""
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(1, "a")]), t),
+        expected_version=0,
+        operation="WRITE",
+        metadata={"schema": "id BIGINT, v STRING"},
+    )
+    txlog.commit(
+        t,
+        add=txlog.write_files(_df(spark, [(1, "A")]), t),
+        remove=txlog.snapshot_files(t),
+        expected_version=1,
+        operation="UPDATE",
+    )
+    # reclaim v0's pre-image: any batch replaying commit 0 (or diffing
+    # commit 1's pre side) now references a missing file
+    txlog.vacuum(t, data_grace_seconds=0.0)
+    schema = spark.createDataFrame([], "id long, v string").schema
+    append = TxlogStreamReader(schema, {"path": t})
+    with pytest.raises(ValueError, match="vacuumed"):
+        append.partitions({"version": -1}, {"version": 0})
+    cdf = TxlogStreamReader(schema, {"path": t, "readchangefeed": "true"})
+    with pytest.raises(ValueError, match="vacuumed"):
+        cdf.partitions({"version": 0}, {"version": 1})
+
+
+def test_column_mapping_rename_drop_metadata_only(spark, tmp_path):
+    """RENAME/DROP COLUMN are metadata-only commits (zero add/remove
+    actions in history), pre-rename files read correctly under the new
+    logical names, DROP hides its column without any rewrite, and time
+    travel to pre-rename versions reads under THAT version's own
+    names — each snapshot self-consistent."""
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t,
+        add=[],
+        expected_version=0,
+        metadata={"schema": "id BIGINT, name STRING, note STRING"},
+    )
+    df = spark.createDataFrame(
+        [(1, "a", "n1"), (2, "b", "n2")], "id long, name string, note string"
+    )
+    txlog.commit(t, add=txlog.validated_write(df, t), expected_version=1)
+    files_before = set(txlog.snapshot_files(t))
+    txlog.rename_column(t, "name", "product_name")
+    txlog.drop_column(t, "note")
+    # metadata-only: same data files in the snapshot, 0 add / 0 remove
+    assert set(txlog.snapshot_files(t)) == files_before
+    ops = {
+        h["version"]: (h["operation"], h["n_add"], h["n_remove"])
+        for h in txlog.history(t)
+    }
+    assert ops[2] == ("RENAME COLUMN", 0, 0)
+    assert ops[3] == ("DROP COLUMN", 0, 0)
+    tip = txlog.read_version(spark, t)
+    assert tip.columns == ["id", "product_name"]
+    assert sorted(tuple(r) for r in tip.collect()) == [(1, "a"), (2, "b")]
+    # pre-rename snapshot: original shape
+    v1 = txlog.read_version(spark, t, 1)
+    assert v1.columns == ["id", "name", "note"]
+    assert sorted(tuple(r) for r in v1.collect()) == [
+        (1, "a", "n1"),
+        (2, "b", "n2"),
+    ]
+    # post-rename append translates logical→physical on write: the new
+    # file's on-disk column is the FROZEN physical name ("name")
+    txlog.commit(
+        t,
+        add=txlog.validated_write(
+            spark.createDataFrame([(3, "c")], "id long, product_name string"), t
+        ),
+        expected_version=4,
+    )
+    import pyarrow.parquet as pq
+
+    newest = [
+        p for p in txlog.snapshot_files(t) if p not in files_before
+    ]
+    assert newest and all(
+        pq.read_schema(p).names == ["id", "name"] for p in newest
+    )
+    assert sorted(
+        tuple(r) for r in txlog.read_version(spark, t).collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_column_mapping_dml_cdf_and_skipping(spark, tmp_path):
+    """The full surface operates on LOGICAL names across a rename:
+    UPDATE/DELETE/MERGE predicates and images, the change feed (served
+    in the END version's logical shape), and per-file stats skipping
+    (stats stay keyed by frozen physical names; the predicate column
+    translates)."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t, add=[], expected_version=0, metadata={"schema": "id BIGINT, v STRING"}
+    )
+    df = spark.range(0, 100).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    ).repartitionByRange(4, "id")
+    txlog.commit(
+        t,
+        add=txlog.validated_write(df, t, stats_cols=["id"]),
+        expected_version=1,
+    )
+    pruned_before = txlog.snapshot_files(t, predicate_range=("id", 0, 10))
+    txlog.rename_column(t, "id", "pid")
+    # skipping through the renamed logical name prunes identically
+    assert txlog.snapshot_files(
+        t, predicate_range=("pid", 0, 10)
+    ) == pruned_before
+    assert len(pruned_before) < len(txlog.snapshot_files(t))
+    # DML over logical names
+    txlog.update_where(
+        spark, t, "pid = 1", {"v": "upper(v)"}, stats_cols=["pid"],
+        prune_range=("pid", 1, 1),
+    )
+    txlog.delete_where(
+        spark, t, "pid = 2", stats_cols=["pid"], prune_range=("pid", 2, 2)
+    )
+    txlog.merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(3, "V3"), (100, "v100")], "pid long, v string"),
+        key="pid",
+        stats_cols=["pid"],
+    )
+    got = {r["pid"]: r["v"] for r in txlog.read_version(spark, t).collect()}
+    assert got[1] == "V1" and 2 not in got and got[3] == "V3" and got[100] == "v100"
+    # CDF across the whole DML run, in end-version logical names
+    feed = txlog.table_changes(spark, t, 3, key="pid")
+    assert set(feed.columns) == {
+        "pid", "v", "_change_type", "_commit_version", "_operation"
+    }
+    by_type = sorted(
+        (r["_change_type"], r["pid"]) for r in feed.collect()
+    )
+    assert ("update_preimage", 1) in by_type and ("delete", 2) in by_type
+    assert ("insert", 100) in by_type
+
+
+def test_column_mapping_refusals_and_tombstone(spark, tmp_path):
+    """The ALTER guards: unknown/colliding names, missing declared
+    schema, the last remaining column, and a CHECK-constraint-referenced
+    column all refuse; a dropped column's physical name is tombstoned so
+    re-adding the logical name without a fresh physical raises at read
+    (never silent resurrection); streaming refuses a renamed table but
+    allows an identity (never-renamed) mapping."""
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="declared table schema"):
+        txlog.rename_column(str(tmp_path / "none"), "a", "b")
+    txlog.commit(
+        t,
+        add=[],
+        expected_version=0,
+        metadata={
+            "schema": "id BIGINT, price DOUBLE",
+            "constraints": {"price_pos": "price > 0"},
+        },
+    )
+    txlog.commit(
+        t,
+        add=txlog.validated_write(
+            spark.createDataFrame([(1, 10.0)], "id long, price double"), t
+        ),
+        expected_version=1,
+    )
+    with pytest.raises(ValueError, match="not a table column"):
+        txlog.rename_column(t, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        txlog.rename_column(t, "id", "price")
+    with pytest.raises(ValueError, match="constraint"):
+        txlog.rename_column(t, "price", "cost")
+    with pytest.raises(ValueError, match="constraint"):
+        txlog.drop_column(t, "price")
+    txlog.rename_column(t, "id", "pid")
+    schema = spark.createDataFrame([], "pid long, price double").schema
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        TxlogStreamReader(schema, {"path": t})
+    txlog.drop_column(t, "pid")
+    with pytest.raises(ValueError, match="only column"):
+        txlog.drop_column(t, "price")
+    # tombstone: the dropped column's PHYSICAL name is "id" (pid was
+    # renamed from it; physical names freeze at enable time). Re-adding
+    # a column whose identity-physical hits that tombstone via raw
+    # metadata fails loudly at scan build — old files still hold the
+    # dropped bytes under "id". Re-adding logical "pid" instead is SAFE
+    # (its identity physical "pid" never existed on disk): reads
+    # null-fill, no resurrection.
+    assert txlog.table_metadata(t)["dropped_physical"] == ["id"]
+    meta = dict(txlog.table_metadata(t))
+    meta["schema"] = meta["schema"] + ", id BIGINT"
+    txlog.commit(
+        t, add=[], metadata=meta, expected_version=txlog.latest_version(t) + 1
+    )
+    with pytest.raises(ValueError, match="tombstoned"):
+        txlog.read_version(spark, t).collect()
+    # identity mapping (enabled, nothing renamed): streaming allowed
+    t2 = str(tmp_path / "t2")
+    txlog.commit(
+        t2,
+        add=[],
+        expected_version=0,
+        metadata={
+            "schema": "id BIGINT, v STRING",
+            "column_mapping": {"id": "id", "v": "v"},
+        },
+    )
+    txlog.commit(
+        t2,
+        add=txlog.write_files(_df(spark, [(1, "a")]), t2),
+        expected_version=1,
+    )
+    schema2 = spark.createDataFrame([], "id long, v string").schema
+    r = TxlogStreamReader(schema2, {"path": t2})
+    assert r.starting_version == 0
