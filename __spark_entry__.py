@@ -36,37 +36,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # record through round 12: 230/230 registered queries have a driver row,
 # all hash-matched, 0 failures; the staleness ledger entering round 13 is
 # 23@r7 / 42@r8 / 39@r9 / 39@r10 / 37@r11 / 50@r12. Round-13 rotation:
-# the two r13 additions lead (never checked: timestamp-based time travel,
-# column-mapping RENAME/DROP), then the gates whose EXECUTED code changed
-# in round 13 — table_changes was rewritten (lazy in-plan dup-key guard,
-# column-mapping projection, timestamp range args), validated_write gained
-# the persist fusion + logical->physical write translation (constrained
-# write + schema evolution), the DML write/rewrite paths route through
-# _to_physical (update/merge via _write_files_checked, delete's rewrite
-# class), read_version/restore gained the timestamp axis and the mapping
-# projection, snapshot_files translates predicate columns, the sharding
+# the three r13 additions lead (never checked: timestamp-based time
+# travel, column-mapping RENAME/DROP, maxBytesPerTrigger admission), then
+# the gates whose EXECUTED code changed in round 13 — table_changes was
+# rewritten (lazy in-plan dup-key guard, column-mapping projection,
+# timestamp range args), validated_write gained the persist fusion +
+# logical->physical write translation (constrained write + schema
+# evolution), the DML write/rewrite paths route through _to_physical
+# (update/merge via _write_files_checked, delete's rewrite class),
+# read_version/restore gained the timestamp axis and the mapping
+# projection, snapshot_files translates predicate columns, write_files
+# records add.size on every stats action (EVERY txlog gate builds its
+# table through it — so txlog_compaction / vacuum / vacuum_retention /
+# metadata_count / history rejoin the block this round), the sharding
 # sweep gained the zero-denominator FPR guard, and txlog_stream gained
 # startingTimestamp / startingVersion validation / the vacuumed-horizon
-# planning check / the DV-URI fail-loud (all six txlog-backed streaming
-# gates construct that reader or run DML). txlog_compaction / vacuum /
-# vacuum_retention / metadata_count / history are NOT in the block:
-# their own operators (compaction, vacuum, count_rows, history) are
-# untouched this round and the shared-read-path guards they'd re-verify
-# are covered by the five read-path gates that ARE in it. Then the whole
-# 23-name r7 tier (the documented r12 carry — after this round NOTHING
-# is older than r8), then the 6 oldest-priority r8 names led by the
-# flagship SCD2 family. 2+19+23+6 = 50 exactly; the remaining 36 r8
-# names are the documented round-14 carry. Names absent from this tuple
-# (latest row r8-r12) rank last in registration order.
+# planning check / the byte+file combined admission walk / the DV-URI
+# fail-loud (all six txlog-backed streaming gates construct that reader
+# or run DML). Then the whole 23-name r7 tier (the documented r12 carry
+# — after this round NOTHING is older than r8). 3+24+23 = 50 exactly;
+# the 42 r8 names are the documented round-14 carry. Names absent from
+# this tuple (latest row r8-r12) rank last in registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # --- round-13 additions (never driver-checked) ---
     "txlog_time_travel_ts",
     "txlog_rename_column",
+    "streaming_txlog_rate_limit_bytes",
     # --- code changed in round 13 -> re-verify ---
     "txlog_cdf_ops", "txlog_constrained_write", "txlog_schema_evolution_read",
     "txlog_delete_where", "txlog_delete_dv", "txlog_update_where",
     "txlog_merge_upsert", "txlog_time_travel", "txlog_restore",
     "txlog_data_skipping", "txlog_zorder_skipping", "txlog_change_feed",
+    "txlog_compaction", "txlog_vacuum", "txlog_vacuum_retention",
+    "txlog_metadata_count", "txlog_history",
     "corpus_decontamination_sharding_sweep",
     "streaming_txlog_source_feed", "streaming_txlog_skip_change_commits",
     "streaming_txlog_cdf_feed", "streaming_txlog_rate_limit",
@@ -83,9 +85,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_complete_mode_topk", "streaming_outer_join_unmatched",
     "streaming_update_mode_counts", "text_commonness_score",
     "text_feature_hashing",
-    # --- oldest r8 names (6 of 42 fit; 36 remain = the round-14 carry) ---
-    "scd2_products", "scd2_users", "scd2_products_sql",
-    "cdc_change_log", "dim_current_products", "cdc_dedup_op_counts",
 )
 
 

@@ -146,9 +146,11 @@ HEADLINE = [
     "streaming_txlog_cdf_feed",
     "streaming_txlog_rate_limit",
     "corpus_decontamination_sharding_sweep",
-    # round-13 additions: timestamp-based time travel, column mapping
+    # round-13 additions: timestamp-based time travel, column mapping,
+    # byte-budget stream admission
     "txlog_time_travel_ts",
     "txlog_rename_column",
+    "streaming_txlog_rate_limit_bytes",
     "corpus_split_neardup_safe",
     "scd2_schema_evolution",
     "multimodal_audio_energy_windows",

@@ -595,14 +595,17 @@ def write_files(
     return their add actions — NOT yet part of any snapshot until a
     :func:`commit` references them.
 
-    With ``stats_cols``, each action is a ``{"path", "stats",
-    "num_rows"}`` dict carrying per-file min/max for those columns
-    (enables ``predicate_range`` skipping) and the file's row count
-    (enables metadata-only :func:`count_rows` — Delta's ``numRecords``).
-    Stats come from one distributed read-back aggregation grouped by
-    ``input_file_name()`` — a production writer lifts the identical
-    numbers from the parquet footers it just wrote; the collect is
-    per-FILE metadata, bounded by file count, never row count."""
+    With ``stats_cols``, each action is a ``{"path", "size", "stats",
+    "num_rows"}`` dict carrying the file's byte size (Delta's required
+    ``add.size`` field — what byte-budget stream admission reads from
+    the LOG instead of re-statting the filesystem every trigger),
+    per-file min/max for those columns (enables ``predicate_range``
+    skipping) and the file's row count (enables metadata-only
+    :func:`count_rows` — Delta's ``numRecords``). Stats come from one
+    distributed read-back aggregation grouped by ``input_file_name()``
+    — a production writer lifts the identical numbers from the parquet
+    footers it just wrote; the collect is per-FILE metadata, bounded by
+    file count, never row count."""
     out = os.path.join(table_dir, "data", uuid.uuid4().hex)
     df.write.parquet(out)
     paths = sorted(
@@ -639,6 +642,7 @@ def write_files(
     return [
         {
             "path": p,
+            "size": os.path.getsize(p),
             "stats": by_file.get(os.path.abspath(p), {}),
             "num_rows": nrows.get(os.path.abspath(p), 0),
         }

@@ -44,8 +44,16 @@ immutability:
   advancing at the version boundary where the cumulative added-file
   count of the pending commits reaches ``N``, so a stream that falls
   behind catches up in bounded micro-batches instead of one huge one.
-  Offsets stay VERSION-aligned (a single commit larger than the cap
-  still feeds whole — the at-least-one-unit progress guarantee).
+  ``.option("maxBytesPerTrigger", B)`` is its byte-budget twin (Delta
+  pairs the two; ``B`` is an integer or a ``k``/``m``/``g``-suffixed
+  string) — the right knob when file SIZES vary: a count cap admits 10
+  small files or 10 huge ones alike, a byte cap holds the micro-batch's
+  input volume (and so executor memory) steady. Sizes come from each
+  add action's own ``size`` field (the log is the source of truth —
+  pure KB-JSON walk) with a driver-side ``stat`` fallback for
+  size-less legacy actions. Both set = both apply, whichever binds
+  first. Offsets stay VERSION-aligned (a single commit larger than a
+  cap still feeds whole — the at-least-one-unit progress guarantee).
   BEST-EFFORT like Delta's own knob: the Python DataSource API passes
   no start offset to ``latestOffset``, so the cap engages once the run
   has planned its first micro-batch — the first trigger of a fresh run
@@ -200,6 +208,40 @@ def _check_not_vacuumed(paths, start_v: int, end_v: int) -> None:
             "from a retained version (startingVersion) or raise vacuum "
             "retention_versions"
         )
+
+
+def _parse_bytes(v) -> int:
+    """A byte budget the way Delta spells it: a plain integer, or a
+    ``k``/``m``/``g`` suffixed string (``"10g"``). Garbage raises — a
+    typo'd cap must never silently become an uncapped stream."""
+    s = str(v).strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1:], 1)
+    digits = s[:-1] if mult != 1 else s
+    try:
+        return int(digits) * mult
+    except ValueError:
+        raise ValueError(
+            f"cdc_txlog source: maxBytesPerTrigger must be an integer "
+            f"byte count or a k/m/g-suffixed string, got {v!r}"
+        ) from None
+
+
+def _add_size(action) -> int:
+    """Byte size of one add action's data file, for byte-budget
+    admission: the action's own ``size`` field when the writer recorded
+    it (:func:`txlog.write_files` with stats — Delta's required
+    ``add.size``, making the admission walk pure KB-JSON), else one
+    driver-side ``stat`` (bare-path legacy actions; same metadata cost
+    class as the vacuumed-horizon check). A vacuumed file reads as 0 —
+    admission must keep advancing so planning can raise its guided
+    error rather than the walk dying on a stat."""
+    if isinstance(action, dict) and action.get("size") is not None:
+        return int(action["size"])
+    p = txlog._action_path(action)
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return 0
 
 
 def _opt(options: dict, name: str, default=None):
@@ -513,6 +555,13 @@ class TxlogStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"cdc_txlog source: maxFilesPerTrigger must be >= 1, got {mft}"
             )
+        mbt = _opt(options, "maxBytesPerTrigger")
+        self.max_bytes = _parse_bytes(mbt) if mbt is not None else 0
+        if mbt is not None and self.max_bytes < 1:
+            raise ValueError(
+                f"cdc_txlog source: maxBytesPerTrigger must be >= 1 byte, "
+                f"got {mbt}"
+            )
         # highest version THIS RUN knows is consumed — the admission-
         # control base. None until initialOffset/partitions/commit binds
         # it; the engine asks for latestOffset BEFORE any of those on a
@@ -527,17 +576,26 @@ class TxlogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         tip = txlog.latest_version(self.table_dir)
-        if self.max_files <= 0 or self._consumed is None or tip <= self._consumed:
+        capped = self.max_files > 0 or self.max_bytes > 0
+        if not capped or self._consumed is None or tip <= self._consumed:
             return {"version": tip}
         # advance version by version until the cumulative added-file
-        # count would exceed the cap; always include >= 1 version so the
-        # stream makes progress past any single oversized commit
-        v, count = self._consumed, 0
+        # count OR byte volume would exceed its cap (both set = both
+        # apply, whichever binds first — Delta's combined-knob rule);
+        # always include >= 1 version so the stream makes progress past
+        # any single oversized commit
+        v, count, size = self._consumed, 0, 0
         while v < tip:
-            n = len(_commit_payload(self.table_dir, v + 1).get("add") or ())
-            if count and count + n > self.max_files:
+            adds = _commit_payload(self.table_dir, v + 1).get("add") or ()
+            n = len(adds)
+            sz = sum(_add_size(a) for a in adds) if self.max_bytes else 0
+            if (count or size) and (
+                (self.max_files and count + n > self.max_files)
+                or (self.max_bytes and size + sz > self.max_bytes)
+            ):
                 break
             count += n
+            size += sz
             v += 1
         return {"version": v}
 

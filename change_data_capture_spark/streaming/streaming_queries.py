@@ -2636,3 +2636,123 @@ def streaming_txlog_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"3 capped micro-batches, got {batches}"
         )
     return spark.read.parquet(sink)
+
+
+@query("streaming_txlog_rate_limit_bytes", oracle=_RATE_LIMIT_ORACLE)
+def streaming_txlog_rate_limit_bytes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``maxBytesPerTrigger`` on the txlog streaming source — the
+    byte-budget twin Delta pairs with ``maxFilesPerTrigger``, and the
+    right knob when file sizes vary (a count cap admits 10 small files
+    or 10 huge ones alike; a byte cap holds each micro-batch's input
+    volume, and so executor memory, steady). The orders table lands as
+    SIX append commits of TWO files each, committed WITH stats so every
+    add action carries Delta's required ``add.size`` field — the gate
+    asserts the sizes are IN THE LOG, because that is the scale story:
+    admission stays a pure KB-JSON driver walk, no filesystem re-stat
+    per trigger (bare-path legacy actions fall back to one driver-side
+    ``stat``, pinned separately in ``tests/test_txlog.py``). The budget
+    is set from the log itself to the largest consecutive-commit-pair
+    byte sum, so ``latestOffset`` must drain the backlog in exactly
+    THREE version-aligned micro-batches of two commits each (the gate
+    self-checks batch count, per-batch admitted bytes <= budget, and
+    that a third commit would have burst it); the union of the batches
+    equals the full table exactly once — what the oracle checks
+    relationally. Same driven offset-protocol loop, best-effort
+    first-trigger contract, and oversized-commit progress guarantee as
+    the file-count twin.
+
+    Scale: byte admission reads per-file sizes the writer already
+    recorded — O(versions admitted) JSON, zero data read, zero stat;
+    the knob that keeps a fallen-behind stream's catch-up micro-batches
+    executor-memory-sized regardless of how file sizes drift."""
+    from change_data_capture_spark.sources import txlog
+    from change_data_capture_spark.sources.tables import load_table
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamReader,
+        _commit_payload,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="cdc_txratebytes_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    for i in range(6):
+        txlog.commit(
+            tdir,
+            add=txlog.write_files(
+                o.where(F.col("o_orderkey") % 6 == i).repartition(2),
+                tdir,
+                stats_cols=["o_orderkey"],
+            ),
+            expected_version=i,
+            operation="WRITE",
+            metadata=(
+                {
+                    "schema": "o_orderkey BIGINT, o_custkey BIGINT, "
+                    "o_totalprice DOUBLE"
+                }
+                if i == 0
+                else None
+            ),
+        )
+    sizes = []
+    for v in range(6):
+        adds = _commit_payload(tdir, v).get("add") or ()
+        if not all(isinstance(a, dict) and a.get("size") for a in adds):
+            raise RuntimeError(
+                "add actions must carry their byte size in the LOG — "
+                "byte admission may never depend on a filesystem re-stat"
+            )
+        sizes.append(sum(a["size"] for a in adds))
+    budget = max(sizes[0] + sizes[1], sizes[2] + sizes[3], sizes[4] + sizes[5])
+    # the greedy walk sees two triple windows (commits 0-1-2 from batch
+    # 1, commits 2-3-4 from batch 2); both must burst the pair budget or
+    # the fixture would not exercise the cap
+    if budget >= min(
+        sizes[0] + sizes[1] + sizes[2], sizes[2] + sizes[3] + sizes[4]
+    ):
+        raise RuntimeError(
+            f"degenerate fixture: pair budget {budget} admits a triple "
+            f"{sizes} — the gate would not exercise the byte cap"
+        )
+    schema = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_totalprice double"
+    ).schema
+    reader = TxlogStreamReader(
+        schema, {"path": tdir, "maxbytespertrigger": str(budget)}
+    )
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    off = reader.initialOffset()
+    batches: list[tuple[int, int]] = []  # (n_commits, admitted_bytes)
+    sink = f"{tdir}/drained"
+    os.makedirs(sink, exist_ok=True)
+    while True:
+        end = reader.latestOffset()
+        if end == off:
+            break
+        lo, hi = int(off["version"]), int(end["version"])
+        parts = reader.partitions(off, end)
+        tbl = pa.concat_tables(
+            [pa.Table.from_batches([b]) for p in parts for b in reader.read(p)]
+        )
+        reader.commit(end)
+        pq.write_table(tbl, f"{sink}/batch_{len(batches):05d}.parquet")
+        batches.append((hi - lo, sum(sizes[lo + 1 : hi + 1])))
+        off = end
+    if len(batches) != 3 or any(
+        nc != 2 or nbytes > budget for nc, nbytes in batches
+    ):
+        raise RuntimeError(
+            f"maxBytesPerTrigger={budget} over commit byte sizes {sizes} "
+            f"must drain in exactly 3 two-commit micro-batches within "
+            f"budget, got {batches}"
+        )
+    return spark.read.parquet(sink)

@@ -2071,6 +2071,119 @@ def test_stream_rate_limit_caps_and_replays_exactly(spark, tmp_path):
     assert n == 13
 
 
+def test_stream_max_bytes_per_trigger(spark, tmp_path):
+    """maxBytesPerTrigger: byte-budget version-aligned admission from
+    the add actions' own size field (stat fallback for size-less bare
+    paths), at-least-one-version progress past an over-budget commit,
+    combined-cap whichever-binds-first with maxFilesPerTrigger, and the
+    option's parse/validation contract."""
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamReader,
+        _parse_bytes,
+    )
+
+    def drain_steps(reader):
+        off = reader.initialOffset()
+        steps = []
+        while True:
+            end = reader.latestOffset()
+            if end == off:
+                break
+            steps.append((off["version"], end["version"]))
+            reader.commit(end)
+            off = end
+        return steps
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        txlog.commit(
+            t,
+            add=txlog.write_files(
+                _df(spark, [(i * 2, "a"), (i * 2 + 1, "b")]).repartition(1),
+                t,
+                stats_cols=["id"],
+            ),
+            expected_version=i,
+            operation="WRITE",
+            metadata={"schema": "id BIGINT, v STRING"} if i == 0 else None,
+        )
+    import json as _json
+
+    sizes = []
+    for v in range(3):
+        with open(txlog._commit_path(t, v)) as f:
+            (a,) = _json.load(f)["add"]
+        assert a["size"] > 0, "write_files must record add.size in the log"
+        sizes.append(a["size"])
+    schema = spark.createDataFrame([], "id long, v string").schema
+
+    # pair budget: v0+v1 fit, v2 would burst -> two batches, then v2
+    budget = sizes[0] + sizes[1]
+    assert budget < sum(sizes)
+    r = TxlogStreamReader(
+        schema, {"path": t, "maxBytesPerTrigger": str(budget)}
+    )
+    assert drain_steps(r) == [(-1, 1), (1, 2)]
+
+    # budget below every single file: each over-budget commit still
+    # feeds WHOLE, one version per batch (progress guarantee)
+    r = TxlogStreamReader(schema, {"path": t, "maxBytesPerTrigger": "1"})
+    assert drain_steps(r) == [(-1, 0), (0, 1), (1, 2)]
+
+    # combined caps — whichever binds first: a huge byte budget with
+    # maxFilesPerTrigger=1 binds on files; 3 files allowed but a
+    # one-file byte budget binds on bytes
+    r = TxlogStreamReader(
+        schema,
+        {"path": t, "maxBytesPerTrigger": "1g", "maxFilesPerTrigger": "1"},
+    )
+    assert drain_steps(r) == [(-1, 0), (0, 1), (1, 2)]
+    r = TxlogStreamReader(
+        schema,
+        {
+            "path": t,
+            "maxBytesPerTrigger": str(sizes[0]),
+            "maxFilesPerTrigger": "3",
+        },
+    )
+    assert drain_steps(r) == [(-1, 0), (0, 1), (1, 2)]
+
+    # size-less bare-path actions (no stats): admission falls back to a
+    # driver-side stat and the same pair budget produces the same steps
+    t2 = str(tmp_path / "t2")
+    s2 = []
+    for i in range(3):
+        (p,) = txlog.write_files(
+            _df(spark, [(i * 2, "a"), (i * 2 + 1, "b")]).repartition(1), t2
+        )
+        import os as _os
+
+        s2.append(_os.path.getsize(p))
+        txlog.commit(
+            t2,
+            add=[p],
+            expected_version=i,
+            operation="WRITE",
+            metadata={"schema": "id BIGINT, v STRING"} if i == 0 else None,
+        )
+    r = TxlogStreamReader(
+        schema, {"path": t2, "maxBytesPerTrigger": str(s2[0] + s2[1])}
+    )
+    assert drain_steps(r) == [(-1, 1), (1, 2)]
+
+    # parse/validation contract
+    assert _parse_bytes("4k") == 4096
+    assert _parse_bytes("2m") == 2 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes(512) == 512
+    with pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        TxlogStreamReader(schema, {"path": t, "maxBytesPerTrigger": "0"})
+    with pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        TxlogStreamReader(schema, {"path": t, "maxBytesPerTrigger": "nope"})
+    with pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        TxlogStreamReader(schema, {"path": t, "maxBytesPerTrigger": "1.5m"})
+
+
 def test_stream_append_only_refuses_dv_rereference_adds(spark, tmp_path):
     """An add action CARRYING a deletion vector is not a pure append
     (it re-references a file whose rows the stream already emitted — a
