@@ -332,13 +332,24 @@ def _ts_seconds(ts) -> float:
     through — the form stream options arrive in)."""
     import datetime
 
+    import math
+
     if isinstance(ts, (int, float)) and not isinstance(ts, bool):
+        if not math.isfinite(ts):
+            raise ValueError(f"timestamp must be finite, got {ts!r}")
         return float(ts)
     if isinstance(ts, str):
         try:
-            return float(ts)
+            v = float(ts)
         except ValueError:
             ts = datetime.datetime.fromisoformat(ts)
+        else:
+            # 'nan'/'inf' parse as floats but are not instants — silently
+            # accepting them would turn a typo'd option into a stream that
+            # skips the whole log (nan compares False everywhere)
+            if not math.isfinite(v):
+                raise ValueError(f"timestamp must be finite, got {ts!r}")
+            return v
     if isinstance(ts, datetime.datetime):
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=datetime.timezone.utc)
@@ -373,7 +384,7 @@ def commit_timestamps(table_dir: str) -> list[float]:
 
 
 def version_at_timestamp(
-    table_dir: str, ts, mode: str = "at_or_before"
+    table_dir: str, ts, mode: str = "at_or_before", stamps: list | None = None
 ) -> int:
     """Resolve a timestamp to a log version — the fold behind every
     timestamp-based travel surface (``TIMESTAMP AS OF`` reads,
@@ -395,9 +406,13 @@ def version_at_timestamp(
       no changes at or after it — Delta's own refusal).
 
     Effective timestamps come from :func:`commit_timestamps` (in-commit
-    value when recorded, else commit-file mtime, monotone-folded)."""
+    value when recorded, else commit-file mtime, monotone-folded);
+    callers that already hold that list pass it via ``stamps`` so a
+    two-ended range (or the streaming start) walks the log once, not
+    per resolution."""
     ts = _ts_seconds(ts)
-    stamps = commit_timestamps(table_dir)
+    if stamps is None:
+        stamps = commit_timestamps(table_dir)
     if not stamps:
         raise ValueError(f"{table_dir} has no commits to resolve {ts} against")
     if mode == "at_or_before":
@@ -1432,6 +1447,18 @@ def _physical_name(meta: dict, logical: str) -> str:
             "name in column_mapping (old files still hold the dropped "
             "bytes under that name)"
         )
+    if logical in set(mapping.values()):
+        # the identity default would collide with a RENAMED column's
+        # frozen physical name (rename 'a'->'x' freezes physical 'a';
+        # re-adding logical 'a' by identity would alias x's bytes and
+        # duplicate the physical schema) — fail loud at plan build, the
+        # re-add needs a fresh physical name in the mapping (Delta
+        # avoids the class entirely with unique col-<id> physicals)
+        raise ValueError(
+            f"column {logical!r}'s identity physical name is already in "
+            "use by a renamed column; map the re-added column to a fresh "
+            "physical name in column_mapping"
+        )
     return logical
 
 
@@ -1521,7 +1548,10 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     mapping = dict(
         meta.get("column_mapping") or {n: n for n in names}
     )
-    mapping[new] = mapping.pop(old)
+    # a column added by post-mapping schema evolution may be absent from
+    # the mapping (identity-default on the read/write path) — its frozen
+    # physical name IS its logical name
+    mapping[new] = mapping.pop(old, old)
     meta["column_mapping"] = mapping
     meta["schema"] = ", ".join(
         f"{new if n == old else n} {t}" for n, t in fields
@@ -1564,7 +1594,8 @@ def drop_column(table_dir: str, col: str) -> int:
     mapping = dict(
         meta.get("column_mapping") or {n: n for n in names}
     )
-    phys = mapping.pop(col)
+    # identity-default for evolution-added columns, as in rename_column
+    phys = mapping.pop(col, col)
     meta["column_mapping"] = mapping
     meta["dropped_physical"] = sorted(
         set(meta.get("dropped_physical") or ()) | {phys}
@@ -2152,6 +2183,11 @@ def table_changes(
     recovered from the TABLE's own history, no wire log needed."""
     from pyspark.sql import functions as F
 
+    ts_stamps = (
+        commit_timestamps(table_dir)
+        if starting_timestamp is not None or ending_timestamp is not None
+        else None
+    )
     if starting_timestamp is not None:
         if start_version is not None:
             raise ValueError(
@@ -2159,7 +2195,7 @@ def table_changes(
                 "starting_timestamp=, not both"
             )
         start_version = version_at_timestamp(
-            table_dir, starting_timestamp, mode="at_or_after"
+            table_dir, starting_timestamp, mode="at_or_after", stamps=ts_stamps
         )
     if start_version is None:
         raise ValueError(
@@ -2172,7 +2208,9 @@ def table_changes(
                 "table_changes: pass end_version= or ending_timestamp=, "
                 "not both"
             )
-        end_version = version_at_timestamp(table_dir, ending_timestamp)
+        end_version = version_at_timestamp(
+            table_dir, ending_timestamp, stamps=ts_stamps
+        )
     tip = latest_version(table_dir)
     end = tip if end_version is None else end_version
     if start_version < 0 or end > tip or start_version > end:

@@ -530,7 +530,7 @@ class TxlogStreamReader(DataSourceStreamReader):
             stamps = txlog.commit_timestamps(self.table_dir)
             if stamps and ts <= stamps[-1]:
                 self.starting_version = txlog.version_at_timestamp(
-                    self.table_dir, ts, mode="at_or_after"
+                    self.table_dir, ts, mode="at_or_after", stamps=stamps
                 )
             else:
                 self.starting_version = len(stamps)

@@ -2503,6 +2503,23 @@ def test_version_at_timestamp_boundaries(spark, tmp_path):
     )
     stamps = txlog.commit_timestamps(t)
     assert stamps[4] > 300.0 and stamps == sorted(stamps)
+    # non-finite timestamps are not instants: 'nan' would compare False
+    # everywhere (silently skipping the log on a stream, crashing the
+    # batch fold with a bare empty-sequence error) — every spelling
+    # raises the typed guard instead
+    for bad in ("nan", "inf", "-inf", float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="finite"):
+            vat(t, bad)
+    from change_data_capture_spark.sources.txlog_stream import (
+        TxlogStreamReader,
+    )
+
+    schema = spark.createDataFrame([], "id long, v string").schema
+    with pytest.raises(ValueError, match="finite"):
+        TxlogStreamReader(schema, {"path": t, "startingTimestamp": "nan"})
+    # callers holding the stamps list resolve against it without a
+    # second log walk (and get the identical answer)
+    assert vat(t, 250.0, stamps=stamps) == vat(t, 250.0)
 
 
 def test_timestamp_travel_read_restore_and_cdf(spark, tmp_path):
@@ -2823,3 +2840,76 @@ def test_column_mapping_refusals_and_tombstone(spark, tmp_path):
     schema2 = spark.createDataFrame([], "id long, v string").schema
     r = TxlogStreamReader(schema2, {"path": t2})
     assert r.starting_version == 0
+
+
+def test_column_mapping_post_evolution_columns(spark, tmp_path):
+    """Columns added by post-mapping schema evolution (absent from the
+    mapping — identity-default on the read/write path) can themselves be
+    RENAMED and DROPPED (no KeyError; their frozen physical name IS the
+    identity name), while re-adding a RENAMED-AWAY logical name by
+    identity fails loud at plan build — its physical name is frozen
+    under the renamed column, and aliasing it would serve that column's
+    bytes under the new name."""
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t, add=[], expected_version=0,
+        metadata={"schema": "id BIGINT, name STRING"},
+    )
+    txlog.commit(
+        t,
+        add=txlog.validated_write(
+            spark.createDataFrame([(1, "a")], "id long, name string"), t
+        ),
+        expected_version=1,
+    )
+    txlog.rename_column(t, "name", "title")  # enables mapping, freezes 'name'
+    # schema evolution re-declares the widened schema; the mapping is
+    # carried forward UNCHANGED (the identity-default handshake)
+    meta = dict(txlog.table_metadata(t))
+    meta["schema"] = meta["schema"] + ", note STRING"
+    txlog.commit(
+        t, add=[], metadata=meta, expected_version=txlog.latest_version(t) + 1
+    )
+    txlog.commit(
+        t,
+        add=txlog.validated_write(
+            spark.createDataFrame(
+                [(2, "b", "n2")], "id long, title string, note string"
+            ),
+            t,
+        ),
+        expected_version=txlog.latest_version(t) + 1,
+    )
+    # rename the evolution-added column: metadata-only, no KeyError, and
+    # its physical name stays the identity 'note'
+    txlog.rename_column(t, "note", "comment")
+    assert txlog.table_metadata(t)["column_mapping"]["comment"] == "note"
+    got = sorted(
+        tuple(r) for r in txlog.read_version(spark, t).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", "n2")]
+    # drop it too (identity-default path through drop_column): tombstoned
+    txlog.drop_column(t, "comment")
+    assert "note" in txlog.table_metadata(t)["dropped_physical"]
+    assert txlog.read_version(spark, t).columns == ["id", "title"]
+    # re-adding the RENAMED-AWAY logical name 'name' by identity would
+    # alias title's frozen physical bytes — plan build refuses
+    meta = dict(txlog.table_metadata(t))
+    meta["schema"] = meta["schema"] + ", name STRING"
+    txlog.commit(
+        t, add=[], metadata=meta, expected_version=txlog.latest_version(t) + 1
+    )
+    with pytest.raises(ValueError, match="already in use"):
+        txlog.read_version(spark, t).collect()
+    # mapping it to a FRESH physical name reads clean (null-filled)
+    meta = dict(txlog.table_metadata(t))
+    mapping = dict(meta["column_mapping"])
+    mapping["name"] = "name_2"
+    meta["column_mapping"] = mapping
+    txlog.commit(
+        t, add=[], metadata=meta, expected_version=txlog.latest_version(t) + 1
+    )
+    got = sorted(
+        tuple(r) for r in txlog.read_version(spark, t).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", None)]
