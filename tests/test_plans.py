@@ -473,3 +473,34 @@ def test_dv_read_is_one_broadcast_anti_join_clean_path_unchanged(spark, tmp_path
     assert dv.broadcast_exchanges == 1, dv.text
     assert "BroadcastHashJoin" in dv.text and "LeftAnti" in dv.text, dv.text
     assert not dv.has_bnlj and not dv.has_cartesian
+
+
+def test_column_mapped_read_is_zero_shuffle_projection(spark, tmp_path):
+    """Column mapping's read cost is ONE codegen projection: the scan
+    plans under the frozen physical schema and a zero-shuffle Project
+    renames to the snapshot's logical names — no join, no exchange, no
+    extra scan, which is why a RENAME on a 100 TB table changes nothing
+    about its read plan but the output names."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.plans import plan_stats
+    from change_data_capture_spark.sources import txlog
+
+    t = str(tmp_path / "t")
+    txlog.commit(
+        t, add=[], expected_version=0,
+        metadata={"schema": "id BIGINT, name STRING"},
+    )
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    txlog.commit(t, add=txlog.validated_write(df, t), expected_version=1)
+    before = plan_stats(txlog.read_version(spark, t))
+    txlog.rename_column(t, "name", "title")
+    after = plan_stats(txlog.read_version(spark, t))
+    assert after.shuffle_exchanges == 0 and after.broadcast_exchanges == 0
+    assert "Join" not in after.text
+    assert after.parquet_scans == before.parquet_scans == 1
+    # the physical scan still reads the frozen on-disk name; only the
+    # projection's output carries the logical one
+    assert "name" in after.text and "title" in after.text
