@@ -1527,47 +1527,142 @@ def corpus_decontamination_sharding_sweep(
     reproduces every branch's bit pattern exactly — the sweep is
     hash-matched, not report-style.
 
-    Scale: five plans over one cached gram relation; every bitset fold
-    collect stays bounded by shards×m, the probes stay whole-stage
-    codegen, and the output is five rows."""
-    grams = _decontam_grams(spark, sf_dir)
-    ev = grams.where(~F.col("is_train")).select("gh").distinct()
-    train = grams.where("is_train")
-    # the shared EXACT baseline: train gram instances whose gh appears in
-    # the eval suite (one broadcast semi join over the cached relation)
-    n_exact = train.join(F.broadcast(ev), "gh", "left_semi").count()
+    Scale: ONE bitset fold and ONE probe pass cover all five shard
+    counts (r13 optimization; the r12 form ran five independent
+    fold+probe plans). Probe positions are shard-independent — the same
+    ``(j, gh)`` md5 probes every branch — so the fold collects the
+    distinct ``(gh >> 56, pos)`` pairs ONCE at the finest (16-shard)
+    granularity and every coarser shard count's bitsets are a
+    driver-side projection of that set (bounded by 16×m, never the
+    corpus). The probe side then joins the 16-row broadcast relation
+    carrying all five bitmap columns, computes the k md5 positions once
+    per gram, and derives the five flags from the same staged positions
+    — the per-gram hash cost (the dominant probe term) is paid once,
+    not five times. Each flag is bit-identical to the standalone
+    sharded plan's (same bitmap bytes, same probe expressions —
+    ``shards=1`` ≡ the unsharded filter stays pinned), so the oracle
+    and the output are unchanged."""
+    tot_df, grams, n_exact = _sweep_probe_plan(spark, sf_dir)
+    tot = tot_df.collect()[0]
+    grams.unpersist()
     rows = []
     for s in _SWEEP_SHARD_COUNTS:
-        res, _ = _decontam_bloom_sharded_plan(
-            spark, sf_dir, shards=s, grams=grams
-        )
-        agg = res.agg(
-            F.sum("n_grams").alias("n_probes"),
-            F.sum("n_flagged").alias("n_flagged"),
-            F.sum("contaminated").alias("n_docs"),
-        ).collect()[0]
-        n_flagged = int(agg["n_flagged"])
+        n_probes = int(tot["n_probes"])
+        n_flagged = int(tot[f"nf_{s}"])
         # degenerate corpus (every train probe an exact hit): the FPR has
         # no denominator — emit NULL, mirrored by the oracle's CASE guard,
         # instead of a driver-side ZeroDivisionError
-        denom = int(agg["n_probes"]) - int(n_exact)
+        denom = n_probes - int(n_exact)
         rows.append(
             (
                 s,
-                int(agg["n_probes"]),
+                n_probes,
                 int(n_exact),
                 n_flagged,
-                int(agg["n_docs"]),
+                int(tot[f"ct_{s}"]),
                 n_flagged - int(n_exact),
                 float(n_flagged - n_exact) / float(denom) if denom else None,
             )
         )
-    grams.unpersist()
     return spark.createDataFrame(
         rows,
         "shards INT, n_probes BIGINT, n_exact BIGINT, n_flagged BIGINT, "
         "n_docs_flagged BIGINT, n_false_pos BIGINT, fpr DOUBLE",
     )
+
+
+def _sweep_probe_plan(spark: SparkSession, sf_dir: str):
+    """The sweep's single fold + single probe+aggregate plan; returns
+    ``(one-row total df carrying all shard counts' sums, grams handle,
+    n_exact)``. Split out so plan dumps can inspect the real compute
+    plan (the gate's returned DataFrame is a driver-built 5-row local
+    relation either way)."""
+    import functools as _functools
+
+    grams = _decontam_grams(spark, sf_dir)
+    m, k = _BLOOM_M, _BLOOM_K
+    ev = grams.where(~F.col("is_train")).select("gh").distinct()
+    train = grams.where("is_train")
+    # the shared EXACT baseline: train gram instances whose gh appears in
+    # the eval suite (one broadcast semi join over the cached relation)
+    n_exact = train.join(F.broadcast(ev), "gh", "left_semi").count()
+
+    max_shards = max(_SWEEP_SHARD_COUNTS)
+    fine_shift = 60 - (max_shards.bit_length() - 1)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    # ONE fold: distinct (finest shard, pos); every branch's bitset is a
+    # pure projection of this set (shard_s(gh) = (gh >> 56) >> down_s)
+    pos_rows = (
+        ev.select("gh", seeds)
+        .select(
+            F.shiftright("gh", fine_shift).alias("t"),
+            _bloom_pos(F.col("j"), F.col("gh"), m).alias("pos"),
+        )
+        .distinct()
+        .collect()
+    )
+    down = {
+        s: (max_shards.bit_length() - 1) - (s.bit_length() - 1)
+        for s in _SWEEP_SHARD_COUNTS
+    }
+    words = {
+        s: {sh: [0] * (m // 64) for sh in range(s)}
+        for s in _SWEEP_SHARD_COUNTS
+    }
+    for r in pos_rows:
+        t, p = r["t"], r["pos"]
+        for s in _SWEEP_SHARD_COUNTS:
+            words[s][t >> down[s]][p >> 6] |= 1 << (p & 63)
+
+    def _signed(ws: list[int]) -> list[int]:
+        return [w - (1 << 64) if w >= (1 << 63) else w for w in ws]
+
+    bm_rows = [
+        tuple(
+            [t]
+            + [_signed(words[s][t >> down[s]]) for s in _SWEEP_SHARD_COUNTS]
+        )
+        for t in range(max_shards)
+    ]
+    bm_ddl = "t bigint, " + ", ".join(
+        f"_bm_{s} array<bigint>" for s in _SWEEP_SHARD_COUNTS
+    )
+    bm = spark.createDataFrame(bm_rows, bm_ddl)
+
+    probed = (
+        train.select(
+            F.shiftright("gh", fine_shift).alias("t"), "doc_id", "gh"
+        )
+        .join(F.broadcast(bm), "t")
+    )
+    # k probe positions staged ONCE, shared by all five flags
+    for j in range(k):
+        probed = probed.withColumn(f"_p{j}", _bloom_pos(F.lit(j), F.col("gh"), m))
+    flags = {}
+    for s in _SWEEP_SHARD_COUNTS:
+        hit_exprs = []
+        for j in range(k):
+            probed = probed.withColumn(
+                f"_w{s}_{j}",
+                F.element_at(
+                    F.col(f"_bm_{s}"),
+                    F.shiftright(F.col(f"_p{j}"), 6).cast("int") + 1,
+                ),
+            )
+            hit_exprs.append(
+                F.expr(f"(shiftright(_w{s}_{j}, CAST(_p{j} % 64 AS INT)) & 1) = 1")
+            )
+        flags[s] = _functools.reduce(lambda a, b: a & b, hit_exprs).cast("int")
+    per_doc_aggs = [F.count(F.lit(1)).alias("n_grams")]
+    for s in _SWEEP_SHARD_COUNTS:
+        per_doc_aggs.append(F.sum(flags[s]).alias(f"nf_{s}"))
+        per_doc_aggs.append(F.max(flags[s]).alias(f"ct_{s}"))
+    total_aggs = [F.sum("n_grams").alias("n_probes")]
+    for s in _SWEEP_SHARD_COUNTS:
+        total_aggs.append(F.sum(f"nf_{s}").alias(f"nf_{s}"))
+        total_aggs.append(F.sum(f"ct_{s}").alias(f"ct_{s}"))
+    tot_df = probed.groupBy("doc_id").agg(*per_doc_aggs).agg(*total_aggs)
+    return tot_df, grams, n_exact
 
 
 corpus_decontamination_sharding_sweep.__doc__ = (

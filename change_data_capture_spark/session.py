@@ -40,16 +40,40 @@ _RUNTIME_CONFS = {
     # nested-schema pruning for struct columns (envelope decode reads only
     # the paths a query needs — the parquet/JSON scan should too)
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
-    # initial shuffle parallelism sized for local[32]; AQE coalesces below
-    # this as needed, while the stock 200 only multiplies task overhead on
-    # the fixture scales (a real cluster deployment raises it)
-    "spark.sql.shuffle.partitions": "32",
 }
+
+
+def _shuffle_partitions_for(spark: SparkSession) -> str:
+    """Initial shuffle parallelism DERIVED from the session's actual
+    parallelism (``sparkContext.defaultParallelism`` — the core count in
+    local mode, total executor cores on a cluster), overridable via
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS``. The stock 200 only multiplies
+    task overhead at fixture scales; a constant (the pre-r13 hardcoded
+    32) mis-sizes every session that is NOT local[32] — including the
+    bench's lower-core-count scaling runs. AQE partition coalescing
+    remains the scale lever below this initial number either way."""
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return env
+    try:
+        return str(max(1, spark.sparkContext.defaultParallelism))
+    except Exception:
+        return "32"
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime confs idempotently; safe on sessions we don't own."""
-    for k, v in _RUNTIME_CONFS.items():
+    confs = dict(_RUNTIME_CONFS)
+    try:
+        current = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    except Exception:
+        current = "200"
+    if current == "200":
+        # only replace the stock default — a session that configured its
+        # own shuffle parallelism (get_spark callers, the bench, external
+        # deployments) keeps it
+        confs["spark.sql.shuffle.partitions"] = _shuffle_partitions_for(spark)
+    for k, v in confs.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)

@@ -616,11 +616,18 @@ def write_files(
     the LOG instead of re-statting the filesystem every trigger),
     per-file min/max for those columns (enables ``predicate_range``
     skipping) and the file's row count (enables metadata-only
-    :func:`count_rows` — Delta's ``numRecords``). Stats come from one
-    distributed read-back aggregation grouped by ``input_file_name()``
-    — a production writer lifts the identical numbers from the parquet
-    footers it just wrote; the collect is per-FILE metadata, bounded by
-    file count, never row count."""
+    :func:`count_rows` — Delta's ``numRecords``). Stats are lifted from
+    the PARQUET FOOTERS of the files just written — exactly what a
+    production Delta writer does — a driver-side metadata read bounded
+    by file count, never row count (the pre-r13 form re-read the whole
+    write output through a distributed ``groupBy(input_file_name())``
+    aggregation: one full extra pass of every committed byte, per
+    commit). Footer min/max is exact for the int/float columns the
+    engine stats (parquet stores typed values, not truncated prefixes,
+    for physical INT/DOUBLE); any column whose footer stats are absent
+    or non-exact (strings truncate, NaN suppresses float stats,
+    decimals re-encode) falls back to the distributed read-back for
+    that write, keeping behavior identical."""
     out = os.path.join(table_dir, "data", uuid.uuid4().hex)
     df.write.parquet(out)
     paths = sorted(
@@ -630,6 +637,98 @@ def write_files(
     )
     if not stats_cols:
         return paths
+    return stats_actions_for(df.sparkSession, paths, stats_cols)
+
+
+def stats_actions_for(
+    spark: SparkSession, paths: list[str], stats_cols: list[str]
+) -> list:
+    """Add actions (``path``/``size``/``stats``/``num_rows``) for
+    ALREADY-WRITTEN parquet files — footer-lifted stats with the same
+    distributed read-back fallback as :func:`write_files` (shared by
+    writers that land several commits' files in one pass and split the
+    actions per commit afterwards)."""
+    footer = _footer_stats(paths, stats_cols)
+    if footer is not None:
+        by_file, nrows = footer
+    else:
+        by_file, nrows = _readback_stats(spark, paths, stats_cols)
+    return [
+        {
+            "path": p,
+            "size": os.path.getsize(p),
+            "stats": by_file.get(os.path.abspath(p), {}),
+            "num_rows": nrows.get(os.path.abspath(p), 0),
+        }
+        for p in paths
+    ]
+
+
+#: parquet physical types whose footer min/max is the exact column
+#: min/max (typed values — no prefix truncation, no re-encoding)
+_FOOTER_EXACT_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE"}
+
+
+def _footer_stats(paths: list[str], stats_cols: list[str]):
+    """Per-file ``(min/max stats, row counts)`` lifted from parquet
+    footers, or ``None`` when any requested column's footer stats are
+    not provably exact (missing, logical-typed beyond plain ints/floats,
+    NaN-suppressed) — the caller then falls back to the distributed
+    read-back so stored stats stay bit-identical either way."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    by_file: dict[str, dict] = {}
+    nrows: dict[str, int] = {}
+    for p in paths:
+        try:
+            md = pq.ParquetFile(p).metadata
+        except Exception:
+            return None
+        ap = os.path.abspath(p)
+        nrows[ap] = md.num_rows
+        idx = {}
+        for j in range(len(md.schema)):
+            col = md.schema.column(j)
+            idx[col.name] = (j, col.physical_type, col.logical_type.type)
+        stats: dict[str, list] = {}
+        for c in stats_cols:
+            if c not in idx:
+                # column absent from this file (pre-evolution vintage):
+                # the read-back aggregation would yield NULL bounds too
+                stats[c] = [None, None]
+                continue
+            j, phys, logical = idx[c]
+            if phys not in _FOOTER_EXACT_PHYSICAL or logical not in (
+                "NONE",
+                "INT",
+            ):
+                return None
+            mn = mx = None
+            n_vals = 0
+            for g in range(md.num_row_groups):
+                cc = md.row_group(g).column(j)
+                n_vals += cc.num_values
+                st = cc.statistics
+                if cc.num_values == 0:
+                    continue
+                if st is None or not st.has_min_max:
+                    return None  # NaN-suppressed or writer omitted
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if n_vals == 0:
+                stats[c] = [None, None]  # all-null column in this file
+            else:
+                stats[c] = [_stat_bound(mn, "min"), _stat_bound(mx, "max")]
+        by_file[ap] = stats
+    return by_file, nrows
+
+
+def _readback_stats(spark: SparkSession, paths: list[str], stats_cols: list[str]):
+    """The distributed stats fallback: one read-back aggregation grouped
+    by ``input_file_name()`` — exact for every type, at the cost of a
+    full extra pass over the written bytes."""
     from pyspark.sql import functions as F
 
     aggs = [F.count(F.lit(1)).alias("__num_rows")]
@@ -637,7 +736,7 @@ def write_files(
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
     rows = (
-        df.sparkSession.read.parquet(out)
+        spark.read.parquet(*paths)
         .groupBy(F.input_file_name().alias("f"))
         .agg(*aggs)
         .collect()
@@ -654,15 +753,7 @@ def write_files(
             for c in stats_cols
         }
         nrows[p] = r["__num_rows"]
-    return [
-        {
-            "path": p,
-            "size": os.path.getsize(p),
-            "stats": by_file.get(os.path.abspath(p), {}),
-            "num_rows": nrows.get(os.path.abspath(p), 0),
-        }
-        for p in paths
-    ]
+    return by_file, nrows
 
 
 

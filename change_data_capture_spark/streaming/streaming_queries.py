@@ -29,6 +29,102 @@ from change_data_capture_spark.sources.cdc_generator import (
     CDC_EVENTS_SQL,
     product_change_events,
 )
+def _write_mtime_slices(
+    df: DataFrame, slice_col, n_slices: int, slices_dir: str, tmp_dir: str
+) -> None:
+    """ONE pass over ``df`` writes every micro-batch slice file (the
+    pre-r13 form ran one filtered scan + repartition(1) write PER slice
+    — N full passes of the upstream derivation for N slices): rows are
+    hash-routed by the slice id so each present slice value is owned by
+    exactly one task and lands as exactly one parquet file (partitionBy
+    splits by value within the task), then each file is renamed to
+    ``slice_<i>.parquet`` with strictly increasing mtimes (file mtime
+    order = micro-batch order under ``maxFilesPerTrigger=1``). Rows
+    whose slice id is NULL match no slice — the same rows the old
+    per-slice equality filters dropped. A degenerate empty slice still
+    lands as a typed empty file so the drain sees one file per
+    micro-batch either way."""
+    import os
+    import time as _time
+
+    (
+        df.withColumn("_slice", slice_col)
+        .repartition(n_slices, "_slice")
+        .write.mode("overwrite")
+        .partitionBy("_slice")
+        .parquet(tmp_dir)
+    )
+    os.makedirs(slices_dir, exist_ok=True)
+    now = _time.time()
+    for i in range(n_slices):
+        sdir = f"{tmp_dir}/_slice={i}"
+        if os.path.isdir(sdir):
+            part = [f for f in os.listdir(sdir) if f.endswith(".parquet")][0]
+            src = os.path.join(sdir, part)
+        else:
+            edir = f"{tmp_dir}/_empty_{i}"
+            df.limit(0).repartition(1).write.mode("overwrite").parquet(edir)
+            part = [f for f in os.listdir(edir) if f.endswith(".parquet")][0]
+            src = os.path.join(edir, part)
+        dst = f"{slices_dir}/slice_{i}.parquet"
+        os.rename(src, dst)
+        os.utime(dst, (now + i, now + i))
+
+
+def _staged_commit_slices(
+    df: DataFrame,
+    slice_col,
+    n_slices: int,
+    table_dir: str,
+    per_slice_files: int = 2,
+    stats_cols: list[str] | None = None,
+) -> list[list]:
+    """ONE pass over ``df`` writes EVERY commit's data files for an
+    n-commit append fixture (the pre-r13 form ran one filtered
+    scan+write job per commit): rows route deterministically by
+    ``(slice, row-hash half)`` — ``repartition`` puts each pair in
+    exactly one task, ``partitionBy`` lands one file per pair — so each
+    slice owns exactly ``per_slice_files`` files, the same per-commit
+    file count the old ``repartition(2)`` writes produced. Returns the
+    per-slice file lists, as bare paths or (with ``stats_cols``) as
+    footer-lifted stats actions carrying Delta's ``size``/``stats``/
+    ``numRecords`` fields (:func:`txlog.stats_actions_for`)."""
+    import os
+    import uuid as _uuid
+
+    from change_data_capture_spark.sources import txlog as _txlog
+
+    out = os.path.join(table_dir, "data", _uuid.uuid4().hex)
+    half = F.pmod(F.xxhash64(*df.columns), F.lit(per_slice_files))
+    (
+        df.withColumn("_slice", slice_col)
+        .withColumn("_half", half)
+        .repartition(n_slices * per_slice_files, "_slice", "_half")
+        .write.mode("overwrite")
+        .partitionBy("_slice", "_half")
+        .parquet(out)
+    )
+    per_slice: list[list] = []
+    for i in range(n_slices):
+        paths = []
+        for j in range(per_slice_files):
+            d = f"{out}/_slice={i}/_half={j}"
+            parts = sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            )
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"slice {i} half {j}: expected one file, got {parts}"
+                )
+            paths.append(os.path.join(d, parts[0]))
+        per_slice.append(
+            _txlog.stats_actions_for(df.sparkSession, paths, stats_cols)
+            if stats_cols
+            else paths
+        )
+    return per_slice
+
+
 _INGEST_ORACLE = f"""
 WITH {CDC_EVENTS_SQL}
 SELECT id, op, lsn, ts_ms, name, CAST(price AS DOUBLE) AS price,
@@ -1617,7 +1713,6 @@ def streaming_dedup_minhash_incremental(
     availableNow drain executes each batch once (no delta-spark jar in this
     env — documented in COVERAGE.md)."""
     import os
-    import time as _time
     import uuid as _uuid
 
     from change_data_capture_spark.operators.dedup_queries import (
@@ -1625,7 +1720,6 @@ def streaming_dedup_minhash_incremental(
         corpus,
         doc_shingles,
         minhash_band_rel,
-        minhash_signature_rel,
     )
     from change_data_capture_spark.operators.maintenance import write_bucketed
 
@@ -1636,58 +1730,77 @@ def streaming_dedup_minhash_incremental(
     is_delta = F.col("doc_id") % _DELTA_MOD == 0
 
     def _with_sets(docs: DataFrame) -> DataFrame:
-        sh = doc_shingles(docs)
-        return minhash_signature_rel(sh).join(
-            sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set")),
-            "doc_id",
+        # ONE grouped pass produces signatures AND the shingle set (the
+        # pre-r13 form ran minhash_signature_rel + a second collect_list
+        # groupBy over the SAME un-persisted shingle relation and joined
+        # them — tokenize+shingle+distinct evaluated twice plus a join
+        # shuffle, per call: bootstrap and every micro-batch paid it).
+        # Same store schema, same downstream math (collect_list order is
+        # nondeterministic either way; array_intersect and the n-sum
+        # Jaccard denominator are symmetric — see _verify_candidate_pairs).
+        from change_data_capture_spark.functions.text import seeded_hash
+        from change_data_capture_spark.operators.dedup_queries import N_PERMS
+
+        return doc_shingles(docs).groupBy("doc_id").agg(
+            *[
+                F.min(seeded_hash(F.col("shingle"), i)).alias(f"h{i}")
+                for i in range(N_PERMS)
+            ],
+            F.count(F.lit(1)).alias("n"),
+            F.collect_list("shingle").alias("sh_set"),
         )
 
-    # the pre-existing production state: base-corpus signatures + sets
-    # (verify-side fetch store) plus the band relation persisted
-    # PRE-BUCKETED on the join keys (candidate-side store — the layout
-    # that makes the per-batch join shuffle-free on the store side)
-    _with_sets(c.where(~is_delta)).write.mode("overwrite").parquet(store)
     band_tbl = f"mh_band_store_{_uuid.uuid4().hex[:10]}"
-    write_bucketed(
-        minhash_band_rel(spark.read.parquet(store)),
-        band_tbl,
-        ["band", "sig"],
-        band_store_buckets,
-        f"{ws}/band_store",
-    )
 
-    # seed the pair log with a zero-row schema-carrying file so a drain in
-    # which NO batch emits a qualifying pair (degenerate/empty corpus) still
-    # read-backs as a well-typed empty DataFrame instead of a parquet
-    # schema-inference error
-    id_type = c.schema["doc_id"].dataType
-    spark.createDataFrame(
-        [],
-        T.StructType(
-            [
-                T.StructField("doc_a", id_type),
-                T.StructField("doc_b", id_type),
-                T.StructField("jaccard", T.DoubleType()),
-            ]
-        ),
-    ).write.mode("overwrite").parquet(pairs_dir)
+    def _bootstrap_store() -> None:
+        # the pre-existing production state: base-corpus signatures + sets
+        # (verify-side fetch store) plus the band relation persisted
+        # PRE-BUCKETED on the join keys (candidate-side store — the layout
+        # that makes the per-batch join shuffle-free on the store side)
+        _with_sets(c.where(~is_delta)).write.mode("overwrite").parquet(store)
+        write_bucketed(
+            minhash_band_rel(spark.read.parquet(store)),
+            band_tbl,
+            ["band", "sig"],
+            band_store_buckets,
+            f"{ws}/band_store",
+        )
 
-    # today's crawl arrives as two micro-batches (parquet slices, mtime-ordered)
-    delta = c.where(is_delta).select("doc_id", "text")
+    def _stage_input() -> None:
+        # seed the pair log with a zero-row schema-carrying file so a
+        # drain in which NO batch emits a qualifying pair (degenerate/
+        # empty corpus) still read-backs as a well-typed empty DataFrame
+        # instead of a parquet schema-inference error
+        id_type = c.schema["doc_id"].dataType
+        spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_a", id_type),
+                    T.StructField("doc_b", id_type),
+                    T.StructField("jaccard", T.DoubleType()),
+                ]
+            ),
+        ).write.mode("overwrite").parquet(pairs_dir)
+        # today's crawl arrives as two micro-batches (parquet slices,
+        # mtime-ordered) — written in ONE pass over the delta derivation
+        delta = c.where(is_delta).select("doc_id", "text")
+        _write_mtime_slices(
+            delta, (F.col("doc_id") / _DELTA_MOD).cast("long") % 2, 2,
+            f"{ws}/slices", f"{ws}/h",
+        )
+
+    # the store bootstrap and the input staging are independent job
+    # chains over the same source — submit them concurrently so the
+    # tail of one back-fills executors the other leaves idle (guide
+    # §2.6 overlap; FIFO scheduling gives exactly the back-fill shape)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_bootstrap_store), pool.submit(_stage_input)]
+        for f in futs:
+            f.result()
     slices = f"{ws}/slices"
-    os.makedirs(slices)
-    now = _time.time()
-    for i in (0, 1):
-        half = delta.where(((F.col("doc_id") / _DELTA_MOD).cast("long") % 2) == i)
-        hdir = f"{ws}/h{i}"
-        # repartition(1), NOT coalesce(1): one file per slice is required
-        # (file = micro-batch) but coalesce would pull the whole corpus
-        # scan+filter into a single task; the shuffle keeps the scan wide
-        half.repartition(1).write.mode("overwrite").parquet(hdir)
-        part = [f for f in os.listdir(hdir) if f.endswith(".parquet")][0]
-        dst = f"{slices}/slice_{i}.parquet"
-        os.rename(f"{hdir}/{part}", dst)
-        os.utime(dst, (now + i, now + i))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_store = _with_sets(batch_df).persist()
@@ -1743,7 +1856,7 @@ def streaming_dedup_minhash_incremental(
 
     try:
         q = (
-            spark.readStream.schema(delta.schema)
+            spark.readStream.schema(c.select("doc_id", "text").schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(slices)
             .writeStream.foreachBatch(_process)
@@ -1821,8 +1934,6 @@ def streaming_dedup_simhash_incremental(
     bit-for-bit — within-batch pairs in their own batch (the batch's
     bands are appended before the join), cross-batch
     pairs when the later doc arrives, each exactly once."""
-    import os
-    import time as _time
     import uuid as _uuid
 
     from change_data_capture_spark.operators.dedup_queries import (
@@ -1840,48 +1951,53 @@ def streaming_dedup_simhash_incremental(
     c = corpus(spark, sf_dir)
     is_delta = F.col("doc_id") % _DELTA_MOD == 0
 
-    # pre-existing production state: the base corpus's band relation,
-    # bucketed on the join keys (the store's ONLY persisted form)
     band_tbl = f"sh_band_store_{_uuid.uuid4().hex[:10]}"
-    write_bucketed(
-        simhash_band_rel(
-            _simhash_signatures_df(c.where(~is_delta), _HAM_BITS),
-            carry_sig=True,
-        ),
-        band_tbl,
-        ["band", "bv"],
-        band_store_buckets,
-        f"{ws}/band_store",
-    )
 
-    # typed empty seed so a pair-less drain reads back cleanly
-    id_type = c.schema["doc_id"].dataType
-    spark.createDataFrame(
-        [],
-        T.StructType(
-            [
-                T.StructField("doc_a", id_type),
-                T.StructField("doc_b", id_type),
-                T.StructField("hamming", T.IntegerType()),
-            ]
-        ),
-    ).write.mode("overwrite").parquet(pairs_dir)
+    def _bootstrap_store() -> None:
+        # pre-existing production state: the base corpus's band relation,
+        # bucketed on the join keys (the store's ONLY persisted form)
+        write_bucketed(
+            simhash_band_rel(
+                _simhash_signatures_df(c.where(~is_delta), _HAM_BITS),
+                carry_sig=True,
+            ),
+            band_tbl,
+            ["band", "bv"],
+            band_store_buckets,
+            f"{ws}/band_store",
+        )
 
-    delta = c.where(is_delta).select("doc_id", "text")
+    def _stage_input() -> None:
+        # typed empty seed so a pair-less drain reads back cleanly
+        id_type = c.schema["doc_id"].dataType
+        spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_a", id_type),
+                    T.StructField("doc_b", id_type),
+                    T.StructField("hamming", T.IntegerType()),
+                ]
+            ),
+        ).write.mode("overwrite").parquet(pairs_dir)
+        # one pass over the delta derivation writes both slices (see
+        # _write_mtime_slices — the per-slice filtered-write form paid
+        # the corpus scan once per slice)
+        delta = c.where(is_delta).select("doc_id", "text")
+        _write_mtime_slices(
+            delta, (F.col("doc_id") / _DELTA_MOD).cast("long") % 2, 2,
+            f"{ws}/slices", f"{ws}/h",
+        )
+
+    # store bootstrap ∥ input staging — independent job chains; overlap
+    # fills the executor tail (guide §2.6, same shape as the minhash twin)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_bootstrap_store), pool.submit(_stage_input)]
+        for f in futs:
+            f.result()
     slices = f"{ws}/slices"
-    os.makedirs(slices)
-    now = _time.time()
-    for i in (0, 1):
-        half = delta.where(((F.col("doc_id") / _DELTA_MOD).cast("long") % 2) == i)
-        hdir = f"{ws}/h{i}"
-        # repartition(1), NOT coalesce(1): one file per slice is required
-        # (file = micro-batch) but coalesce would pull the whole corpus
-        # scan+filter into a single task; the shuffle keeps the scan wide
-        half.repartition(1).write.mode("overwrite").parquet(hdir)
-        part = [f for f in os.listdir(hdir) if f.endswith(".parquet")][0]
-        dst = f"{slices}/slice_{i}.parquet"
-        os.rename(f"{hdir}/{part}", dst)
-        os.utime(dst, (now + i, now + i))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # signatures ride the band rows (carry_sig: 8 bytes each), so
@@ -1930,7 +2046,7 @@ def streaming_dedup_simhash_incremental(
 
     try:
         q = (
-            spark.readStream.schema(delta.schema)
+            spark.readStream.schema(c.select("doc_id", "text").schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(slices)
             .writeStream.foreachBatch(_process)
@@ -1975,9 +2091,6 @@ def streaming_txlog_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataF
     Scale: state per batch is one KB-sized commit JSON; the guard is a
     driver-side log fold, the data path an unchanged distributed append.
     """
-    import os
-    import time as _time
-
     from change_data_capture_spark.functions.envelope import decode_envelope
     from change_data_capture_spark.sources import txlog
 
@@ -1995,22 +2108,12 @@ def streaming_txlog_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     # the wire arrives as two micro-batches (parquet slices, mtime-ordered)
+    # — ONE pass over the wire decode writes both (the per-slice form
+    # paid the whole upstream decode once per slice; and the route stays
+    # a wide shuffle, never coalesce(1) — the collapsed-decode
+    # anti-pattern measured 369 s at 100×)
     slices = f"{ws}/slices"
-    os.makedirs(slices)
-    now = _time.time()
-    for i in (0, 1):
-        half = wire.where((F.col("id") % 2) == i)
-        hdir = f"{ws}/h{i}"
-        # repartition(1), NOT coalesce(1): each slice must be one file
-        # (maxFilesPerTrigger=1 ⇒ file = micro-batch), but coalesce
-        # would collapse the whole upstream wire decode into a single
-        # task — measured 369 s at 100×; the shuffle keeps the decode
-        # on all cores and funnels only the write (47 s)
-        half.repartition(1).write.mode("overwrite").parquet(hdir)
-        part = [f for f in os.listdir(hdir) if f.endswith(".parquet")][0]
-        dst = f"{slices}/slice_{i}.parquet"
-        os.rename(f"{hdir}/{part}", dst)
-        os.utime(dst, (now + i, now + i))
+    _write_mtime_slices(wire, F.col("id") % 2, 2, slices, f"{ws}/h")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         last = txlog.last_txn(tdir, app)
@@ -2120,11 +2223,14 @@ def streaming_txlog_source_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.write.parquet(new_dir)
         state.append(new_dir)
 
+    # one pass over the wire decode stages every commit's files (the
+    # pre-r13 form re-ran the decode once per commit); two files per
+    # commit keeps the source planning multi-file micro-batches
+    thirds = _staged_commit_slices(
+        wire, F.pmod(F.coalesce(F.col("id"), F.lit(0)), F.lit(3)), 3, src_table
+    )
     for i in range(3):
-        third = wire.where(
-            F.pmod(F.coalesce(F.col("id"), F.lit(0)), F.lit(3)) == i
-        )
-        txlog.commit(src_table, add=txlog.write_files(third, src_table))
+        txlog.commit(src_table, add=thirds[i])
         q = (
             spark.readStream.format("cdc_txlog")
             .schema(wire.schema)
@@ -2186,22 +2292,20 @@ def streaming_txlog_skip_change_commits(
     )
     spark.dataSource.register(TxlogStreamDataSource)
     quarter = F.pmod(F.coalesce(F.col("id"), F.lit(0)), F.lit(4))
+    # one pass over the wire decode stages all four quarters' files (the
+    # pre-r13 form re-ran the decode once per commit); quarter 3's files
+    # are staged-but-uncommitted while the UPDATE rewrites the committed
+    # snapshot, exactly as a concurrent writer's files would be —
+    # invisible until their commit lands
+    quarters = _staged_commit_slices(wire, quarter, 4, src_table)
     for i in range(3):
-        txlog.commit(
-            src_table,
-            add=txlog.write_files(wire.where(quarter == i), src_table),
-            operation="WRITE",
-        )
+        txlog.commit(src_table, add=quarters[i], operation="WRITE")
     # the data-changing commit the stream must skip: rewrite every name
     # in a key range (touched files re-land as fresh adds + removes)
     txlog.update_where(
         spark, src_table, "id % 4 = 0", {"name": "upper(name)"}
     )
-    txlog.commit(
-        src_table,
-        add=txlog.write_files(wire.where(quarter == 3), src_table),
-        operation="WRITE",
-    )
+    txlog.commit(src_table, add=quarters[3], operation="WRITE")
     q = (
         spark.readStream.format("cdc_txlog")
         .schema(wire.schema)
@@ -2582,12 +2686,16 @@ def streaming_txlog_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+    # ONE pass writes all six commits' 2-file payloads (the pre-r13 form
+    # ran six filtered scan+write jobs over the same orders projection);
+    # the deterministic (commit, half) routing keeps exactly two files
+    # per commit — the fixture the gate's 3×(2-commit, ≤4-file) drain
+    # self-check depends on
+    commit_files = _staged_commit_slices(o, F.col("o_orderkey") % 6, 6, tdir)
     for i in range(6):
         txlog.commit(
             tdir,
-            add=txlog.write_files(
-                o.where(F.col("o_orderkey") % 6 == i).repartition(2), tdir
-            ),
+            add=commit_files[i],
             expected_version=i,
             operation="WRITE",
             metadata=(
@@ -2680,14 +2788,17 @@ def streaming_txlog_rate_limit_bytes(
         "o_custkey",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+    # one pass writes all six commits' files (see the file-count twin);
+    # stats ride along footer-lifted so every add action carries
+    # Delta's required ``size`` (+ min/max + numRecords) with no
+    # read-back pass either
+    commit_files = _staged_commit_slices(
+        o, F.col("o_orderkey") % 6, 6, tdir, stats_cols=["o_orderkey"]
+    )
     for i in range(6):
         txlog.commit(
             tdir,
-            add=txlog.write_files(
-                o.where(F.col("o_orderkey") % 6 == i).repartition(2),
-                tdir,
-                stats_cols=["o_orderkey"],
-            ),
+            add=commit_files[i],
             expected_version=i,
             operation="WRITE",
             metadata=(

@@ -88,3 +88,25 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     old = merged.where(F.col("id") < 5)
     assert old.where(F.col("v2").isNull()).count() == 5
     assert merged.count() == 8
+
+
+def test_shuffle_partitions_derived_not_hardcoded(spark):
+    """r13: ensure_runtime_confs sizes initial shuffle parallelism from
+    the session's real parallelism (stock-200 sessions only) instead of
+    a hardcoded 32 — and never clobbers a session that configured its
+    own value (the bench's get_spark, external deployments)."""
+    from change_data_capture_spark.session import ensure_runtime_confs
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "200")  # the stock default = "unconfigured"
+        ensure_runtime_confs(spark)
+        assert spark.conf.get(key) == str(
+            spark.sparkContext.defaultParallelism
+        )
+        spark.conf.set(key, "77")  # an explicitly configured session
+        ensure_runtime_confs(spark)
+        assert spark.conf.get(key) == "77"
+    finally:
+        spark.conf.set(key, prev)

@@ -280,3 +280,77 @@ def test_csv_streaming_sink_roundtrips_with_explicit_schema(spark, sf_dir):
     want = sorted(map(tuple, batch.collect()), key=none_safe)
     got = sorted(map(tuple, landed.collect()), key=none_safe)
     assert got == want
+
+
+def test_write_mtime_slices_one_pass_layout(spark, tmp_path):
+    """r13 slice-writer invariants: one file per slice, strictly
+    increasing mtimes (file order = micro-batch order), slice content
+    exactly the rows whose slice id matches (NULL slice ids drop — the
+    rows the old per-slice equality filters dropped), and a degenerate
+    empty slice still lands as a typed empty file."""
+    import os
+
+    from change_data_capture_spark.streaming.streaming_queries import (
+        _write_mtime_slices,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "nullslice")],
+        "k int, v string",
+    )
+    sl = str(tmp_path / "slices")
+    _write_mtime_slices(df, F.col("k") % 2, 2, sl, str(tmp_path / "h"))
+    files = sorted(os.listdir(sl))
+    assert files == ["slice_0.parquet", "slice_1.parquet"]
+    m0 = os.path.getmtime(f"{sl}/slice_0.parquet")
+    m1 = os.path.getmtime(f"{sl}/slice_1.parquet")
+    assert m0 < m1
+    s0 = {tuple(r) for r in spark.read.parquet(f"{sl}/slice_0.parquet").collect()}
+    s1 = {tuple(r) for r in spark.read.parquet(f"{sl}/slice_1.parquet").collect()}
+    assert s0 == {(0, "a"), (2, "c")}
+    assert s1 == {(1, "b"), (3, "d")}  # NULL-slice row dropped, as before
+
+    # empty slice: typed empty file, not a missing micro-batch
+    sl2 = str(tmp_path / "slices2")
+    _write_mtime_slices(
+        df.where(F.col("k") == 0), F.col("k") % 2, 2, sl2, str(tmp_path / "h2")
+    )
+    empty = spark.read.parquet(f"{sl2}/slice_1.parquet")
+    assert empty.count() == 0
+    assert empty.schema == df.schema
+
+
+def test_staged_commit_slices_layout(spark, tmp_path):
+    """r13 one-pass commit staging: every slice owns exactly
+    per_slice_files files, the union of a slice's files is exactly its
+    predicate's rows, and stats actions carry footer-exact
+    size/stats/num_rows (the byte-admission fields)."""
+    import os
+
+    from change_data_capture_spark.streaming.streaming_queries import (
+        _staged_commit_slices,
+    )
+
+    df = spark.range(0, 3000).selectExpr("id AS k", "id * 2 AS v")
+    tdir = str(tmp_path / "t")
+    per_slice = _staged_commit_slices(df, F.col("k") % 3, 3, tdir)
+    assert len(per_slice) == 3
+    for i, paths in enumerate(per_slice):
+        assert len(paths) == 2
+        got = {
+            r["k"] for r in spark.read.parquet(*paths).collect()
+        }
+        assert got == set(range(i, 3000, 3))
+
+    stats_slices = _staged_commit_slices(
+        df, F.col("k") % 3, 3, str(tmp_path / "t2"), stats_cols=["k"]
+    )
+    for i, acts in enumerate(stats_slices):
+        assert len(acts) == 2
+        total = 0
+        for a in acts:
+            assert a["size"] == os.path.getsize(a["path"])
+            mn, mx = a["stats"]["k"]
+            assert mn % 3 == i and mx % 3 == i
+            total += a["num_rows"]
+        assert total == 1000

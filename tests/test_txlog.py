@@ -2913,3 +2913,58 @@ def test_column_mapping_post_evolution_columns(spark, tmp_path):
         tuple(r) for r in txlog.read_version(spark, t).collect()
     )
     assert got == [(1, "a", None), (2, "b", None)]
+
+
+def test_write_files_footer_stats_match_readback(spark, tmp_path):
+    """r13 optimization invariant: the footer-lifted per-file stats that
+    write_files now commits are BIT-IDENTICAL to the distributed
+    read-back aggregation they replaced — same min/max, same num_rows,
+    per file — for the int/double columns the engine stats. (Columns the
+    footer can't prove exact — NaN floats, strings, timestamps — fall
+    back to the read-back, exercised below.)"""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 5000)
+        .select(
+            F.col("id"),
+            (F.col("id") * 1.5 - 100.0).alias("price"),
+            F.when(F.col("id") % 3 == 0, F.col("id") * 2).alias("opt"),
+        )
+        .repartition(3)
+    )
+    t = str(tmp_path / "t")
+    acts = txlog.write_files(df, t, stats_cols=["id", "price", "opt"])
+    assert len(acts) == 3
+    out_dir = os.path.dirname(acts[0]["path"])
+    by_file, nrows = txlog._readback_stats(
+        spark, [out_dir], ["id", "price", "opt"]
+    )
+    for a in acts:
+        p = os.path.abspath(a["path"])
+        assert a["stats"] == by_file[p], p
+        assert a["num_rows"] == nrows[p], p
+        assert a["size"] == os.path.getsize(p)
+
+    # NaN in a double column suppresses footer stats -> the read-back
+    # fallback must still produce the Spark-exact bounds (max is NaN)
+    df2 = spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") == 7, float("nan"))
+        .otherwise(F.col("id") * 1.0)
+        .alias("v"),
+    ).repartition(1)
+    acts2 = txlog.write_files(df2, str(tmp_path / "t2"), stats_cols=["v"])
+    mn, mx = acts2[0]["stats"]["v"]
+    assert mn == 0.0 and math.isnan(mx)
+
+    # a non-int/float column (string) routes through the fallback and
+    # keeps the exact Spark-computed bounds
+    df3 = spark.createDataFrame(
+        [(1, "alpha"), (2, "zeta")], "id long, s string"
+    ).repartition(1)
+    acts3 = txlog.write_files(df3, str(tmp_path / "t3"), stats_cols=["s"])
+    assert acts3[0]["stats"]["s"] == ["alpha", "zeta"]
+    assert acts3[0]["num_rows"] == 2
