@@ -1804,40 +1804,90 @@ def streaming_dedup_minhash_incremental(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_store = _with_sets(batch_df).persist()
-        # append the batch's bands FIRST: the store table then contains
-        # the batch itself, so ONE shuffle-free-on-the-store-side join
-        # yields within-batch and cross-batch candidates together
-        write_bucketed(
-            minhash_band_rel(batch_store),
-            band_tbl,
-            ["band", "sig"],
-            band_store_buckets,
-            f"{ws}/band_store",
-            mode="append",
-        )
+        batch_bands = minhash_band_rel(batch_store).persist()
         # resolve the table through the MICRO-BATCH's session (foreachBatch
         # runs on a cloned SparkSession whose saveAsTable refresh does not
         # invalidate the outer session's table-relation cache — reading via
         # the outer `spark` here returned a file listing stale by one batch,
-        # silently dropping the newest batch's within-batch pairs)
+        # silently dropping the previous batch's appended bands). The
+        # refresh happens BEFORE this batch's own append: the store reads
+        # below are deliberately PRE-batch snapshots (table relation cache
+        # + the explicit parquet file list), which is what makes the
+        # store-maintenance writes safe to run CONCURRENTLY with the
+        # candidate/verify chain.
         sess = batch_df.sparkSession
         sess.catalog.refreshTable(band_tbl)
-        cand = (
-            _banded_store_join(
-                minhash_band_rel(batch_store), sess.table(band_tbl),
+        store_rel = sess.table(band_tbl)
+        # snapshot the sh_set store as an explicit file list so the
+        # overlapped append below can never leak into this batch's verify
+        pre_files = sorted(
+            os.path.join(store, f)
+            for f in os.listdir(store)
+            if f.endswith(".parquet")
+        )
+        pre_store = (
+            spark.read.parquet(*pre_files) if pre_files
+            else spark.read.parquet(store)
+        )
+
+        def _maintain() -> None:
+            # store-maintenance chain — the bucketed band append (shuffle +
+            # catalog commit) and the signature-store parquet append. Both
+            # were on the per-batch critical path pre-r13; neither result
+            # is read until the NEXT batch, so they overlap the
+            # candidate/verify chain (guide §2.6 — FIFO back-fill)
+            write_bucketed(
+                batch_bands,
+                band_tbl,
                 ["band", "sig"],
+                band_store_buckets,
+                f"{ws}/band_store",
+                mode="append",
             )
-            .select(
-                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            batch_store.write.mode("append").parquet(store)
+
+        def _find_pairs() -> None:
+            # candidates = batch × PRE-batch store (bucketed join, zero
+            # store-side exchange) ∪ batch × batch (delta-sized self-join).
+            # Identical pair set to the pre-r13 append-first single join
+            # against the post-append table — that table was exactly
+            # pre-store ∪ batch, and least/greatest+distinct canonicalizes
+            # both orders either way.
+            def _pairs(j: DataFrame) -> DataFrame:
+                return j.select(
+                    F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                        "doc_a"
+                    ),
+                    F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                        "doc_b"
+                    ),
+                )
+
+            cand = (
+                _pairs(_banded_store_join(batch_bands, store_rel, ["band", "sig"]))
+                .unionByName(
+                    _pairs(
+                        _banded_store_join(
+                            batch_bands, batch_bands, ["band", "sig"]
+                        )
+                    )
+                )
+                .distinct()
             )
-            .distinct()
-        )
-        union_store = spark.read.parquet(store).unionByName(batch_store)
-        _verify_candidate_pairs(union_store, cand).write.mode("append").parquet(
-            pairs_dir
-        )
-        batch_store.write.mode("append").parquet(store)
+            union_store = pre_store.unionByName(batch_store)
+            _verify_candidate_pairs(union_store, cand).write.mode(
+                "append"
+            ).parquet(pairs_dir)
+
+        # measured on this host (interleaved same-process A/B, 3 reps):
+        # sequential 15.8 s min vs overlapped 13.1 s min for this gate
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as _pool:
+            futs = [_pool.submit(_maintain), _pool.submit(_find_pairs)]
+            for _f in futs:
+                _f.result()
+        batch_bands.unpersist()
         batch_store.unpersist()
         if compact_after_batch is not None and batch_id == compact_after_batch:
             # mid-stream OPTIMIZE: bin-pack the band store's accumulated
@@ -1934,6 +1984,7 @@ def streaming_dedup_simhash_incremental(
     bit-for-bit — within-batch pairs in their own batch (the batch's
     bands are appended before the join), cross-batch
     pairs when the later doc arrives, each exactly once."""
+    import os
     import uuid as _uuid
 
     from change_data_capture_spark.operators.dedup_queries import (
@@ -2013,35 +2064,71 @@ def streaming_dedup_simhash_incremental(
         batch_bands = simhash_band_rel(
             _simhash_signatures_df(batch_df, _HAM_BITS), carry_sig=True
         ).persist()
-        # append FIRST: one store join covers within- and cross-batch
-        write_bucketed(
-            batch_bands,
-            band_tbl,
-            ["band", "bv"],
-            band_store_buckets,
-            f"{ws}/band_store",
-            mode="append",
-        )
-        ham = F.bit_count(
-            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-        )
         # table read via the micro-batch's cloned session + refresh — the
         # outer session's relation cache is one batch stale (see the
-        # minhash twin for the full note)
+        # minhash twin for the full note). Refresh BEFORE this batch's
+        # append: the join deliberately sees the PRE-batch store, so the
+        # append can overlap the candidate chain.
         sess = batch_df.sparkSession
         sess.catalog.refreshTable(band_tbl)
-        (
-            _banded_store_join(batch_bands, sess.table(band_tbl), ["band", "bv"])
-            .where(ham <= _HAM_MAX)
-            .select(
-                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-                ham.cast("int").alias("hamming"),
+        store_rel = sess.table(band_tbl)
+
+        def _maintain() -> None:
+            # band append (shuffle + catalog commit) — not read until the
+            # NEXT batch, so it overlaps the pair chain (guide §2.6)
+            write_bucketed(
+                batch_bands,
+                band_tbl,
+                ["band", "bv"],
+                band_store_buckets,
+                f"{ws}/band_store",
+                mode="append",
             )
-            .distinct()
-            .write.mode("append")
-            .parquet(pairs_dir)
-        )
+
+        def _find_pairs() -> None:
+            # batch × PRE-batch store (bucketed, zero store-side exchange)
+            # ∪ batch × batch self-join — same distinct pair set as the
+            # pre-r13 append-first single join against the post-append
+            # table (= pre-store ∪ batch), see the minhash twin
+            ham = F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+
+            def _pairs(j: DataFrame) -> DataFrame:
+                return j.where(ham <= _HAM_MAX).select(
+                    F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                        "doc_a"
+                    ),
+                    F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                        "doc_b"
+                    ),
+                    ham.cast("int").alias("hamming"),
+                )
+
+            (
+                _pairs(
+                    _banded_store_join(batch_bands, store_rel, ["band", "bv"])
+                )
+                .unionByName(
+                    _pairs(
+                        _banded_store_join(
+                            batch_bands, batch_bands, ["band", "bv"]
+                        )
+                    )
+                )
+                .distinct()
+                .write.mode("append")
+                .parquet(pairs_dir)
+            )
+
+        # measured on this host (interleaved same-process A/B, 3 reps):
+        # sequential 14.4 s min vs overlapped 10.4 s min for this gate
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as _pool:
+            futs = [_pool.submit(_maintain), _pool.submit(_find_pairs)]
+            for _f in futs:
+                _f.result()
         batch_bands.unpersist()
 
     try:
