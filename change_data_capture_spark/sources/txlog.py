@@ -896,9 +896,16 @@ def merge_into(
     src = source.select(*cols)
 
     # pass 1: prune by the source's key envelope, then find touched files
-    # (row count shares the one aggregation job with the envelope)
-    n_src, lo, hi = src.agg(
-        F.count(F.lit(1)), F.min(key), F.max(key)
+    # (row count, duplicate-key detection and the envelope share ONE
+    # aggregation job: non-null count == distinct count iff no non-null
+    # key repeats, so the common no-duplicates MERGE never launches the
+    # separate dup-key probe job the pre-r13 form ran per call)
+    n_src, n_key, n_key_distinct, lo, hi = src.agg(
+        F.count(F.lit(1)),
+        F.count(F.col(key)),
+        F.count_distinct(F.col(key)),
+        F.min(key),
+        F.max(key),
     ).collect()[0]
     if n_src == 0:
         # empty source (a common CDC micro-batch): metadata-only no-op,
@@ -932,9 +939,9 @@ def merge_into(
     # full-outer join below emits each), but a TARGET row matched by
     # more than one source row is ambiguous (which image wins?) and
     # Delta fails the command — so do we, before any file is written.
-    # Cost: one delta-sized aggregation + (only when duplicates exist
-    # at all) one semi probe of the touched files.
-    if touched:
+    # Cost: rides the envelope aggregation above + (only when duplicates
+    # exist at all) one semi probe of the touched files.
+    if touched and n_key != n_key_distinct:
         # explicit alias: .count() would collide with a merge key that
         # is itself named "count" (ambiguous-reference AnalysisException)
         dup_keys = (
@@ -944,21 +951,20 @@ def merge_into(
             .where(F.col("__merge_key_n") > 1)
             .select(key)
         )
-        if not dup_keys.isEmpty():
-            clash = (
-                _scan_files(spark, table_dir, tip, touched)
-                .join(F.broadcast(dup_keys), key, "left_semi")
-                .select(key)
-                .limit(1)
-                .collect()
+        clash = (
+            _scan_files(spark, table_dir, tip, touched)
+            .join(F.broadcast(dup_keys), key, "left_semi")
+            .select(key)
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"MERGE source has multiple rows for key "
+                f"{clash[0][key]!r}, which matches an existing target "
+                "row — ambiguous UPDATE (Delta: 'multiple source rows "
+                "matched'); de-duplicate the source first"
             )
-            if clash:
-                raise ValueError(
-                    f"MERGE source has multiple rows for key "
-                    f"{clash[0][key]!r}, which matches an existing target "
-                    "row — ambiguous UPDATE (Delta: 'multiple source rows "
-                    "matched'); de-duplicate the source first"
-                )
 
     # pass 2: rewrite touched rows ∪ source in ONE full-outer join; the
     # __txlog_modified flag marks rows the MERGE actually changed
