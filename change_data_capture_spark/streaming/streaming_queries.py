@@ -1879,8 +1879,13 @@ def streaming_dedup_minhash_incremental(
                 "append"
             ).parquet(pairs_dir)
 
-        # measured on this host (interleaved same-process A/B, 3 reps):
-        # sequential 15.8 s min vs overlapped 13.1 s min for this gate
+        # measured on this host (interleaved same-process A/B, min of 3):
+        # 15.8 s sequential vs 13.1 s overlapped in one session, 12.9 vs
+        # 13.4 in a later one — i.e. within this host's noise band at
+        # sf0.1, where the per-batch jobs are small; the overlap's target
+        # is the per-batch constant (catalog round-trip + single-task
+        # commit tails) that a long-running many-batch stream pays per
+        # tick (guide §2.6)
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
         with _TPE(max_workers=2) as _pool:
@@ -2121,8 +2126,10 @@ def streaming_dedup_simhash_incremental(
                 .parquet(pairs_dir)
             )
 
-        # measured on this host (interleaved same-process A/B, 3 reps):
-        # sequential 14.4 s min vs overlapped 10.4 s min for this gate
+        # measured on this host (interleaved same-process A/B, min of 3):
+        # 14.4 s sequential vs 10.4 s overlapped in one session, 11.2 vs
+        # 11.1 in a later one — within the host noise band at sf0.1; see
+        # the minhash twin's note for what the overlap buys structurally
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
         with _TPE(max_workers=2) as _pool:
