@@ -230,22 +230,27 @@ def main() -> None:
 
     # Full-fidelity record (3-decimal warm + cold per query) for BENCH.md /
     # the judge; the stdout contract line below is deliberately bounded.
+    # Records are CORE-COUNT-STAMPED (r14, VERDICT r13 #5): every run
+    # writes BENCH_full_c{N}.json; the unstamped BENCH_full.json is only
+    # (re)written at the canonical 32-core config, so the driver's
+    # lower-core scaling runs stop clobbering the committed 32-core record.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_full.json"), "w") as f:
-        json.dump(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "cold_total_sec": cold_total,
-                "queries": timings,
-                "queries_cold": cold,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "cold_total_sec": cold_total,
+        "queries": timings,
+        "queries_cold": cold,
+    }
+    targets = [os.path.join(here, f"BENCH_full_c{cpus}.json")]
+    if cpus == 32:
+        targets.append(os.path.join(here, "BENCH_full.json"))
+    for path in targets:
+        with open(path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
 
     def contract_line(qdict: dict[str, float]) -> str:
         return json.dumps(

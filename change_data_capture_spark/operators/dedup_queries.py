@@ -1303,17 +1303,23 @@ WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= {JACCARD_THRESH
 """
 
 
-def minhash_signature_rel(sh: DataFrame) -> DataFrame:
+def minhash_signature_rel(sh: DataFrame, with_sets: bool = False) -> DataFrame:
     """(doc_id, h0..h{N_PERMS-1}, n) MinHash signature relation from a
     (doc_id, shingle) set relation — the schema of the persisted signature
-    store (shared by the batch and streaming incremental-dedup gates)."""
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(seeded_hash(F.col("shingle"), i)).alias(f"h{i}")
-            for i in range(N_PERMS)
-        ],
-        F.count(F.lit(1)).alias("n"),
-    )
+    store (shared by the batch and streaming incremental-dedup gates).
+    ``with_sets`` appends ``collect_list('shingle') AS sh_set`` in the SAME
+    grouped pass — the streaming store's verify-side set fetch column
+    (one aggregation, no second groupBy + join; element order is
+    nondeterministic, which every consumer's symmetric set math absorbs).
+    Defined HERE so the store schema has one source of truth — a change to
+    N_PERMS or seeded_hash can never diverge batch from streaming."""
+    aggs = [
+        F.min(seeded_hash(F.col("shingle"), i)).alias(f"h{i}")
+        for i in range(N_PERMS)
+    ] + [F.count(F.lit(1)).alias("n")]
+    if with_sets:
+        aggs.append(F.collect_list("shingle").alias("sh_set"))
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_band_rel(sig: DataFrame) -> DataFrame:

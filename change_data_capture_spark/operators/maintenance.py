@@ -185,12 +185,33 @@ def write_bucketed(
     merge per bucket. Spark's bucket layout is hash(key) % n per-file, read
     back through the session catalog.
 
-    ``mode="append"`` adds files into the SAME bucket layout (Spark
-    validates the spec against the existing table): each append lands one
-    more file per non-empty bucket, and bucketed reads keep reporting the
-    hash output partitioning — the incremental-store shape used by the
-    streaming dedup gates (only per-file sort order is lost with multiple
-    files per bucket, which hash joins never needed)."""
+    ``mode="append"`` adds files into the SAME bucket layout: each append
+    lands one more file per non-empty bucket, and bucketed reads keep
+    reporting the hash output partitioning — the incremental-store shape
+    used by the streaming dedup gates (only per-file sort order is lost
+    with multiple files per bucket, which hash joins never needed).
+    Appends are DIRECT bucket-file writes (:func:`_append_bucketed_files`)
+    — one distributed write job plus driver renames, no per-append
+    ``saveAsTable`` catalog round-trip (Hive-compat insert command,
+    commit-protocol temporary-dir dance, table-stats refresh — the
+    per-tick constant every micro-batch paid pre-r14; guide §6
+    small-files / §1.2). The caller's spec is validated against the
+    CATALOG before any file lands (same fail-loud rule as
+    :func:`compact_bucketed` — files hashed mod the wrong bucket count
+    silently drop join matches)."""
+    if mode == "append":
+        spec = _catalog_bucket_spec(df.sparkSession, table)
+        if spec is None:
+            raise ValueError(
+                f"append target {table} has no bucket spec in the catalog"
+            )
+        if spec != (list(bucket_cols), num_buckets):
+            raise ValueError(
+                f"append spec {(list(bucket_cols), num_buckets)} != catalog "
+                f"spec {spec} for {table}"
+            )
+        _append_bucketed_files(df, bucket_cols, num_buckets, path)
+        return
     (
         df.write.mode(mode)
         .bucketBy(num_buckets, *bucket_cols)
@@ -199,6 +220,63 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def _append_bucketed_files(
+    df: DataFrame, bucket_cols: list[str], num_buckets: int, path: str
+) -> None:
+    """Append ``df`` into a bucketed table's directory as DIRECT bucket
+    files: route every row with Spark's own bucket-id expression —
+    ``pmod(hash(cols), n)``, where ``hash`` IS ``Murmur3Hash`` seed 42,
+    the exact function ``HashPartitioning.partitionIdExpression`` uses
+    for bucket placement — write one file per non-empty bucket in ONE
+    job (``partitionBy`` on the routed id; rows sorted by the bucket
+    cols within each file, like a ``saveAsTable`` append), then rename
+    each file into the table directory under the ``part-..._0000N``
+    bucket-suffix name the bucketed reader keys on
+    (``BucketingUtils.getBucketId`` parses the trailing ``_(\\d+)``).
+    The rename is the PUBLISH: until it happens nothing under ``path``
+    changes, so a reader whose file listing was snapshotted earlier
+    (relation cache / an already-planned scan) can never observe a
+    half-landed append — strictly stronger isolation than the
+    saveAsTable append, whose commit also invalidated the catalog
+    relation cache mid-stream. Placement correctness is pinned by
+    ``tests/test_plans.py`` (appended rows join bucket-locally with zero
+    store-side Exchange) and ``test_maintenance.py`` (per-file recomputed
+    bucket ids match the filename suffix)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:12]
+    staging = f"{path}__append_{tag}"
+    bucket_id = F.pmod(
+        F.hash(*[F.col(c) for c in bucket_cols]), F.lit(num_buckets)
+    )
+    (
+        df.withColumn("_bucket", bucket_id)
+        .repartition(num_buckets, "_bucket")
+        .sortWithinPartitions("_bucket", *bucket_cols)
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(staging)
+    )
+    try:
+        for i in range(num_buckets):
+            d = f"{staging}/_bucket={i}"
+            if not os.path.isdir(d):
+                continue  # empty bucket in this batch
+            parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"bucket {i}: expected one staged file, got {parts}"
+                )
+            dst = os.path.join(
+                path, f"part-00000-{tag}_{i:05d}.c000.snappy.parquet"
+            )
+            os.rename(os.path.join(d, parts[0]), dst)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _catalog_bucket_spec(

@@ -62,7 +62,12 @@ def _shuffle_partitions_for(spark: SparkSession) -> str:
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs idempotently; safe on sessions we don't own."""
+    """Apply runtime confs idempotently; safe on sessions we don't own.
+
+    Caveat: ``spark.sql.shuffle.partitions == 200`` is indistinguishable
+    from the stock default, so a session that deliberately configured
+    exactly 200 gets the parallelism-derived value instead; set
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS=200`` to pin it."""
     confs = dict(_RUNTIME_CONFS)
     try:
         current = spark.conf.get("spark.sql.shuffle.partitions", "200")

@@ -688,13 +688,27 @@ def _footer_stats(paths: list[str], stats_cols: list[str]):
             return None
         ap = os.path.abspath(p)
         nrows[ap] = md.num_rows
+        # key leaves by their FULL dotted path, not the bare leaf name: a
+        # nested leaf like payload.id reports name 'id' and would shadow
+        # (or stand in for) the top-level column — footer stats of the
+        # wrong leaf drive predicate_range pruning, i.e. silently wrong
+        # results. Only a leaf whose path IS the stats column name is the
+        # top-level column; a name that matches some nested leaf only
+        # routes to the exact distributed read-back instead.
         idx = {}
+        names = set()
         for j in range(len(md.schema)):
             col = md.schema.column(j)
-            idx[col.name] = (j, col.physical_type, col.logical_type.type)
+            idx[col.path] = (j, col.physical_type, col.logical_type.type)
+            names.add(col.name)
         stats: dict[str, list] = {}
         for c in stats_cols:
             if c not in idx:
+                if c in names:
+                    # exists only as a nested leaf (struct field) — the
+                    # footer cannot represent the top-level column; fall
+                    # back to the read-back for this write
+                    return None
                 # column absent from this file (pre-evolution vintage):
                 # the read-back aggregation would yield NULL bounds too
                 stats[c] = [None, None]

@@ -321,3 +321,63 @@ def test_compact_bucketed_spec_comes_from_the_catalog(spark, tmp_path):
         assert spark.table(tbl).count() == 200
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_direct_bucketed_append_places_rows_by_spark_bucket_id(
+    spark, tmp_path
+):
+    """r14: bucketed APPENDS are direct bucket-file writes (no per-append
+    saveAsTable catalog round-trip). The non-negotiable invariant is
+    PLACEMENT: every appended file's rows must hash (Spark murmur3, pmod
+    num_buckets) to exactly the bucket id its filename declares — a
+    misplaced row silently vanishes from every later shuffle-free
+    bucketed join. Also pins: full row set preserved, catalog layout
+    intact, spec-mismatch appends fail loud before any file lands."""
+    import os
+    import re
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.operators.maintenance import (
+        write_bucketed,
+    )
+
+    tbl = f"direct_append_{uuid.uuid4().hex[:8]}"
+    path = str(tmp_path / "ba")
+    base = spark.range(0, 500).selectExpr(
+        "id AS k", "CAST(id % 11 AS INT) AS b", "id AS v"
+    )
+    delta = spark.range(500, 700).selectExpr(
+        "id AS k", "CAST(id % 11 AS INT) AS b", "id AS v"
+    )
+    try:
+        write_bucketed(base, tbl, ["k", "b"], 8, path)
+        write_bucketed(delta, tbl, ["k", "b"], 8, path, mode="append")
+        spark.catalog.refreshTable(tbl)
+        got = {r["k"] for r in spark.table(tbl).select("k").collect()}
+        assert got == set(range(700))
+        # Spark's own bucket-id parse: last _<digits> before the extension
+        pat = re.compile(r".*_(\d+)(?:\..*)?$")
+        n_files = 0
+        for root, _dirs, fs in os.walk(path):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                n_files += 1
+                bid = int(pat.match(f).group(1))
+                misplaced = (
+                    spark.read.parquet(os.path.join(root, f))
+                    .where(F.pmod(F.hash("k", "b"), F.lit(8)) != bid)
+                    .count()
+                )
+                assert misplaced == 0, f
+        assert n_files > 8  # append really added per-bucket files
+        import pytest
+
+        with pytest.raises(ValueError, match="catalog spec|append spec"):
+            write_bucketed(delta, tbl, ["k"], 8, path, mode="append")
+        with pytest.raises(ValueError, match="catalog spec|append spec"):
+            write_bucketed(delta, tbl, ["k", "b"], 16, path, mode="append")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

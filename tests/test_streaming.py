@@ -354,3 +354,13 @@ def test_staged_commit_slices_layout(spark, tmp_path):
             assert mn % 3 == i and mx % 3 == i
             total += a["num_rows"]
         assert total == 1000
+
+    # SPARSE commit (r14, ADVICE item): a slice with no rows must land a
+    # typed EMPTY file per half — same per-commit file count, zero rows —
+    # not an opaque FileNotFoundError from the missing partition dir
+    sparse = _staged_commit_slices(
+        df.where("k < 2"), F.col("k") % 3, 3, str(tmp_path / "t3")
+    )
+    assert [len(p) for p in sparse] == [2, 2, 2]
+    assert spark.read.parquet(*sparse[2]).count() == 0
+    assert spark.read.parquet(*sparse[2]).columns == ["k", "v"]

@@ -2968,3 +2968,22 @@ def test_write_files_footer_stats_match_readback(spark, tmp_path):
     acts3 = txlog.write_files(df3, str(tmp_path / "t3"), stats_cols=["s"])
     assert acts3[0]["stats"]["s"] == ["alpha", "zeta"]
     assert acts3[0]["num_rows"] == 2
+
+    # a struct field whose LEAF NAME shadows a stats column (parquet
+    # reports the nested leaf as name 'id', path 'payload.id') must not
+    # hijack the top-level column's footer stats — and a stats column
+    # that exists ONLY as a nested leaf must route to the read-back, not
+    # claim footer bounds (r14 fix: _footer_stats keys by dotted path)
+    df4 = spark.range(0, 100).select(
+        F.col("id"),
+        F.struct((F.col("id") + 100_000).alias("id")).alias("payload"),
+    ).repartition(1)
+    acts4 = txlog.write_files(df4, str(tmp_path / "t4"), stats_cols=["id"])
+    assert acts4[0]["stats"]["id"] == [0, 99]  # top-level, not the leaf
+    # drop the top-level column: 'id' now matches only payload.id, so the
+    # footer path must refuse (return None) and the read-back must run
+    df5 = df4.drop("id").repartition(1)
+    paths5 = txlog.write_files(df5, str(tmp_path / "t5"))
+    assert txlog._footer_stats(paths5, ["id"]) is None
+    # (the read-back then surfaces an explicit unresolved-column error —
+    # never the nested leaf's bounds under the top-level name)
